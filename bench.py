@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark: fused 2-D DCT + filter + IDCT throughput on a 4K image.
+
+Per BASELINE.md: the reference publishes no numbers, so the baseline is
+single-core FFTW measured locally (scipy.fft/pocketfft as the proxy,
+workers=1, float64 — the reference spec builds with COEFF_PRECISION=D).
+Target: >10x single-core FFTW per TPU chip at <=1e-5 max abs error vs
+the double-precision result.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N, ...}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import scipy.fft
+
+    import jax
+    from dspfun_tpu.core.precision import Precision
+    from dspfun_tpu.models.fused import filter_plans, fused_filter_2d, lowpass_mask
+
+    h, w, c = 2160, 3840, 3  # 4K RGB
+    rng = np.random.default_rng(0)
+    x_np = rng.random((h, w, c)).astype(np.float32)
+    mask_np = lowpass_mask((h, w), cutoff=0.25, boost=1.25, damp=0.0)[:, :, None]
+
+    precision = Precision(coeff="float32", intermediate="hilo")
+    plans = filter_plans((h, w), precision)
+    fn = jax.jit(lambda a, m, pl: fused_filter_2d(a, m, pl, precision))
+
+    x = jax.device_put(x_np)
+    m = jax.device_put(mask_np.astype(np.float32))
+
+    probe = jax.jit(lambda a: a.reshape(-1)[0])
+
+    # warmup / compile (both the pipeline and the probe)
+    y = fn(x, m, plans)
+    _ = jax.device_get(probe(y))
+
+    # Chain iterations (output feeds input) so each step truly depends
+    # on the previous one, and fetch a scalar at the end —
+    # block_until_ready alone under-reports on remote-tunnelled devices.
+    iters = 10
+    t0 = time.perf_counter()
+    yy = x
+    for _ in range(iters):
+        yy = fn(yy, m, plans)
+    _ = jax.device_get(probe(yy))
+    dt = (time.perf_counter() - t0) / iters
+    ours_mps = (h * w) / dt / 1e6
+    y = fn(x, m, plans)
+
+    # single-core pocketfft float64 baseline (FFTW-convention type 2/3)
+    xd = x_np.astype(np.float64)
+    t0 = time.perf_counter()
+    ref = scipy.fft.dctn(xd, type=2, axes=(0, 1), workers=1)
+    ref *= mask_np
+    ref = scipy.fft.dctn(ref, type=3, axes=(0, 1), workers=1) / (4.0 * w * h)
+    base_dt = time.perf_counter() - t0
+    base_mps = (h * w) / base_dt / 1e6
+
+    err = float(np.max(np.abs(np.asarray(y, dtype=np.float64) - ref)))
+
+    print(
+        json.dumps(
+            {
+                "metric": "megapixels/sec fused 2D DCT+filter+IDCT (4K RGB)",
+                "value": round(ours_mps, 2),
+                "unit": "MP/s",
+                "vs_baseline": round(ours_mps / base_mps, 2),
+                "baseline_MP/s": round(base_mps, 2),
+                "max_abs_err_vs_f64": err,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,269 @@
+"""FFmpeg av_expr-compatible expression engine.
+
+The reference uses FFmpeg's expression evaluator as its user-scripting
+hook: zoom animation expressions (reference zoom/zoom.c:221-228,
+320-345), motion ``--eval`` coefficient formulas (motion/motion.c:
+463-469, 670-681), and scan's ``evalxy``/``evali`` methods
+(scan/scan_methods.c:333-391).
+
+All of those uses are *elementwise over coordinate grids* (or per-frame
+scalars), so this engine parses once into an AST and evaluates with a
+pluggable array module: ``numpy`` for host-side uses (scan precompute,
+zoom per-frame scalars) and ``jax.numpy`` inside jitted pipelines
+(motion --eval) where the whole expression vectorises onto the VPU.
+
+Grammar (the av_expr subset the dspfun docs exercise):
+    expr   := term (('+'|'-') term)*
+    term   := factor (('*'|'/') factor)*
+    factor := primary ('^' primary)*        (right assoc, pow)
+    primary:= ('+'|'-')* (number | const | var | func '(' args ')' | '(' expr ')')
+
+Functions: sin cos tan asin acos atan atan2 sinh cosh tanh exp log pow
+sqrt abs sgn floor ceil trunc round mod max min hypot eq gte gt lte lt
+not if ifnot isnan isinf bitand bitor between clip lerp squish gauss
+st ld.  Constants: PI, E, PHI.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any, Callable, Mapping
+
+__all__ = ["Expr", "parse_expr"]
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<num>(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+    r"|(?P<name>[A-Za-z_][A-Za-z_0-9]*)"
+    r"|(?P<op>[-+*/^(),])"
+    r")"
+)
+
+_CONSTS = {"PI": math.pi, "E": math.e, "PHI": (1 + math.sqrt(5)) / 2}
+
+
+def _tokenize(s: str):
+    pos = 0
+    out = []
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(f"bad token in expression at: {s[pos:]!r}")
+        pos = m.end()
+        if m.group("num") is not None:
+            out.append(("num", float(m.group("num"))))
+        elif m.group("name") is not None:
+            out.append(("name", m.group("name")))
+        else:
+            out.append(("op", m.group("op")))
+    out.append(("end", None))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens, var_names):
+        self.toks = tokens
+        self.i = 0
+        self.var_names = set(var_names)
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect_op(self, op):
+        t = self.next()
+        if t != ("op", op):
+            raise ValueError(f"expected {op!r}, got {t}")
+
+    def parse(self):
+        node = self.expr()
+        if self.peek() != ("end", None):
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return node
+
+    def expr(self):
+        node = self.term()
+        while self.peek() in (("op", "+"), ("op", "-")):
+            op = self.next()[1]
+            node = (op, node, self.term())
+        return node
+
+    def term(self):
+        node = self.factor()
+        while self.peek() in (("op", "*"), ("op", "/")):
+            op = self.next()[1]
+            node = (op, node, self.factor())
+        return node
+
+    def _signs(self) -> bool:
+        neg = False
+        while self.peek() in (("op", "+"), ("op", "-")):
+            if self.next()[1] == "-":
+                neg = not neg
+        return neg
+
+    def factor(self):
+        # ffmpeg eval.c parse_factor: unary sign binds looser than '^'
+        # (-2^2 == -4) and '^' chains left-associatively, each exponent
+        # carrying its own optional sign.
+        neg = self._signs()
+        node = self.primary()
+        while self.peek() == ("op", "^"):
+            self.next()
+            eneg = self._signs()
+            exp = self.primary()
+            if eneg:
+                exp = ("neg", exp)
+            node = ("^", node, exp)
+        if neg:
+            node = ("neg", node)
+        return node
+
+    def primary(self):
+        kind, val = self.next()
+        if kind == "op" and val == "(":
+            node = self.expr()
+            self.expect_op(")")
+            return node
+        if kind == "num":
+            return ("num", val)
+        if kind == "name":
+            if self.peek() == ("op", "("):
+                self.next()
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self.expr())
+                    while self.peek() == ("op", ","):
+                        self.next()
+                        args.append(self.expr())
+                self.expect_op(")")
+                return ("call", val, args)
+            if val in _CONSTS:
+                return ("num", _CONSTS[val])
+            if val in self.var_names:
+                return ("var", val)
+            raise ValueError(f"unknown identifier {val!r}")
+        raise ValueError(f"unexpected token {(kind, val)}")
+
+
+def _funcs(xp) -> Mapping[str, Callable]:
+    def _i64(x):
+        return xp.nan_to_num(xp.trunc(x), nan=0.0, posinf=0.0, neginf=0.0).astype("int64")
+
+    return {
+        "sin": lambda a: xp.sin(a[0]),
+        "cos": lambda a: xp.cos(a[0]),
+        "tan": lambda a: xp.tan(a[0]),
+        "asin": lambda a: xp.arcsin(a[0]),
+        "acos": lambda a: xp.arccos(a[0]),
+        "atan": lambda a: xp.arctan(a[0]),
+        "atan2": lambda a: xp.arctan2(a[0], a[1]),
+        "sinh": lambda a: xp.sinh(a[0]),
+        "cosh": lambda a: xp.cosh(a[0]),
+        "tanh": lambda a: xp.tanh(a[0]),
+        "exp": lambda a: xp.exp(a[0]),
+        "log": lambda a: xp.log(a[0]),
+        "pow": lambda a: xp.power(a[0], a[1]),
+        "sqrt": lambda a: xp.sqrt(a[0]),
+        "abs": lambda a: xp.abs(a[0]),
+        "sgn": lambda a: xp.sign(a[0]),
+        "floor": lambda a: xp.floor(a[0]),
+        "ceil": lambda a: xp.ceil(a[0]),
+        "trunc": lambda a: xp.trunc(a[0]),
+        "round": lambda a: xp.round(a[0]),
+        "mod": lambda a: xp.fmod(a[0], a[1]),
+        "max": lambda a: xp.maximum(a[0], a[1]),
+        "min": lambda a: xp.minimum(a[0], a[1]),
+        "hypot": lambda a: xp.hypot(a[0], a[1]),
+        "eq": lambda a: xp.where(a[0] == a[1], 1.0, 0.0),
+        "gte": lambda a: xp.where(a[0] >= a[1], 1.0, 0.0),
+        "gt": lambda a: xp.where(a[0] > a[1], 1.0, 0.0),
+        "lte": lambda a: xp.where(a[0] <= a[1], 1.0, 0.0),
+        "lt": lambda a: xp.where(a[0] < a[1], 1.0, 0.0),
+        "not": lambda a: xp.where(a[0] == 0, 1.0, 0.0),
+        "isnan": lambda a: xp.where(xp.isnan(a[0]), 1.0, 0.0),
+        "isinf": lambda a: xp.where(xp.isinf(a[0]), 1.0, 0.0),
+        "bitand": lambda a: (_i64(a[0]) & _i64(a[1])).astype("float64" if xp.__name__ == "numpy" else "float32"),
+        "bitor": lambda a: (_i64(a[0]) | _i64(a[1])).astype("float64" if xp.__name__ == "numpy" else "float32"),
+        "between": lambda a: xp.where((a[0] >= a[1]) & (a[0] <= a[2]), 1.0, 0.0),
+        "clip": lambda a: xp.clip(a[0], a[1], a[2]),
+        "lerp": lambda a: a[0] + (a[1] - a[0]) * a[2],
+        "squish": lambda a: 1.0 / (1.0 + xp.exp(4.0 * a[0])),
+        "gauss": lambda a: xp.exp(-a[0] * a[0] / 2.0) / math.sqrt(2.0 * math.pi),
+    }
+
+
+class Expr:
+    """A parsed expression, evaluable over numpy or jax.numpy arrays."""
+
+    def __init__(self, source: str, var_names: tuple[str, ...]):
+        self.source = source
+        self.var_names = tuple(var_names)
+        self.ast = _Parser(_tokenize(source), self.var_names).parse()
+
+    def __call__(self, variables: Mapping[str, Any], xp=None):
+        if xp is None:
+            import numpy as xp  # noqa: PLC0415
+        funcs = _funcs(xp)
+        slots: dict[int, Any] = {}
+
+        def ev(node):
+            tag = node[0]
+            if tag == "num":
+                return node[1]
+            if tag == "var":
+                return variables[node[1]]
+            if tag == "neg":
+                return -ev(node[1])
+            if tag in ("+", "-", "*", "/", "^"):
+                a, b = ev(node[1]), ev(node[2])
+                if tag == "+":
+                    return a + b
+                if tag == "-":
+                    return a - b
+                if tag == "*":
+                    return a * b
+                if tag == "/":
+                    return a / b
+                return xp.power(a, b)
+            if tag == "call":
+                name, args = node[1], node[2]
+                if name == "if":
+                    c = ev(args[0])
+                    t = ev(args[1])
+                    e = ev(args[2]) if len(args) > 2 else 0.0
+                    return xp.where(c != 0, t, e)
+                if name == "ifnot":
+                    c = ev(args[0])
+                    t = ev(args[1])
+                    e = ev(args[2]) if len(args) > 2 else 0.0
+                    return xp.where(c == 0, t, e)
+                if name == "st":
+                    idx = args[0]
+                    if idx[0] != "num":
+                        raise ValueError("st() requires a literal slot index")
+                    v = ev(args[1])
+                    slots[int(idx[1])] = v
+                    return v
+                if name == "ld":
+                    idx = args[0]
+                    if idx[0] != "num":
+                        raise ValueError("ld() requires a literal slot index")
+                    return slots.get(int(idx[1]), 0.0)
+                if name in funcs:
+                    return funcs[name]([ev(a) for a in args])
+                raise ValueError(f"unsupported function {name!r}")
+            raise AssertionError(node)
+
+        return ev(self.ast)
+
+
+def parse_expr(source: str, var_names) -> Expr:
+    return Expr(source, tuple(var_names))

@@ -1,0 +1,86 @@
+"""Runtime precision policy.
+
+The reference selects two float precisions at *compile* time — "coeff"
+(storage/FFTW buffers) and "intermediate" (math) — via the
+COEFF_PRECISION / INTERMEDIATE_PRECISION macros in
+reference include/precision.h:26-57, with per-tool defaults
+(spec/zoom: coeff=double, intermediate=long double; motion/scan:
+coeff=float — reference motion/Makefile:1-2, scan/Makefile:1-2).
+
+On TPU this becomes a *runtime* policy object:
+
+* ``coeff``: dtype of stored arrays and transform outputs
+  (f32 default; bf16 for bandwidth-bound paths; f64 on CPU oracles).
+* ``intermediate``: how matmul contractions accumulate:
+    - "f32"   : plain f32 MXU matmuls (preferred_element_type=f32)
+    - "hilo"  : double-float compensated matmuls — the basis matrix and
+      operand are split into hi+lo f32 parts and three MXU matmuls are
+      summed, recovering ~2x f32 mantissa accuracy at ~3x FLOPs.  This
+      is the TPU analogue of the reference's "intermediate = long
+      double" convention and is what lets f32 TPU outputs match
+      double-precision FFTW to <=1e-5 (BASELINE.md targets).
+    - "f64"   : true float64 (CPU / x64-enabled only).
+
+Tools take an optional Precision; the module-level default matches the
+reference defaults in spirit (accurate math, f32 storage).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+_VALID_INTERMEDIATE = ("f32", "hilo", "f64")
+
+# Mapping of the reference's single-letter precision flags (F/D/L,
+# reference include/precision.h:26-35) onto TPU-native policies.
+_LETTER_COEFF = {"F": "float32", "D": "float32", "L": "float32", "B": "bfloat16"}
+_LETTER_INTER = {"F": "f32", "D": "hilo", "L": "hilo"}
+
+
+@dataclasses.dataclass(frozen=True)
+class Precision:
+    """Dtype policy: storage dtype + contraction accumulation mode."""
+
+    coeff: Any = jnp.float32
+    intermediate: str = "hilo"
+
+    def __post_init__(self):
+        if self.intermediate not in _VALID_INTERMEDIATE:
+            raise ValueError(
+                f"intermediate must be one of {_VALID_INTERMEDIATE}, "
+                f"got {self.intermediate!r}"
+            )
+
+    @property
+    def coeff_dtype(self):
+        return jnp.dtype(self.coeff)
+
+    @property
+    def basis_dtype(self):
+        """Dtype basis matrices are materialised in."""
+        if self.intermediate == "f64":
+            return jnp.dtype(jnp.float64)
+        return jnp.dtype(jnp.float32)
+
+    @classmethod
+    def from_letters(cls, coeff: str = "D", intermediate: str = "L") -> "Precision":
+        """Map the reference's F/D/L compile-time letters to a policy."""
+        return cls(
+            coeff=_LETTER_COEFF[coeff.upper()],
+            intermediate=_LETTER_INTER.get(intermediate.upper(), "hilo"),
+        )
+
+
+_default = Precision()
+
+
+def get_precision() -> Precision:
+    return _default
+
+
+def set_precision(p: Precision) -> None:
+    global _default
+    _default = p

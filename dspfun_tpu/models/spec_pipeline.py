@@ -1,0 +1,191 @@
+"""spec/ispec compute pipelines: invertible whole-image DCT spectrograms.
+
+Jittable re-derivations of the scalar chains in reference spec/spec.c:63-139
+and spec/ispec.c:84-167.  The whole chain — 2-D DCT-II, uniform-range
+normalisation, gain, range max, log/linear scale, sign encode — is
+elementwise around two MXU matmuls, so XLA fuses it into a handful of
+kernels.
+
+Conventions (see SURVEY.md section 2.2):
+* forward DCT-II is FFTW REDFT10, coefficients in ±4wh (spec.c:64);
+* DC = F[0,0]/(4wh) = image mean, exported per channel (spec.c:66-68);
+* "uniform range": F * sqrt(2)^(#nonzero idx) / (4wh), putting every
+  coefficient in ±1 (spec.c:70-78);
+* gain: native = 127.5*sqrt(4wh), reference = 127.5*1024, custom
+  (spec.c:81-90);
+* range: one = gain, dc = max channel DC*gain, dcs = per-channel
+  (spec.c:92-108);
+* scale: log = copysign(log1p|f|, f)/log1p(max), linear = f/max
+  (spec.c:110-122);
+* sign: abs | shift ((f/2+.5)*254/255) | saturate (1 if f>=0, DC texel
+  exempt) | retain (spec.c:124-139).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from dspfun_tpu.core.precision import Precision, get_precision
+from dspfun_tpu.core.transforms import dct2_nd, dct3_nd, uniform_grid
+
+__all__ = ["SpecChainParams", "spec_forward", "spec_inverse", "compute_gain"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecChainParams:
+    """The -t/-R/-T/-S/-G option tuple (reference spec/spec.h:56-79).
+
+    Templates: abs=(log,abs,native,dc), shift=(log,shift,native,one),
+    flat=(linear,shift,custom,one), sign=(linear,saturate,custom,one),
+    copy=(linear,retain,custom,one) (spec.h:71-79).
+    """
+
+    scaletype: str = "log"      # log | linear
+    signtype: str = "abs"       # abs | shift | saturate | retain
+    gaintype: str = "native"    # native | reference | custom
+    rangetype: str = "dc"       # one | dc | dcs
+    gain: float = 1.0           # used when gaintype == custom
+
+    @classmethod
+    def template(cls, name: str, gain: float = 1.0) -> "SpecChainParams":
+        t = {
+            "abs": ("log", "abs", "native", "dc"),
+            "shift": ("log", "shift", "native", "one"),
+            "flat": ("linear", "shift", "custom", "one"),
+            "sign": ("linear", "saturate", "custom", "one"),
+            "copy": ("linear", "retain", "custom", "one"),
+        }[name]
+        return cls(*t, gain=gain)
+
+
+def compute_gain(params: SpecChainParams, w: int, h: int) -> float:
+    """reference spec/spec.c:81-90."""
+    if params.gaintype == "native":
+        return 127.5 * math.sqrt(w * h * 4)
+    if params.gaintype == "reference":
+        return 127.5 * 1024.0
+    return float(params.gain)
+
+
+def _range_max(params: SpecChainParams, gain: float, dc_gained: jnp.ndarray):
+    """Per-channel scaling max (reference spec/spec.c:92-108).
+
+    ``dc_gained`` is f[0,0,:] after gain (== DC * gain).
+    """
+    if params.rangetype == "one":
+        return jnp.full_like(dc_gained, gain)
+    if params.rangetype == "dc":
+        return jnp.full_like(dc_gained, jnp.max(dc_gained))
+    return dc_gained  # dcs
+
+
+def spec_forward(
+    x: jnp.ndarray,
+    params: SpecChainParams,
+    precision: Precision | None = None,
+):
+    """Image [H, W, C] in [0,1] -> (spectrogram [H,W,C] in [0,1], DC [C]).
+
+    DC is the per-channel image mean (what spec embeds as the "DC"
+    property, reference spec/spec.c:66-68,145-148).
+    """
+    p = precision or get_precision()
+    h, w, d = x.shape
+    gain = compute_gain(params, w, h)
+
+    F = dct2_nd(x, (0, 1), p)
+    grid = uniform_grid((h, w))[:, :, None]
+    # uniform range +-1, then gain (spec.c:70-90); constants folded.
+    f = F * jnp.asarray(grid * (gain / (4.0 * w * h)), dtype=F.dtype)
+
+    dc = f[0, 0, :] / gain  # == image mean
+    maxv = _range_max(params, gain, f[0, 0, :])
+
+    if params.scaletype == "log":
+        f = jnp.sign(f) * jnp.log1p(jnp.abs(f)) / jnp.log1p(maxv)
+    else:
+        f = f / maxv
+
+    s = params.signtype
+    if s == "abs":
+        f = jnp.abs(f)
+    elif s == "shift":
+        f = (f / 2 + 0.5) * 254 / 255
+    elif s == "saturate":
+        sat = (f >= 0).astype(f.dtype)
+        # the DC texel keeps its scaled value (spec.c:136: loop starts at d)
+        mask = np.zeros((h, w, 1), dtype=bool)
+        mask[0, 0, 0] = True
+        f = jnp.where(jnp.asarray(mask), f, sat)
+    elif s != "retain":
+        raise ValueError(params.signtype)
+    return f, dc
+
+
+def spec_inverse(
+    f: jnp.ndarray,
+    params: SpecChainParams,
+    dc: jnp.ndarray | None = None,
+    signmap: jnp.ndarray | None = None,
+    preserve_dc: bool = False,
+    precision: Precision | None = None,
+):
+    """Spectrogram [H,W,C] -> image [H,W,C]; exact inverse of
+    :func:`spec_forward` (reference spec/ispec.c:84-167).
+
+    ``dc`` is the decoded "DC" property (required for dc/dcs ranges or
+    preserve_dc unless a signmap supplies it).  ``signmap`` is the pixel
+    array of a ``spec -t sign`` image in [0,1]; its first texel provides
+    DC and its sign bit restores coefficient signs (ispec.c:87-98).
+    """
+    p = precision or get_precision()
+    h, w, d = f.shape
+    gain = compute_gain(params, w, h)
+
+    s = params.signtype
+    not_dc_texel = np.ones((h, w, 1), dtype=bool)
+    not_dc_texel[0, 0, 0] = False
+    not_dc_texel = jnp.asarray(not_dc_texel)
+
+    if s == "abs":
+        if signmap is not None:
+            # bytes >= 128 are positive (ispec.c:95: copysign(f, tmp-128))
+            byte = signmap * 255.0
+            dc = byte[0, 0, :] / 255.0
+            sign_pos = byte >= 128
+            f = jnp.where(not_dc_texel, jnp.where(sign_pos, jnp.abs(f), -jnp.abs(f)), f)
+    elif s == "shift":
+        f = (f * 255 / 254 - 0.5) * 2
+    elif s == "saturate":
+        f = jnp.where(not_dc_texel, f * 2 - 1, f)
+    elif s != "retain":
+        raise ValueError(params.signtype)
+
+    if params.rangetype == "one":
+        maxv = jnp.full((d,), gain, dtype=f.dtype)
+    else:
+        if dc is None:
+            raise ValueError("DC required for dc/dcs range types")
+        dcg = jnp.asarray(dc, dtype=f.dtype) * gain
+        maxv = jnp.full((d,), jnp.max(dcg), dtype=f.dtype) if params.rangetype == "dc" else dcg
+
+    if params.scaletype == "log":
+        fm = f * jnp.log1p(maxv)
+        f = jnp.sign(f) * jnp.expm1(jnp.abs(fm))
+    else:
+        f = f * maxv
+
+    f = f / gain
+    grid = uniform_grid((h, w))[:, :, None]
+    f = f / jnp.asarray(grid, dtype=f.dtype)
+
+    if preserve_dc:
+        if dc is None:
+            raise ValueError("DC required for preserve_dc")
+        f = f.at[0, 0, :].set(jnp.asarray(dc, dtype=f.dtype))
+
+    return dct3_nd(f, (0, 1), p)

@@ -1,0 +1,64 @@
+"""spec — generate invertible frequency spectrums for viewing and editing.
+
+CLI-compatible rebuild of reference spec/spec.c on the TPU pipeline in
+dspfun_tpu.models.spec_pipeline.
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+
+import jax
+import numpy as np
+
+from dspfun_tpu.io import images
+from dspfun_tpu.models.spec_pipeline import spec_forward
+from dspfun_tpu.tools._speccli import SPEC_HELP, SpecOpts, resolve_io, spec_opt_proc
+
+USAGE = "Usage: spec -h -g -c csp -t (abs|shift|flat|sign|copy) -R (one|dc|dcs) -T (linear|log) -S (abs|shift|saturate|retain) -G (native|reference|custom(float)) <infile> <outfile>"
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    opts = SpecOpts()
+    try:
+        flags, args = getopt.getopt(argv, "hgc:t:s:T:S:G:R:")
+    except getopt.GetoptError as e:
+        print(USAGE, file=sys.stderr)
+        return 1
+    for flag, arg in flags:
+        if flag == "-h":
+            print("Usage: spec [options] <infile> <outfile>\noptions:\n  -h  This help text.\n")
+            print(SPEC_HELP)
+            return 0
+        if not spec_opt_proc(opts, flag, arg):
+            print(USAGE, file=sys.stderr)
+            return 1
+    if not resolve_io(args, opts):
+        print(USAGE, file=sys.stderr)
+        return 1
+
+    try:
+        img = images.read_image(opts.input, channels=opts.csp, linear=opts.gamma)
+    except Exception as e:  # noqa: BLE001
+        print(e, file=sys.stderr)
+        return 1
+
+    x = np.asarray(img.pixels)
+    fwd = jax.jit(spec_forward, static_argnums=(1,))
+    f, dc = fwd(x, opts.params)
+    f = np.asarray(f)
+    dc = np.asarray(jax.device_get(dc), dtype=np.float64)
+
+    props = {"DC": images.encode_dc_property(dc)}
+    try:
+        images.write_image(opts.output, f, channels=opts.csp, properties=props)
+    except Exception as e:  # noqa: BLE001
+        print(e, file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

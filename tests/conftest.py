@@ -1,0 +1,29 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths
+can be exercised without a TPU pod (the driver separately dry-runs the
+multichip path; real-TPU benchmarking happens in bench.py).
+
+Must set env vars before anything imports jax.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Enable x64 so the coeff=float64 precision policy (the analogue of the
+# reference's default COEFF_PRECISION=D, include/precision.h:50-57) is
+# real on the CPU oracle backend.  All library code is explicit about
+# dtypes, so this does not change f32-policy behaviour.
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+# The environment's TPU plugin forces itself over the JAX_PLATFORMS env
+# var, so pin the platform programmatically too.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
