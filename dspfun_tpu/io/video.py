@@ -1,0 +1,752 @@
+"""Video I/O: the ffapi surface of the reference, rebuilt without FFmpeg.
+
+The reference wraps libavformat/libavcodec/libswscale (include/ffapi.{h,c})
+for frame-by-frame video read/write with color-property negotiation.
+This environment has no FFmpeg, so the framework carries its own
+containers, chosen to preserve the reference's observable conventions:
+
+* **y4m** (YUV4MPEG2) — the reference's default for pipe video
+  (ffapi.c:177-178,396-397).  8-bit planar YCbCr (mono/420/422/444),
+  full header parsing incl. C-tag chroma siting and the XCOLORRANGE
+  extension.  This is the interchange format with other tools.
+* **fvid** — this framework's lossless float32 planar container, the
+  stand-in for the reference's FFV1-in-NUT float default
+  (motion.c:447, zoom.c:306: AV_CODEC_ID_FFV1 + GBRPF32): a one-line
+  text header and raw little-endian float planes.
+* **image2** — printf-pattern image sequences (``frame%04d.png``) via
+  the still-image layer.
+* ``ffplay:`` pseudo-outputs (ffapi.c:455-485) are gated on an ffplay
+  binary being present.
+
+Color properties mirror FFColorProperties (ffapi.h:16-23): pixel
+format, range (jpeg/mpeg), primaries, transfer, matrix, chroma siting,
+parsed from the same "k=v:k=v" strings (ffapi.c:94-114), with the
+per-format defaults of ffapi.c:33-92 (y4m implies limited-range
+SMPTE170M; image2 implies full-range sRGB).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+import os
+import re
+import sys
+from fractions import Fraction
+
+import numpy as np
+
+__all__ = [
+    "ColorProps",
+    "PixelFormat",
+    "PIXEL_FORMATS",
+    "parse_color_props",
+    "parse_rate",
+    "open_input",
+    "open_output",
+    "VideoReader",
+    "VideoWriter",
+    "rgb_to_planes",
+    "planes_to_rgb",
+]
+
+
+# ---------------------------------------------------------------------------
+# Pixel formats
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PixelFormat:
+    """Planar pixel format descriptor (the av_pix_fmt_desc analogue).
+
+    ``chroma_shift`` = (log2 horizontal, log2 vertical) subsampling of
+    planes 1..2; plane 0 (and 3) are full resolution.
+    """
+
+    name: str
+    ncomp: int
+    chroma_shift: tuple[int, int] = (0, 0)
+    depth: int = 8
+    is_float: bool = False
+    is_rgb: bool = False  # component order for rgb planar is G, B, R (FFmpeg gbrp)
+
+    @property
+    def dtype(self):
+        if self.is_float:
+            return np.dtype("<f4")
+        return np.dtype("<u2") if self.depth > 8 else np.dtype("u1")
+
+    def plane_dims(self, width: int, height: int) -> list[tuple[int, int]]:
+        """[(w, h)] per plane, chroma rounded up (ceiling shift)."""
+        dims = []
+        sx, sy = self.chroma_shift
+        for p in range(self.ncomp):
+            if p in (1, 2) and not self.is_rgb:
+                dims.append(((width + (1 << sx) - 1) >> sx,
+                             (height + (1 << sy) - 1) >> sy))
+            else:
+                dims.append((width, height))
+        return dims
+
+    def frame_bytes(self, width: int, height: int) -> int:
+        return sum(w * h for w, h in self.plane_dims(width, height)) * self.dtype.itemsize
+
+
+PIXEL_FORMATS = {
+    f.name: f
+    for f in [
+        PixelFormat("gray", 1),
+        PixelFormat("gray16le", 1, depth=16),
+        PixelFormat("yuv420p", 3, (1, 1)),
+        PixelFormat("yuv422p", 3, (1, 0)),
+        PixelFormat("yuv444p", 3),
+        PixelFormat("yuv420p16le", 3, (1, 1), depth=16),
+        PixelFormat("yuv444p16le", 3, depth=16),
+        PixelFormat("gbrpf32le", 3, is_float=True, is_rgb=True),
+        PixelFormat("grayf32le", 1, is_float=True),
+        PixelFormat("yuv444pf32", 3, is_float=True),
+    ]
+}
+
+
+# ---------------------------------------------------------------------------
+# Color properties
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ColorProps:
+    """Mirror of FFColorProperties (reference ffapi.h:16-23)."""
+
+    pix_fmt: str | None = None
+    color_range: str | None = None       # "jpeg" (full) | "mpeg" (limited)
+    color_primaries: str | None = None   # "bt709", "smpte170m", ...
+    color_trc: str | None = None         # "iec61966-2-1", "smpte170m", "linear", ...
+    color_space: str | None = None       # "rgb", "bt709", "smpte170m", ...
+    chroma_location: str | None = None   # "left", "center", "topleft"
+
+    def copy(self) -> "ColorProps":
+        return dataclasses.replace(self)
+
+
+_RANGE_ALIASES = {"full": "jpeg", "pc": "jpeg", "jpeg": "jpeg",
+                  "limited": "mpeg", "tv": "mpeg", "mpeg": "mpeg"}
+
+
+def parse_color_props(props: str | None) -> ColorProps:
+    """Parse a "k=v:k=v" color property string (reference ffapi.c:94-114)."""
+    c = ColorProps()
+    if not props:
+        return c
+    for pair in props.split(":"):
+        if not pair:
+            continue
+        key, _, val = pair.partition("=")
+        if key == "pixel_format":
+            if val not in PIXEL_FORMATS:
+                raise ValueError(f"unknown pixel format {val!r}")
+            c.pix_fmt = val
+        elif key == "color_range":
+            if val not in _RANGE_ALIASES:
+                raise ValueError(f"unknown color range {val!r}")
+            c.color_range = _RANGE_ALIASES[val]
+        elif key == "color_primaries":
+            c.color_primaries = val
+        elif key == "color_trc":
+            c.color_trc = val
+        elif key == "colorspace":
+            c.color_space = val
+        elif key == "chroma_sample_location":
+            c.chroma_location = val
+        else:
+            raise ValueError(f"unknown color property {key!r}")
+    return c
+
+
+def parse_rate(s: str) -> Fraction:
+    """Frame rate: "30", "30000/1001", "29.97" (av_parse_video_rate)."""
+    if "/" in s:
+        n, d = s.split("/", 1)
+        return Fraction(int(n), int(d))
+    if ":" in s:
+        n, d = s.split(":", 1)
+        return Fraction(int(n), int(d))
+    return Fraction(s).limit_denominator(1001 * 60000)
+
+
+# ---------------------------------------------------------------------------
+# RGB <-> planar conversion (host side; device variants live in ops)
+# ---------------------------------------------------------------------------
+
+
+def _matrix_for(space: str | None) -> str:
+    if space in ("bt709",):
+        return "bt709"
+    if space in ("bt2020nc", "bt2020"):
+        return "bt2020"
+    return "bt601"  # smpte170m / bt470bg / unspecified
+
+
+def rgb_to_planes(rgb: np.ndarray, pf: PixelFormat, props: ColorProps) -> list[np.ndarray]:
+    """[H,W,3] float RGB in [0,1] -> list of float planes in [0,1]
+    (or raw floats for float formats).  Chroma is box-filtered when
+    subsampled (swscale's default average filter in spirit)."""
+    from dspfun_tpu.io import color as _color
+
+    h, w = rgb.shape[:2]
+    if pf.is_rgb:  # planar G, B, R (FFmpeg gbrp order)
+        return [rgb[..., 1].copy(), rgb[..., 2].copy(), rgb[..., 0].copy()]
+    if pf.ncomp == 1:
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        return [y]
+    m = _color.ycbcr_matrix(_matrix_for(props.color_space))
+    ycc = rgb @ m.T  # Y in [0,1], Cb/Cr in [-0.5, 0.5]
+    y, cb, cr = ycc[..., 0], ycc[..., 1] + 0.5, ycc[..., 2] + 0.5
+    sx, sy = pf.chroma_shift
+    if sx or sy:
+        fx, fy = 1 << sx, 1 << sy
+        ph, pw = (h + fy - 1) // fy, (w + fx - 1) // fx
+        def down(p):
+            pad = np.pad(p, ((0, ph * fy - h), (0, pw * fx - w)), mode="edge")
+            return pad.reshape(ph, fy, pw, fx).mean(axis=(1, 3))
+        cb, cr = down(cb), down(cr)
+    return [y, cb, cr]
+
+
+def planes_to_rgb(planes: list[np.ndarray], pf: PixelFormat, props: ColorProps,
+                  width: int, height: int) -> np.ndarray:
+    """Inverse of :func:`rgb_to_planes`; chroma upsampled by pixel
+    replication."""
+    from dspfun_tpu.io import color as _color
+
+    if pf.is_rgb:
+        g, b, r = planes
+        return np.stack([r, g, b], axis=-1)
+    if pf.ncomp == 1:
+        y = planes[0]
+        return np.stack([y, y, y], axis=-1)
+    y, cb, cr = planes
+    sx, sy = pf.chroma_shift
+    if sx or sy:
+        cb = cb.repeat(1 << sy, axis=0).repeat(1 << sx, axis=1)[:height, :width]
+        cr = cr.repeat(1 << sy, axis=0).repeat(1 << sx, axis=1)[:height, :width]
+    ycc = np.stack([y, cb - 0.5, cr - 0.5], axis=-1)
+    minv = _color.ycbcr_inverse_matrix(_matrix_for(props.color_space))
+    return ycc @ minv.T
+
+
+def _quantize_plane(p: np.ndarray, pf: PixelFormat, plane_idx: int,
+                    crange: str | None) -> np.ndarray:
+    """Float [0,1] -> stored integers; mpeg range maps Y to 16-235 and
+    chroma to 16-240 (x256 at 16-bit)."""
+    if pf.is_float:
+        return np.asarray(p, dtype=pf.dtype)
+    maxv = (1 << pf.depth) - 1
+    scale8 = 1 << (pf.depth - 8)
+    if crange == "mpeg" and not pf.is_rgb:
+        if plane_idx in (1, 2) and pf.ncomp > 1:
+            v = (p * 224.0 + 16.0) * scale8
+        else:
+            v = (p * 219.0 + 16.0) * scale8
+    else:
+        v = p * maxv
+    return np.clip(np.rint(v), 0, maxv).astype(pf.dtype)
+
+
+def _dequantize_plane(v: np.ndarray, pf: PixelFormat, plane_idx: int,
+                      crange: str | None) -> np.ndarray:
+    if pf.is_float:
+        return np.asarray(v, dtype=np.float64)
+    scale8 = 1 << (pf.depth - 8)
+    v = np.asarray(v, dtype=np.float64)
+    if crange == "mpeg" and not pf.is_rgb:
+        if plane_idx in (1, 2) and pf.ncomp > 1:
+            return (v / scale8 - 16.0) / 224.0
+        return (v / scale8 - 16.0) / 219.0
+    return v / ((1 << pf.depth) - 1)
+
+
+# ---------------------------------------------------------------------------
+# y4m container
+# ---------------------------------------------------------------------------
+
+_Y4M_CTAGS = {
+    "mono": ("gray", "center"),
+    "420jpeg": ("yuv420p", "center"),
+    "420": ("yuv420p", "center"),
+    "420mpeg2": ("yuv420p", "left"),
+    "420paldv": ("yuv420p", "topleft"),
+    "422": ("yuv422p", "left"),
+    "444": ("yuv444p", "left"),
+}
+
+
+def _y4m_ctag(pix_fmt: str, chroma_location: str | None) -> str:
+    if pix_fmt == "gray":
+        return "mono"
+    if pix_fmt == "yuv422p":
+        return "422"
+    if pix_fmt == "yuv444p":
+        return "444"
+    if pix_fmt == "yuv420p":
+        return {"left": "420mpeg2", "topleft": "420paldv"}.get(
+            chroma_location or "center", "420jpeg"
+        )
+    raise ValueError(f"pixel format {pix_fmt!r} not representable in y4m")
+
+
+# ---------------------------------------------------------------------------
+# Readers / writers
+# ---------------------------------------------------------------------------
+
+
+class VideoReader:
+    """Frame-by-frame reader; planes come back as float arrays in [0,1]
+    (raw floats for float formats)."""
+
+    def __init__(self, stream, spec: str, fmt: str):
+        self._stream = stream
+        self.spec = spec
+        self.format = fmt
+        self.width = 0
+        self.height = 0
+        self.rate = Fraction(25, 1)
+        self.pix_fmt: PixelFormat = PIXEL_FORMATS["yuv420p"]
+        self.props = ColorProps()
+        self.frames: int | None = None
+        self.frame_index = 0
+
+    # -- interface ----------------------------------------------------
+
+    def read_frame(self) -> list[np.ndarray] | None:
+        raise NotImplementedError
+
+    def read_frame_rgb(self) -> np.ndarray | None:
+        planes = self.read_frame()
+        if planes is None:
+            return None
+        return planes_to_rgb(planes, self.pix_fmt, self.props, self.width, self.height)
+
+    def seek_frame(self, n: int) -> None:
+        """Decode-and-discard seek (reference ffapi.c:578-596)."""
+        while self.frame_index < n:
+            if self.read_frame() is None:
+                break
+
+    def plane_dims(self) -> list[tuple[int, int]]:
+        return self.pix_fmt.plane_dims(self.width, self.height)
+
+    def close(self) -> None:
+        if self._stream not in (sys.stdin.buffer,):
+            self._stream.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class _HeaderedReader(VideoReader):
+    """Shared FRAME-marker logic for y4m and fvid."""
+
+    def _parse_header(self):
+        raise NotImplementedError
+
+    def _count_frames(self):
+        """Count FRAME markers by seeking through the stream (the
+        analogue of ffapi's decode-count-then-reopen, ffapi.c:215-237)."""
+        if not self._stream.seekable():
+            return
+        pos = self._stream.tell()
+        fsize = self.pix_fmt.frame_bytes(self.width, self.height)
+        n = 0
+        while True:
+            line = self._stream.readline()
+            if not line:
+                break
+            if not line.startswith(b"FRAME"):
+                raise ValueError(f"bad frame marker in {self.spec!r}")
+            self._stream.seek(fsize, os.SEEK_CUR)
+            n += 1
+        self.frames = n
+        self._stream.seek(pos)
+
+    def read_frame(self) -> list[np.ndarray] | None:
+        line = self._stream.readline()
+        if not line:
+            return None
+        if not line.startswith(b"FRAME"):
+            raise ValueError(f"bad frame marker in {self.spec!r}")
+        pf = self.pix_fmt
+        raw = self._stream.read(pf.frame_bytes(self.width, self.height))
+        if raw is None or len(raw) < pf.frame_bytes(self.width, self.height):
+            return None
+        out = []
+        off = 0
+        for i, (w, h) in enumerate(pf.plane_dims(self.width, self.height)):
+            nb = w * h * pf.dtype.itemsize
+            arr = np.frombuffer(raw[off : off + nb], dtype=pf.dtype).reshape(h, w)
+            out.append(_dequantize_plane(arr, pf, i, self.props.color_range))
+            off += nb
+        self.frame_index += 1
+        return out
+
+
+class Y4MReader(_HeaderedReader):
+    def __init__(self, stream, spec):
+        super().__init__(stream, spec, "yuv4mpegpipe")
+        self._parse_header()
+        self._count_frames()
+
+    def _parse_header(self):
+        line = self._stream.readline().decode("ascii", "replace")
+        if not line.startswith("YUV4MPEG2"):
+            raise ValueError(f"{self.spec!r} is not a y4m stream")
+        ctag = "420jpeg"
+        self.props = ColorProps(
+            # y4m default color properties (reference ffapi.c:33-43)
+            color_range="mpeg", color_primaries="smpte170m",
+            color_trc="smpte170m", color_space="smpte170m",
+        )
+        for tok in line.split()[1:]:
+            k, v = tok[0], tok[1:]
+            if k == "W":
+                self.width = int(v)
+            elif k == "H":
+                self.height = int(v)
+            elif k == "F":
+                n, d = v.split(":")
+                self.rate = Fraction(int(n), int(d))
+            elif k == "C":
+                ctag = v
+            elif k == "X":
+                if v.upper() in ("COLORRANGE=FULL",):
+                    self.props.color_range = "jpeg"
+                elif v.upper() in ("COLORRANGE=LIMITED",):
+                    self.props.color_range = "mpeg"
+        if ctag not in _Y4M_CTAGS:
+            raise ValueError(f"unsupported y4m chroma tag C{ctag}")
+        name, loc = _Y4M_CTAGS[ctag]
+        self.pix_fmt = PIXEL_FORMATS[name]
+        self.props.pix_fmt = name
+        self.props.chroma_location = loc
+
+
+class FvidReader(_HeaderedReader):
+    def __init__(self, stream, spec):
+        super().__init__(stream, spec, "fvid")
+        self._parse_header()
+        self._count_frames()
+
+    def _parse_header(self):
+        line = self._stream.readline().decode("ascii", "replace")
+        if not line.startswith("DSPFVID"):
+            raise ValueError(f"{self.spec!r} is not an fvid stream")
+        self.props = ColorProps()
+        for tok in line.split()[1:]:
+            k, v = tok[0], tok[1:]
+            if k == "W":
+                self.width = int(v)
+            elif k == "H":
+                self.height = int(v)
+            elif k == "F":
+                n, d = v.split(":")
+                self.rate = Fraction(int(n), int(d))
+            elif k == "C":
+                self.pix_fmt = PIXEL_FORMATS[v]
+                self.props.pix_fmt = v
+            elif k == "R":
+                self.props.color_range = v
+            elif k == "T":
+                self.props.color_trc = v
+            elif k == "S":
+                self.props.color_space = v
+            elif k == "P":
+                self.props.color_primaries = v
+            elif k == "L":
+                self.props.chroma_location = v
+
+
+class ImageSeqReader(VideoReader):
+    def __init__(self, pattern, spec, rate=Fraction(25, 1)):
+        super().__init__(None, spec, "image2")
+        from dspfun_tpu.io.images import read_image
+
+        self._read_image = read_image
+        self.pattern = pattern
+        self.rate = rate
+        self.pix_fmt = PIXEL_FORMATS["gbrpf32le"]
+        self.props = ColorProps(
+            # image2 default: full-range sRGB (reference ffapi.c:50-59)
+            color_range="jpeg", color_primaries="bt709",
+            color_trc="iec61966-2-1", color_space="rgb",
+        )
+        n = 0
+        while os.path.exists(pattern % n):
+            n += 1
+        start = 0
+        if n == 0:  # some sequences are 1-based
+            if os.path.exists(pattern % 1):
+                start = 1
+                n = 1
+                while os.path.exists(pattern % (n + 1)):
+                    n += 1
+        self.frames = n
+        self._start = start
+        if n:
+            first = self._read_image(pattern % start)
+            self.height, self.width = first.pixels.shape[:2]
+
+    def read_frame(self):
+        if self.frames is not None and self.frame_index >= self.frames:
+            return None
+        img = self._read_image(self.pattern % (self._start + self.frame_index))
+        self.frame_index += 1
+        rgb = img.pixels
+        return [rgb[..., 1], rgb[..., 2], rgb[..., 0]]  # gbr planar
+
+    def close(self):
+        pass
+
+
+class VideoWriter:
+    def __init__(self, stream, spec, fmt, width, height, rate, pix_fmt: PixelFormat,
+                 props: ColorProps):
+        self._stream = stream
+        self.spec = spec
+        self.format = fmt
+        self.width = width
+        self.height = height
+        self.rate = rate
+        self.pix_fmt = pix_fmt
+        self.props = props
+        self.frame_index = 0
+        self._wrote_header = False
+
+    def _write_header(self):
+        pass
+
+    def write_frame(self, planes: list[np.ndarray]) -> None:
+        """Write float planes in [0,1] (raw floats for float formats)."""
+        if not self._wrote_header:
+            self._write_header()
+            self._wrote_header = True
+        self._stream.write(b"FRAME\n")
+        for i, p in enumerate(planes):
+            self._stream.write(
+                _quantize_plane(p, self.pix_fmt, i, self.props.color_range).tobytes()
+            )
+        self.frame_index += 1
+
+    def write_frame_rgb(self, rgb: np.ndarray) -> None:
+        self.write_frame(rgb_to_planes(rgb, self.pix_fmt, self.props))
+
+    def plane_dims(self) -> list[tuple[int, int]]:
+        return self.pix_fmt.plane_dims(self.width, self.height)
+
+    def close(self) -> None:
+        if not self._wrote_header:
+            self._write_header()
+            self._wrote_header = True
+        if self._stream is not None and self._stream not in (sys.stdout.buffer,):
+            self._stream.close()
+        elif self._stream is not None:
+            self._stream.flush()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class Y4MWriter(VideoWriter):
+    def _write_header(self):
+        ctag = _y4m_ctag(self.pix_fmt.name, self.props.chroma_location)
+        hdr = f"YUV4MPEG2 W{self.width} H{self.height} " \
+              f"F{self.rate.numerator}:{self.rate.denominator} Ip A1:1 C{ctag}"
+        if self.props.color_range == "jpeg":
+            hdr += " XCOLORRANGE=FULL"
+        self._stream.write((hdr + "\n").encode("ascii"))
+
+
+class FvidWriter(VideoWriter):
+    def _write_header(self):
+        hdr = f"DSPFVID W{self.width} H{self.height} " \
+              f"F{self.rate.numerator}:{self.rate.denominator} C{self.pix_fmt.name}"
+        for tag, val in (
+            ("R", self.props.color_range), ("T", self.props.color_trc),
+            ("S", self.props.color_space), ("P", self.props.color_primaries),
+            ("L", self.props.chroma_location),
+        ):
+            if val:
+                hdr += f" {tag}{val}"
+        self._stream.write((hdr + "\n").encode("ascii"))
+
+
+class ImageSeqWriter(VideoWriter):
+    def __init__(self, pattern, spec, width, height, rate, pix_fmt, props):
+        super().__init__(None, spec, "image2", width, height, rate, pix_fmt, props)
+        self.pattern = pattern
+
+    def write_frame(self, planes):
+        rgb = planes_to_rgb(planes, self.pix_fmt, self.props, self.width, self.height)
+        self.write_frame_rgb(rgb)
+
+    def write_frame_rgb(self, rgb):
+        from dspfun_tpu.io.images import write_image
+
+        write_image(self.pattern % self.frame_index, np.clip(rgb, 0.0, 1.0))
+        self.frame_index += 1
+
+    def close(self):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# open_input / open_output
+# ---------------------------------------------------------------------------
+
+_PATTERN_RE = re.compile(r"%0?\d*d")
+
+
+def _open_stream_in(path: str):
+    if path in ("-", "pipe:", "pipe:0"):
+        return sys.stdin.buffer
+    return open(path, "rb")
+
+
+def _open_stream_out(path: str):
+    if path in ("-", "pipe:", "pipe:1"):
+        return sys.stdout.buffer
+    return open(path, "wb")
+
+
+def _sniff_format(path: str, fmt: str | None, for_output: bool) -> str:
+    if fmt:
+        aliases = {"yuv4mpegpipe": "y4m", "y4m": "y4m", "fvid": "fvid",
+                   "image2": "image2", "nut": "fvid"}
+        if fmt not in aliases:
+            raise ValueError(f"unsupported container format {fmt!r}")
+        return aliases[fmt]
+    if _PATTERN_RE.search(path):
+        return "image2"
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    if ext == "y4m":
+        return "y4m"
+    if ext in ("fvid", "nut", "avi", "mkv"):
+        # container formats we cannot encode land on fvid, our lossless
+        # default (the reference's FFV1 analogue)
+        return "fvid"
+    if ext in ("png", "jpg", "ppm"):
+        return "image2"
+    # pipes default to y4m for output (reference ffapi.c:396-397) and
+    # sniffing for input
+    return "pipe"
+
+
+def open_input(spec: str, format: str | None = None) -> VideoReader:
+    """Open a video input (path, ``-`` pipe, or printf image pattern)."""
+    fmt = _sniff_format(spec, format, for_output=False)
+    if fmt == "image2":
+        return ImageSeqReader(spec, spec)
+    stream = _open_stream_in(spec)
+    if fmt == "pipe":
+        magic = stream.peek(8)[:8] if hasattr(stream, "peek") else b""
+        if magic.startswith(b"DSPFVID"):
+            fmt = "fvid"
+        else:
+            fmt = "y4m"
+    if fmt == "y4m":
+        return Y4MReader(stream, spec)
+    if fmt == "fvid":
+        return FvidReader(stream, spec)
+    raise ValueError(f"cannot determine input format for {spec!r}")
+
+
+def open_output(
+    spec: str,
+    width: int,
+    height: int,
+    rate: Fraction = Fraction(25, 1),
+    props: ColorProps | None = None,
+    format: str | None = None,
+    options: str | None = None,
+) -> VideoWriter:
+    """Open a video output.
+
+    Format selection: explicit ``format`` > ``%d`` pattern (image2) >
+    extension (.y4m / .fvid / .nut...) > pipe defaults to y4m
+    (reference ffapi.c:390-397).  ``ffplay:`` sinks require an ffplay
+    binary (reference ffapi.c:455-485).
+    """
+    props = (props or ColorProps()).copy()
+    if spec.startswith("ffplay:"):
+        import shutil  # noqa: PLC0415
+
+        if not shutil.which("ffplay"):
+            raise RuntimeError("ffplay: outputs require an ffplay binary on PATH")
+        import subprocess  # noqa: PLC0415
+
+        sub = subprocess.Popen(["ffplay", "-f", "yuv4mpegpipe", "-i", "-"],
+                               stdin=subprocess.PIPE)
+        pf = PIXEL_FORMATS[_negotiate_pix_fmt("y4m", props)]
+        w = Y4MWriter(sub.stdin, spec, "yuv4mpegpipe", width, height, rate, pf, props)
+        return w
+
+    fmt = _sniff_format(spec, format, for_output=True)
+    if fmt == "pipe":
+        fmt = "y4m"
+    if fmt == "image2":
+        pf = PIXEL_FORMATS[props.pix_fmt or "gbrpf32le"]
+        _default_props(fmt, props)
+        return ImageSeqWriter(spec, spec, width, height, rate, pf, props)
+    pf = PIXEL_FORMATS[_negotiate_pix_fmt(fmt, props)]
+    _default_props(fmt, props)
+    stream = _open_stream_out(spec)
+    cls = Y4MWriter if fmt == "y4m" else FvidWriter
+    name = "yuv4mpegpipe" if fmt == "y4m" else "fvid"
+    return cls(stream, spec, name, width, height, rate, pf, props)
+
+
+def _negotiate_pix_fmt(fmt: str, props: ColorProps) -> str:
+    """Per-container pixel format negotiation: y4m cannot carry RGB or
+    floats (an RGB request becomes yuv444p, reference ffapi.c:78-80);
+    fvid is float planar."""
+    req = props.pix_fmt
+    if fmt == "y4m":
+        if req in ("gray", "yuv420p", "yuv422p", "yuv444p"):
+            return req
+        if req in ("grayf32le",):
+            return "gray"
+        return "yuv444p"
+    if fmt == "fvid":
+        if req in PIXEL_FORMATS and PIXEL_FORMATS[req].is_float:
+            return req
+        if req in ("gray", "gray16le", "grayf32le"):
+            return "grayf32le"
+        if req and req.startswith("yuv"):
+            return "yuv444pf32"
+        return "gbrpf32le"
+    return req or "gbrpf32le"
+
+
+def _default_props(fmt: str, props: ColorProps) -> None:
+    """Per-format color defaults where unset (reference ffapi.c:33-92)."""
+    if fmt == "y4m":
+        props.color_range = props.color_range or "mpeg"
+        props.color_primaries = props.color_primaries or "smpte170m"
+        props.color_trc = props.color_trc or "smpte170m"
+        if props.color_space in (None, "rgb"):
+            # RGB input to a YCbCr container defaults to BT.601
+            # (reference ffapi.c:89-92)
+            props.color_space = "smpte170m"
+    elif fmt == "image2":
+        props.color_range = props.color_range or "jpeg"
+        props.color_primaries = props.color_primaries or "bt709"
+        props.color_trc = props.color_trc or "iec61966-2-1"
+        props.color_space = props.color_space or "rgb"
+    else:
+        props.color_range = props.color_range or "jpeg"

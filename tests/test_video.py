@@ -1,0 +1,127 @@
+"""Video container tests: y4m / fvid / image2 round-trips, color
+properties, seek and frame counting (vs reference ffapi semantics)."""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from dspfun_tpu.io import video as V
+
+
+def test_parse_color_props():
+    p = V.parse_color_props("pixel_format=yuv420p:color_range=full:colorspace=bt709")
+    assert p.pix_fmt == "yuv420p"
+    assert p.color_range == "jpeg"
+    assert p.color_space == "bt709"
+    with pytest.raises(ValueError):
+        V.parse_color_props("bogus=1")
+
+
+def test_parse_rate():
+    assert V.parse_rate("30") == Fraction(30)
+    assert V.parse_rate("30000/1001") == Fraction(30000, 1001)
+    assert abs(float(V.parse_rate("23.976")) - 23.976) < 1e-9
+
+
+def test_plane_dims_chroma_rounding():
+    pf = V.PIXEL_FORMATS["yuv420p"]
+    assert pf.plane_dims(5, 3) == [(5, 3), (3, 2), (3, 2)]
+    assert pf.frame_bytes(4, 4) == 16 + 4 + 4
+
+
+def test_fvid_roundtrip_is_lossless(tmp_path):
+    path = str(tmp_path / "clip.fvid")
+    rng = np.random.default_rng(0)
+    frames = [rng.random((6, 8, 3)).astype(np.float32) for _ in range(3)]
+    with V.open_output(path, 8, 6, Fraction(30), format="fvid") as w:
+        assert w.pix_fmt.name == "gbrpf32le"
+        for f in frames:
+            w.write_frame_rgb(f)
+    with V.open_input(path) as r:
+        assert (r.width, r.height) == (8, 6)
+        assert r.frames == 3
+        assert r.rate == Fraction(30)
+        for f in frames:
+            got = r.read_frame_rgb()
+            np.testing.assert_allclose(got, f, atol=1e-7)
+        assert r.read_frame() is None
+
+
+def test_y4m_roundtrip_444_full_range(tmp_path):
+    path = str(tmp_path / "clip.y4m")
+    rgb = np.linspace(0, 1, 4 * 4 * 3).reshape(4, 4, 3)
+    props = V.parse_color_props("pixel_format=yuv444p:color_range=full")
+    with V.open_output(path, 4, 4, Fraction(20), props=props) as w:
+        w.write_frame_rgb(rgb)
+    head = open(path, "rb").readline().decode()
+    assert head.startswith("YUV4MPEG2 W4 H4 F20:1")
+    assert "C444" in head and "XCOLORRANGE=FULL" in head
+    with V.open_input(path) as r:
+        assert r.props.color_range == "jpeg"
+        got = r.read_frame_rgb()
+        # 8-bit YCbCr quantisation: ~1/255 per channel through the matrix
+        np.testing.assert_allclose(got, rgb, atol=0.02)
+
+
+def test_y4m_420_subsampling_and_limited_range(tmp_path):
+    path = str(tmp_path / "c.y4m")
+    rgb = np.full((6, 8, 3), 0.5)
+    props = V.parse_color_props("pixel_format=yuv420p")
+    with V.open_output(path, 8, 6, props=props) as w:
+        assert w.props.color_range == "mpeg"  # y4m default (ffapi.c:33-43)
+        w.write_frame_rgb(rgb)
+    with V.open_input(path) as r:
+        assert r.pix_fmt.name == "yuv420p"
+        assert r.props.chroma_location == "center"  # C420jpeg
+        planes = r.read_frame()
+        assert planes[0].shape == (6, 8) and planes[1].shape == (3, 4)
+        np.testing.assert_allclose(planes[0], 0.5, atol=0.005)
+
+
+def test_y4m_rgb_request_becomes_yuv444(tmp_path):
+    # reference ffapi.c:78-80: RGB into y4m -> yuv444p
+    props = V.parse_color_props("pixel_format=gbrpf32le")
+    w = V.open_output(str(tmp_path / "x.y4m"), 4, 4, props=props)
+    assert w.pix_fmt.name == "yuv444p"
+    assert w.props.color_space == "smpte170m"  # RGB->BT601 (ffapi.c:89-92)
+    w.close()
+
+
+def test_image_sequence_roundtrip(tmp_path):
+    pattern = str(tmp_path / "f%03d.png")
+    rgb = np.zeros((4, 4, 3))
+    rgb[1, 2, 0] = 1.0
+    with V.open_output(pattern, 4, 4) as w:
+        assert w.format == "image2"
+        for _ in range(2):
+            w.write_frame_rgb(rgb)
+    with V.open_input(pattern) as r:
+        assert r.frames == 2
+        got = r.read_frame_rgb()
+        np.testing.assert_allclose(got, rgb, atol=0.005)
+
+
+def test_seek_decode_discard(tmp_path):
+    path = str(tmp_path / "s.fvid")
+    with V.open_output(path, 2, 2, format="fvid") as w:
+        for i in range(5):
+            w.write_frame_rgb(np.full((2, 2, 3), i / 8.0, dtype=np.float32))
+    with V.open_input(path) as r:
+        r.seek_frame(3)
+        got = r.read_frame_rgb()
+        np.testing.assert_allclose(got, 3 / 8.0, atol=1e-7)
+
+
+def test_ffplay_gated():
+    import shutil
+
+    if shutil.which("ffplay"):
+        pytest.skip("ffplay present")
+    with pytest.raises(RuntimeError):
+        V.open_output("ffplay:", 4, 4)
+
+
+def test_y4m_16bit_not_representable():
+    with pytest.raises(ValueError):
+        V._y4m_ctag("yuv444p16le", None)
