@@ -1,0 +1,296 @@
+"""Progressive frequency-scan reconstruction (the `scan` tool's compute).
+
+The reference (scan/scan.c:421-527) reconstructs one frame at a time:
+gather the next `step` scan indexes' coefficients, zero everything
+else, run either a full FFTW IDCT or a pruned scalar synthesis over
+just those coefficients, and accumulate into a running sum image.
+
+TPU-first formulation: frames are processed in fixed-size *chunks*.
+For each chunk the per-frame coordinate lists (host metadata from
+:mod:`dspfun_tpu.ops.scan_methods`) become padded [F, K] index arrays,
+and the per-frame delta images are computed either
+
+* **pruned**: gather the K active DCT-III basis columns per axis and
+  synthesize with one batched MXU matmul per chunk —
+  ``delta[f] = By[:, ys_f] @ (v_f * Bx[:, xs_f])`` — an O(h*K*w)
+  contraction replacing the reference's O(K*h*w) scalar loop
+  (scan/scan.c:30-41); or
+* **full**: scatter the coefficients into dense [F, h, w, c] grids and
+  run the batched separable IDCT (two matmuls; scan/scan.c:359).
+
+then ``cumsum`` over the frame axis turns deltas into the running
+reconstruction for every frame of the chunk at once.  The DC term is
+pre-added to the running sum exactly once (scan/scan.c:381-383) and
+zeroed out of the coefficient source (scan/scan.c:444-445).
+
+Parity measurement (scan/scan.c:508-526) runs on-device per frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dspfun_tpu.core import basis as basis_mod
+from dspfun_tpu.core.precision import Precision, get_precision
+from dspfun_tpu.core.transforms import dct2_nd, plan_matrix, apply_plan_nd
+from dspfun_tpu.ops.scan_order import ScanOrder
+
+__all__ = ["ScanPlan", "plan_scan", "ScanChunkResult", "scan_chunks", "forward_coeffs"]
+
+
+def forward_coeffs(image: np.ndarray, precision: Precision | None = None) -> jax.Array:
+    """Image [H,W,C] -> DCT-II coefficients / 4wh
+    (reference scan/scan.c:292-298, "non-uniform range -1..1")."""
+    p = precision or get_precision()
+    h, w = image.shape[:2]
+    F = dct2_nd(jnp.asarray(image, dtype=p.coeff_dtype), (0, 1), p)
+    return F / (4.0 * w * h)
+
+
+@dataclasses.dataclass
+class ScanPlan:
+    """Host-side frame schedule + device basis plans."""
+
+    height: int
+    width: int
+    channels: int
+    nframes: int
+    step: int
+    offset: int
+    limit: int
+    # padded per-frame coords [nframes_padded, K]
+    ys: np.ndarray
+    xs: np.ndarray
+    valid: np.ndarray
+    # coords filled before the first frame (offset prefill), flat
+    fill_ys: np.ndarray
+    fill_xs: np.ndarray
+    use_pruned: bool
+    chunk: int
+    plans_inv: tuple  # (AxisPlan_h, AxisPlan_w) for dct3
+
+    @property
+    def kmax(self) -> int:
+        return self.ys.shape[1]
+
+
+def _frame_coords(order: ScanOrder, limit: int, step: int, invert: bool,
+                  frame_i: int) -> tuple[np.ndarray, np.ndarray]:
+    """Coordinates covered by output frame ``frame_i`` (scan indices
+    s in [i*step, (i+1)*step) clipped to limit, inverted if requested
+    — reference scan/scan.c:422-427), deduplicated (set semantics, as
+    in the reference's dense-scatter path)."""
+    ys: list[np.ndarray] = []
+    xs: list[np.ndarray] = []
+    for s in range(frame_i * step, min((frame_i + 1) * step, limit)):
+        j = limit - s - 1 if invert else s
+        y, x = order.coords(j)
+        ys.append(y)
+        xs.append(x)
+    if not ys:
+        return np.empty(0, np.int32), np.empty(0, np.int32)
+    y = np.concatenate(ys)
+    x = np.concatenate(xs)
+    _, idx = np.unique(y.astype(np.int64) * (x.max() + 1 if len(x) else 1) + x,
+                       return_index=True)
+    idx.sort()
+    return y[idx], x[idx]
+
+
+def plan_scan(
+    order: ScanOrder,
+    width: int,
+    height: int,
+    channels: int = 3,
+    step: int = 1,
+    nframes: int = 0,
+    offset: int = 0,
+    invert: bool = False,
+    use_pruned: bool | None = None,
+    chunk: int = 8,
+    precision: Precision | None = None,
+) -> ScanPlan:
+    """Build the frame schedule (reference scan/scan.c:343-350,386-427)."""
+    limit = order.limit
+    if not nframes or nframes > limit // step:
+        nframes = (limit + step - 1) // step
+    if offset >= limit:
+        offset = limit - 1
+
+    frames = []
+    for i in range(offset, offset + nframes):
+        frames.append(_frame_coords(order, limit, step, invert, i))
+    kmax = max((len(y) for y, _ in frames), default=1) or 1
+
+    npad = ((nframes + chunk - 1) // chunk) * chunk
+    ys = np.zeros((npad, kmax), dtype=np.int32)
+    xs = np.zeros((npad, kmax), dtype=np.int32)
+    valid = np.zeros((npad, kmax), dtype=bool)
+    for f, (y, x) in enumerate(frames):
+        ys[f, : len(y)] = y
+        xs[f, : len(x)] = x
+        valid[f, : len(y)] = True
+
+    # prefill coords: scan indices 0..offset-1 (reference scan.c:389-417)
+    fy: list[np.ndarray] = []
+    fx: list[np.ndarray] = []
+    for i in range(offset):
+        j = limit - i - 1 if invert else i
+        y, x = order.coords(j)
+        fy.append(y)
+        fx.append(x)
+    fill_ys = np.concatenate(fy) if fy else np.empty(0, np.int32)
+    fill_xs = np.concatenate(fx) if fx else np.empty(0, np.int32)
+
+    if use_pruned is None:
+        # crossover: pruned batched matmul is O(h*K*w) per frame vs
+        # O((h+w)*h*w) dense — favour pruned while K << h+w.  (The
+        # reference's log2(w*h) threshold, scan.c:349-350, reflects its
+        # scalar pruned loop; the TPU constant is re-measured.)
+        use_pruned = kmax <= (height + width) // 2
+
+    p = precision or get_precision()
+    plans_inv = (
+        plan_matrix(basis_mod.dct3_matrix(height), p),
+        plan_matrix(basis_mod.dct3_matrix(width), p),
+    )
+    return ScanPlan(
+        height=height, width=width, channels=channels, nframes=nframes,
+        step=step, offset=offset, limit=limit, ys=ys, xs=xs, valid=valid,
+        fill_ys=fill_ys, fill_xs=fill_xs, use_pruned=bool(use_pruned),
+        chunk=chunk, plans_inv=plans_inv,
+    )
+
+
+@dataclasses.dataclass
+class ScanChunkResult:
+    sums: np.ndarray          # [F, H, W, C] running reconstruction
+    deltas: np.ndarray | None  # [F, H, W, C] per-frame contribution
+    parity: np.ndarray | None  # [F] bool
+
+
+def _lround(x):
+    """C lround: halfway cases away from zero (jnp.round is to-even)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_pruned", "want_deltas", "measure_parity", "parity_scale"),
+)
+def _scan_chunk(
+    carry,          # [H, W, C] running sum
+    coeffs_nodc,    # [H, W, C] DCT/4wh with DC zeroed
+    ys, xs, valid,  # [F, K]
+    plans_inv,      # (AxisPlan_h, AxisPlan_w)
+    orig,           # [H, W, C] or scalar 0
+    parity_scale,   # float: (1<<depth)-1, or 0 for float compare
+    use_pruned: bool,
+    want_deltas: bool,
+    measure_parity: bool,
+):
+    h, w, c = carry.shape
+    f = ys.shape[0]
+    v = coeffs_nodc[ys, xs, :] * valid[..., None].astype(coeffs_nodc.dtype)  # [F,K,C]
+
+    plan_h, plan_w = plans_inv
+    if use_pruned:
+        # gather basis columns: By[:, ys] -> [F, H, K]
+        by = jnp.moveaxis(plan_h.hi[:, ys], 1, 0)
+        bx = jnp.moveaxis(plan_w.hi[:, xs], 1, 0)
+        t = v[:, :, None, :] * bx[:, :, :, None].transpose(0, 2, 1, 3)  # [F,K,W,C]
+        delta = jax.lax.dot_general(
+            by, t.reshape(f, -1, w * c),
+            (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).reshape(f, h, w, c)
+        if plan_h.lo is not None:
+            by_lo = jnp.moveaxis(plan_h.lo[:, ys], 1, 0)
+            bx_lo = jnp.moveaxis(plan_w.lo[:, xs], 1, 0)
+            t_lo = v[:, :, None, :] * bx_lo[:, :, :, None].transpose(0, 2, 1, 3)
+            delta = delta + jax.lax.dot_general(
+                by, t_lo.reshape(f, -1, w * c),
+                (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            ).reshape(f, h, w, c)
+            delta = delta + jax.lax.dot_general(
+                by_lo, t.reshape(f, -1, w * c),
+                (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            ).reshape(f, h, w, c)
+        delta = delta.astype(carry.dtype)
+    else:
+        fidx = jnp.broadcast_to(jnp.arange(f)[:, None], ys.shape)
+        grid = jnp.zeros((f, h, w, c), dtype=coeffs_nodc.dtype)
+        grid = grid.at[fidx, ys, xs, :].set(v, mode="drop")
+        delta = apply_plan_nd(grid, plans_inv, (1, 2))
+
+    sums = carry[None] + jnp.cumsum(delta, axis=0)
+
+    parity = None
+    if measure_parity:
+        if parity_scale > 0:
+            eq = _lround(orig[None] * parity_scale) == _lround(sums * parity_scale)
+        else:
+            eq = orig[None].astype(jnp.float32) == sums.astype(jnp.float32)
+        parity = jnp.all(eq.reshape(f, -1), axis=1)
+
+    return sums, sums[-1], (delta if want_deltas else None), parity
+
+
+def scan_chunks(
+    plan: ScanPlan,
+    coeffs: jax.Array,
+    orig: np.ndarray | None = None,
+    parity_depth: int = 8,
+    want_deltas: bool = False,
+):
+    """Generator over chunks of frames.
+
+    Yields ``(frame_start, ScanChunkResult)``.  ``coeffs`` is the
+    [H,W,C] output of :func:`forward_coeffs`.
+    """
+    h, w, c = plan.height, plan.width, plan.channels
+    dc = np.asarray(coeffs[0, 0, :])
+    coeffs_nodc = jnp.asarray(coeffs).at[0, 0, :].set(0.0)
+
+    # running sum starts as the DC everywhere (scan/scan.c:381-383)
+    carry = jnp.broadcast_to(jnp.asarray(dc, dtype=coeffs.dtype), (h, w, c))
+
+    # offset prefill: one dense IDCT over the filled coefficients
+    # (reference scan.c:389-417)
+    if len(plan.fill_ys):
+        grid = jnp.zeros((h, w, c), dtype=coeffs.dtype)
+        grid = grid.at[plan.fill_ys, plan.fill_xs, :].set(
+            coeffs_nodc[plan.fill_ys, plan.fill_xs, :]
+        )
+        carry = carry + apply_plan_nd(grid[None], plan.plans_inv, (1, 2))[0]
+
+    measure_parity = orig is not None
+    orig_dev = jnp.asarray(orig) if measure_parity else jnp.zeros((), coeffs.dtype)
+    scale = float((1 << parity_depth) - 1) if parity_depth < 32 else 0.0
+
+    for start in range(0, plan.nframes, plan.chunk):
+        end = start + plan.chunk
+        sums, carry, deltas, parity = _scan_chunk(
+            carry, coeffs_nodc,
+            jnp.asarray(plan.ys[start:end]), jnp.asarray(plan.xs[start:end]),
+            jnp.asarray(plan.valid[start:end]),
+            plan.plans_inv, orig_dev, parity_scale=scale,
+            use_pruned=plan.use_pruned, want_deltas=want_deltas,
+            measure_parity=measure_parity,
+        )
+        nvalid = min(plan.chunk, plan.nframes - start)
+        yield start, ScanChunkResult(
+            sums=np.asarray(sums[:nvalid]),
+            deltas=np.asarray(deltas[:nvalid]) if deltas is not None else None,
+            parity=np.asarray(parity[:nvalid]) if parity is not None else None,
+        )

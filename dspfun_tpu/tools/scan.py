@@ -1,0 +1,324 @@
+"""scan — progressively reconstruct images using frequency-space scans.
+
+CLI-compatible rebuild of reference scan/scan.c on the batched TPU
+pipeline in dspfun_tpu.models.scan_pipeline.
+"""
+
+from __future__ import annotations
+
+import getopt
+import math
+import sys
+from fractions import Fraction
+
+import numpy as np
+
+from dspfun_tpu.io import color as _color
+from dspfun_tpu.io import images, video
+from dspfun_tpu.models import scan_pipeline as sp
+from dspfun_tpu.ops import scan_methods as sm
+from dspfun_tpu.ops import scan_order as so
+from dspfun_tpu.ops.speclib import SpecParams, SpecScaler, parse_spec_params
+
+SHORT = "hHqm:o:vsiMS:In:O:gp:f:t:P"
+LONG = [
+    "help", "fullhelp", "quiet", "method=", "options=", "visualize",
+    "spectrogram", "intermediates", "max-intermediates", "step=", "invert",
+    "frames=", "offset=", "skip", "linear", "pruned-idct=",
+    "serialization-file=", "serialization-format=", "measure-parity",
+    "ff-opts=", "ff-format=", "ff-encoder=", "ff-loglevel=", "ff-rate=",
+    "spec-gain=", "spec-opts=", "fftw-threads=",
+]
+
+USAGE = """Usage: scan [options] <input> <output>
+options:
+   -h, --help                        this help text
+   -H, --fullhelp                    print available scan methods, serialization formats, and spectrogram options
+   -q, --quiet                       don't output scan progress
+   -m, --method <name>               scan method
+   -o, --options <optstring>         scan-specific options
+   -v, --visualize                   show scan in frequency-space
+   -s, --spectrogram                 show scan over image spectrogram (implies -v)
+   -i, --intermediates               show transform intermediates for current index (stacks with -v/-s)
+   -M, --max-intermediates           use full range for transform intermediates. may produce bright flashing in the output. (implies -i)
+   -S, --step <int>                  number of scan iterations per frame of output
+   -I, --invert                      invert scan order
+   -n, --frames <int>                limit the number of frames of output
+   -O, --offset <int>                offset into scan to start at
+       --skip                        don't fill previous scan indexes when jumping to an offset with --offset
+   -g, --linear                      operate in linear light
+   -p, --pruned-idct <bool>          use built-in pruned idct instead of the dense batched IDCT [default: auto based on scan interval]
+   -f, --serialization-file <path>   serialize scan to file
+   -t, --serialization-format <fmt>  scan format to serialize (with -f)
+   -P, --measure-parity              print the scan index at which the reconstructed image becomes identical to the original
+
+output options:
+   --ff-format <format>    output container format (y4m, fvid, image2)
+   --ff-encoder <enc>      accepted for CLI parity (containers are uncompressed)
+   --ff-rate <rate>        output framerate
+   --ff-opts <optstring>   output color property string (k=v:...)
+   --ff-loglevel <int>     accepted for CLI parity
+
+spec options:
+   --spec-gain <float>      spectrogram log multiplier (with -s)
+   --spec-opts <optstring>  spectrogram options string (k=v:...) (with -s)
+"""
+
+
+def fullhelp() -> None:
+    print(USAGE, file=sys.stderr)
+    width = max(len(n) for n in sm.method_names())
+    print(f"{'scan methods':<{width + 3}} - options", file=sys.stderr)
+    for name in sm.method_names():
+        opts = sm.method_options(name)
+        line = f"   {name:<{width}}"
+        if opts:
+            line += f" - {opts}"
+        print(line, file=sys.stderr)
+    print("\nserialization formats:", file=sys.stderr)
+    for k in so.SERIALIZATION_FORMATS:
+        print(f"   {k}", file=sys.stderr)
+    print("\nspectrogram option string keys and values:", file=sys.stderr)
+    print("   scale = linear, log\n   sign = abs, shift, saturate\n"
+          "   preset = abs, shift, flat, signmap", file=sys.stderr)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        flags, args = getopt.gnu_getopt(argv, SHORT, LONG)
+    except getopt.GetoptError as e:
+        print(e, file=sys.stderr)
+        print(USAGE, file=sys.stderr)
+        return 1
+
+    method = "diag"
+    scan_options = None
+    serialized_scan = None
+    serialization_format = "coordinate"
+    nframes = 0
+    offset = 0
+    step = 1
+    quiet = spec = visualize = intermediates = max_intermediates = False
+    invert = linear = measure_parity = False
+    fill_offset = True
+    use_pruned: bool | None = None
+    gain = 0.0
+    sparams = SpecParams()
+    rate = Fraction(20, 1)
+    ofmt = None
+    oopt = None
+
+    for flag, arg in flags:
+        if flag in ("-h", "--help"):
+            print(USAGE, file=sys.stderr)
+            return 0
+        elif flag in ("-H", "--fullhelp"):
+            fullhelp()
+            return 0
+        elif flag in ("-q", "--quiet"):
+            quiet = True
+        elif flag in ("-m", "--method"):
+            method = arg
+        elif flag in ("-n", "--frames"):
+            nframes = int(arg)
+        elif flag in ("-s", "--spectrogram"):
+            spec = visualize = True
+        elif flag in ("-v", "--visualize"):
+            visualize = True
+        elif flag in ("-S", "--step"):
+            step = int(arg)
+        elif flag in ("-I", "--invert"):
+            invert = True
+        elif flag in ("-o", "--options"):
+            scan_options = arg
+        elif flag in ("-i", "--intermediates"):
+            intermediates = True
+        elif flag in ("-g", "--linear"):
+            linear = True
+        elif flag in ("-M", "--max-intermediates"):
+            intermediates = max_intermediates = True
+        elif flag in ("-p", "--pruned-idct"):
+            use_pruned = arg == "true"
+        elif flag in ("-f", "--serialization-file"):
+            serialized_scan = arg
+        elif flag in ("-t", "--serialization-format"):
+            if arg not in so.SERIALIZATION_FORMATS:
+                print("Invalid serialization format. Options:", file=sys.stderr)
+                for k in so.SERIALIZATION_FORMATS:
+                    print(k, file=sys.stderr)
+                return 1
+            serialization_format = arg
+        elif flag in ("-O", "--offset"):
+            offset = int(arg)
+        elif flag in ("-P", "--measure-parity"):
+            measure_parity = True
+        elif flag == "--skip":
+            fill_offset = False
+        elif flag == "--ff-opts":
+            oopt = arg
+        elif flag == "--ff-format":
+            ofmt = arg
+        elif flag in ("--ff-encoder", "--ff-loglevel", "--fftw-threads"):
+            pass  # CLI parity only
+        elif flag == "--ff-rate":
+            rate = video.parse_rate(arg)
+        elif flag == "--spec-gain":
+            gain = float(arg)
+        elif flag == "--spec-opts":
+            try:
+                sparams = parse_spec_params(arg, params=sparams)
+            except ValueError as e:
+                print(f"Couldn't parse spec option: {e}", file=sys.stderr)
+                return 1
+
+    if not args:
+        print(USAGE, file=sys.stderr)
+        return 1
+
+    m = sm.find_method_prefix(method)
+    if m is None:
+        print(f"Invalid method '{method}'. Choose one of:", file=sys.stderr)
+        for name in sm.method_names():
+            print(name, file=sys.stderr)
+        return 0
+
+    try:
+        img = images.read_image(args[0], channels="RGB", linear=linear)
+    except Exception as e:  # noqa: BLE001
+        print(e, file=sys.stderr)
+        return 1
+    linear = linear or img.linear
+    height, width = img.pixels.shape[:2]
+    channels = 3
+    original_depth = img.depth
+
+    coeffs = sp.forward_coeffs(img.pixels, None)
+    coeffs_np = np.asarray(coeffs, dtype=np.float64)
+
+    try:
+        order = m.build(width, height, channels, coeffs_np, scan_options)
+    except Exception as e:  # noqa: BLE001
+        print(f"Error initializing scan: {e}", file=sys.stderr)
+        return 1
+
+    if serialized_scan:
+        try:
+            with open(serialized_scan, "w") as f:
+                f.write(so.serialize(order, serialization_format))
+        except OSError as e:
+            print(f"Error opening {serialized_scan}: {e}", file=sys.stderr)
+            return 1
+    if len(args) <= 1:
+        return 0
+
+    plan = sp.plan_scan(
+        order, width, height, channels, step=step, nframes=nframes,
+        offset=offset, invert=invert, use_pruned=use_pruned,
+    )
+    if not fill_offset:
+        plan.fill_ys = np.empty(0, np.int32)
+        plan.fill_xs = np.empty(0, np.int32)
+
+    out_w = width * (2 if visualize else 1)
+    out_h = height * (2 if intermediates else 1)
+    props = video.parse_color_props(oopt)
+    props.pix_fmt = props.pix_fmt or "gbrpf32le"
+    props.color_range = props.color_range or "jpeg"
+    if linear or not img.linear:
+        props.color_trc = props.color_trc or "iec61966-2-1"
+        props.color_space = props.color_space or "rgb"
+        props.color_primaries = props.color_primaries or "bt709"
+    try:
+        writer = video.open_output(args[1], out_w, out_h, rate, props, format=ofmt)
+    except Exception as e:  # noqa: BLE001
+        print(f"Error opening output context: {e}", file=sys.stderr)
+        return 1
+
+    trc_encode = linear and writer.props.color_trc == "iec61966-2-1"
+
+    # spectrogram scaler for the viz pane (reference scan.c:365-375)
+    scaler = None
+    if spec:
+        if not gain:
+            gain = 127.5 * math.sqrt(width * height * 4)
+        max_dc = float(coeffs_np[0, 0, :].max())
+        scaler = SpecScaler(params=sparams, max_input=max_dc, gain=gain)
+
+    # paint values for the viz pane are static per coordinate
+    def paint_values(ys, xs):
+        if scaler is None:
+            return np.ones((len(ys), channels))
+        norm = (np.where(np.asarray(xs) > 0, math.sqrt(2.0), 1.0)
+                * np.where(np.asarray(ys) > 0, math.sqrt(2.0), 1.0))
+        return np.asarray(
+            scaler.scale(coeffs_np[ys, xs, :] * norm[:, None], xp=np)
+        )
+
+    canvas = np.zeros((out_h, out_w, channels))
+    if len(plan.fill_ys) and visualize:
+        canvas[plan.fill_ys, plan.fill_xs + width] = paint_values(
+            plan.fill_ys, plan.fill_xs
+        )
+
+    dc = coeffs_np[0, 0, :]
+    pad = int(math.log10(max(plan.nframes, 1))) + 1
+    parity_index = plan.nframes
+    frame_count = 0
+    try:
+        for start, res in sp.scan_chunks(
+            plan, coeffs,
+            orig=img.pixels if measure_parity else None,
+            parity_depth=original_depth,
+            want_deltas=intermediates,
+        ):
+            for k in range(res.sums.shape[0]):
+                f = start + k
+                ys = plan.ys[f][plan.valid[f]]
+                xs = plan.xs[f][plan.valid[f]]
+                if visualize:
+                    canvas[ys, xs + width] = paint_values(ys, xs)
+                    if intermediates:
+                        canvas[ys + height, xs + width] = canvas[ys, xs + width]
+                s = res.sums[k]
+                canvas[:height, :width] = _color.srgb_encode(s) if trc_encode else s
+                if intermediates:
+                    delta = res.deltas[k]
+                    if max_intermediates:
+                        mn = delta.reshape(-1, channels).min(axis=0) + dc
+                        mx = delta.reshape(-1, channels).max(axis=0) + dc
+                    else:
+                        mn = np.zeros(channels)
+                        mx = np.ones(channels)
+                    inter = (delta + dc - mn) / np.where(mx - mn == 0, 1, mx - mn)
+                    canvas[height:, :width] = (
+                        _color.srgb_encode(inter) if trc_encode else inter
+                    )
+                # float containers keep raw values; int formats clip at
+                # quantisation (as ffapi_setpelf does for 8-bit)
+                writer.write_frame_rgb(canvas.copy())
+                frame_count += 1
+                if not quiet:
+                    print(f"\r{frame_count:>{pad}} / {plan.nframes}",
+                          end="", file=sys.stderr)
+                if intermediates and visualize:
+                    canvas[ys + height, xs + width] = 0.0
+                if res.parity is not None and res.parity[k] and parity_index > f:
+                    parity_index = f
+    finally:
+        writer.close()
+    if not quiet:
+        print(file=sys.stderr)
+
+    if measure_parity:
+        if parity_index == plan.nframes:
+            print("Didn't reach parity with the original image before the "
+                  "end of the scan.", file=sys.stderr)
+        else:
+            print(f"Reached parity with the original image at scan index "
+                  f"{parity_index}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
