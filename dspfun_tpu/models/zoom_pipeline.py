@@ -1,0 +1,161 @@
+"""zoom compute: continuous DCT-basis interpolation at arbitrary
+scale/offset.
+
+The reference (zoom/zoom.c:361-375) evaluates the inverse DCT of a
+whole-image DCT-II spectrum at arbitrary real coordinates, one output
+column at a time with scalar loops.  TPU formulation: the separable
+synthesis is exactly two dense matrix contractions
+
+    out[j, i, z] = sum_v Yb[j, v] * sum_u C[v, u, z] * Xb[i, u] / (w*h)
+
+where Xb/Yb are the continuous DCT-III basis matrices for the frame's
+scale and offset with an implicit 1/2 weight on the DC column
+(zoom.c:364,369).  Per-frame basis matrices are generated host-side in
+float64 (O(view * ncomponents) cosines) and shipped to the device as
+jit *arguments*; they are padded to the full input length so animated
+zooms with varying scale keep a single compiled program (ncomponents
+<= input length always, zoom.c:41).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dspfun_tpu.core import basis as basis_mod
+from dspfun_tpu.core.precision import Precision, get_precision
+from dspfun_tpu.core.transforms import apply_plan_nd, dct2_nd, plan_matrix
+
+__all__ = [
+    "forward_spectrum",
+    "padded_zoom_basis",
+    "zoom_frame",
+    "clamp_scale",
+    "showsamples_coords",
+]
+
+
+def forward_spectrum(image: np.ndarray, precision: Precision | None = None) -> jax.Array:
+    """Image [H,W,C] -> unnormalised whole-image DCT-II spectrum
+    (reference zoom/zoom.c:263-266)."""
+    p = precision or get_precision()
+    return dct2_nd(jnp.asarray(image, dtype=p.coeff_dtype), (0, 1), p)
+
+
+def clamp_scale(n: int, num: float, den: float) -> tuple[float, float]:
+    """Minimum logical size is one sample (reference zoom.c:277-284)."""
+    if n * num / den < 1:
+        return 1.0, float(n)
+    return num, den
+
+
+def padded_zoom_basis(
+    scaling_type: str,
+    scale_num: float,
+    scale_den: float,
+    offset: float,
+    nvectors: int,
+    sampling_len: int,
+) -> np.ndarray:
+    """[nvectors, sampling_len] synthesis matrix: column 0 is the 1/2 DC
+    weight, columns 1..ncomponents-1 the continuous DCT-III basis,
+    higher columns zero (truncated when downscaling, zoom.c:41)."""
+    basis, ncomp = basis_mod.zoom_scaled_basis(
+        scaling_type, scale_num, scale_den, offset, nvectors, sampling_len
+    )
+    m = np.zeros((nvectors, sampling_len), dtype=np.float64)
+    m[:, 0] = 0.5
+    if ncomp > 1:
+        m[:, 1:ncomp] = basis[:, : ncomp - 1]
+    return m
+
+
+@jax.jit
+def _synthesize(spectrum, plan_y, plan_x):
+    out = apply_plan_nd(spectrum, (plan_y, plan_x), (0, 1))
+    h, w = spectrum.shape[:2]
+    return out / (h * w)
+
+
+def zoom_frame(
+    spectrum: jax.Array,
+    scaling_type: str,
+    xscale: tuple[float, float],
+    yscale: tuple[float, float],
+    vx: float,
+    vy: float,
+    vw: int,
+    vh: int,
+    precision: Precision | None = None,
+) -> jax.Array:
+    """One output frame [vh, vw, C] of the continuous zoom."""
+    p = precision or get_precision()
+    h, w = spectrum.shape[:2]
+    xb = padded_zoom_basis(scaling_type, *clamp_scale(w, *xscale), vx, vw, w)
+    yb = padded_zoom_basis(scaling_type, *clamp_scale(h, *yscale), vy, vh, h)
+    return _synthesize(spectrum, plan_matrix(yb, p), plan_matrix(xb, p))
+
+
+def showsamples_coords(start: float, scale: float, limit: int) -> list[int]:
+    """Marked sample positions along one axis: the reference's
+    ``for(size_t y = scale - (size_t)off % (int)scale; y < vh; y += scale)``
+    loop truncates to integer every step (zoom/zoom.c:379-390)."""
+    out = []
+    y = int(scale) - int(start) % int(scale)
+    while y < limit:
+        out.append(y)
+        y = int(y + scale)
+    return out
+
+
+def overlay_showsamples(
+    frame: np.ndarray,
+    mode: str,
+    xscale: float,
+    yscale: float,
+    vx: float,
+    vy: float,
+) -> np.ndarray:
+    """Mark integer input-lattice positions in green when upscaling
+    (reference zoom.c:377-391; the reference's row indexing uses a
+    vh stride — a bug for non-square views — corrected here)."""
+    if not (xscale > 1 and yscale > 1) or mode == "none":
+        return frame
+    vh, vw = frame.shape[:2]
+    green = np.array([0.0, 1.0, 0.0])
+    ys = showsamples_coords(vy, yscale, vh)
+    xs = showsamples_coords(vx, xscale, vw)
+    if mode == "point":
+        for y in ys:
+            frame[y, xs] = green
+    elif mode == "grid":
+        frame[ys, :] = green
+        frame[:, xs] = green
+    return frame
+
+
+def default_view(w: int, h: int, xscale, yscale) -> tuple[int, int]:
+    """Default view = full scaled size (reference zoom.c:286-289)."""
+    vw = int(w * xscale[0] / xscale[1])
+    vh = int(h * yscale[0] / yscale[1])
+    return vw, vh
+
+
+def resolve_position(
+    vx: float, vy: float, vw: int, vh: int, w: int, h: int,
+    xscale, yscale, centered: bool, input_coords: bool, pct_coords: bool,
+) -> tuple[float, float]:
+    """-p / -c / -P / -%% position semantics (reference zoom.c:292-303;
+    the -%% path uses float division here, where the reference
+    truncates, and scales vy by vh rather than vy — both reference
+    bugs)."""
+    xs = xscale[0] / xscale[1]
+    ys = yscale[0] / yscale[1]
+    if pct_coords:
+        return vx * vw / 100.0, vy * vh / 100.0
+    if input_coords:
+        return vx * xs, vy * ys
+    if centered:
+        return (w * xs - vw) / 2.0, (h * ys - vh) / 2.0
+    return vx, vy

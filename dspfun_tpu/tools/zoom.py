@@ -1,0 +1,270 @@
+"""zoom — interpolate images with a cosine basis at arbitrary
+scales/offsets.
+
+CLI-compatible rebuild of reference zoom/zoom.c on the TPU synthesis in
+dspfun_tpu.models.zoom_pipeline.
+"""
+
+from __future__ import annotations
+
+import getopt
+import math
+import sys
+from fractions import Fraction
+
+import numpy as np
+
+from dspfun_tpu.core.expr import parse_expr
+from dspfun_tpu.io import color as _color
+from dspfun_tpu.io import images, video
+from dspfun_tpu.models import zoom_pipeline as zp
+
+SHORT = "hs:v:p:cgaPr:%n:qx:y:S:X:Y:"
+LONG = ["help", "showsamples=", "basis=",
+        "ff-opts=", "ff-format=", "ff-encoder=", "ff-loglevel=", "ff-rate="]
+
+USAGE = ("Usage: zoom [(-s <scale> | -r <res>) -p <pos> -v <size> --basis <type> "
+         "--showsamples[=<type>] -c -g -P -% -n -x -y -S -X -Y] <input> <output>")
+
+HELP = """Usage: zoom [options] <input> <output>
+
+  -h, --help  This help text.
+  -s <scale>  Rational or decimal scale factor. May be a single value or XxY to specify horizontal/vertical scaling factors.
+  -r <res>    Logical resolution in the form WxH. May be fractional. Takes precedence over -s.
+  -p <pos>    Floating point offset in image, in the form XxY (e.g. 100.0x100.0). Coordinates are in terms of the scaled output unless -P is set
+  -v <size>   Output view size in WxH.
+  -c          Anchor view to center of image
+  -P          Position coordinates with -p are relative to the input rather than the scaled output
+  -%          Position coordinates with -p are a percent value rather than a number of samples
+  -g          Scale in linear RGB
+  -q          Don't output progress
+
+  --showsamples[=<type>]  Show where integer coordinates in the input are located in the scaled image when upscaling.
+                          type: point (default), grid.
+
+  --basis <type>  Set the boundaries of the interpolated basis functions. [default: interpolated]
+                  type: interpolated, native, centered
+
+animation options:
+  -n <frames>  Number of output frames [default: 1]
+  -x <expr>    Expression animating the x coordinate
+  -y <expr>    Expression animating the y coordinate
+  -S <expr>    Expression animating the overall scale factor
+  -X <expr>    Expression animating the horizontal scale factor (if different from -S)
+  -Y <expr>    Expression animating the vertical scale factor (if different from -S)
+
+output options:
+   --ff-format <format>    output container format
+   --ff-encoder <enc>      accepted for CLI parity
+   --ff-rate <rate>        output framerate
+   --ff-opts <optstring>   output color property string (k=v:...)
+   --ff-loglevel <int>     accepted for CLI parity
+"""
+
+
+def _parse_scale(arg: str):
+    """'N[/D][xN2[/D2]]' (reference zoom.c:153-166)."""
+    def one(tok):
+        if "/" in tok:
+            n, d = tok.split("/", 1)
+            return float(n), float(d)
+        return float(tok), 1.0
+
+    if "x" in arg:
+        xs, ys = arg.split("x", 1)
+        return one(xs), one(ys)
+    s = one(arg)
+    return s, s
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        flags, args = getopt.gnu_getopt(argv, SHORT, LONG)
+    except getopt.GetoptError as e:
+        print(e, file=sys.stderr)
+        print(USAGE, file=sys.stderr)
+        return 1
+
+    vx = vy = 0.0
+    vw = vh = 0
+    centered = input_coords = pct_coords = gamma = quiet = False
+    showsamples = "none"
+    xscale = (1.0, 1.0)
+    yscale = (1.0, 1.0)
+    logical_width = logical_height = 0.0
+    scaling_type = "interpolated"
+    nframes = 1
+    rate = Fraction(60, 1)
+    oopt = ofmt = None
+    exprstrs: list[str | None] = [None] * 5
+
+    for flag, arg in flags:
+        if flag in ("-h", "--help"):
+            print(HELP, file=sys.stderr)
+            return 0
+        elif flag == "-s":
+            try:
+                xscale, yscale = _parse_scale(arg)
+            except ValueError:
+                print(USAGE, file=sys.stderr)
+                return 1
+        elif flag == "-r":
+            parts = arg.split("x")
+            logical_width = float(parts[0])
+            if len(parts) > 1:
+                logical_height = float(parts[1])
+        elif flag == "-v":
+            vw, vh = (int(t) for t in arg.split("x"))
+        elif flag == "-p":
+            vx, vy = (float(t) for t in arg.split("x"))
+        elif flag == "-c":
+            centered = True
+        elif flag == "-P":
+            input_coords = True
+        elif flag == "-%":
+            pct_coords = True
+        elif flag == "-g":
+            gamma = True
+        elif flag == "-n":
+            nframes = int(arg)
+        elif flag == "-q":
+            quiet = True
+        elif flag == "-x":
+            exprstrs[0] = arg
+        elif flag == "-y":
+            exprstrs[1] = arg
+        elif flag == "-S":
+            exprstrs[2] = arg
+        elif flag == "-X":
+            exprstrs[3] = arg
+        elif flag == "-Y":
+            exprstrs[4] = arg
+        elif flag == "--showsamples":
+            showsamples = arg or "point"
+            if showsamples not in ("point", "grid"):
+                print(USAGE, file=sys.stderr)
+                return 1
+        elif flag == "--basis":
+            if arg not in ("interpolated", "native", "centered"):
+                print(USAGE, file=sys.stderr)
+                return 1
+            scaling_type = arg
+        elif flag == "--ff-opts":
+            oopt = arg
+        elif flag == "--ff-format":
+            ofmt = arg
+        elif flag == "--ff-rate":
+            rate = video.parse_rate(arg)
+        elif flag in ("--ff-encoder", "--ff-loglevel"):
+            pass
+
+    quiet |= nframes == 1
+    if len(args) < 2:
+        print(USAGE, file=sys.stderr)
+        return 1
+
+    exprnames = ("i", "n", "x", "y", "xs", "ys", "w", "h", "vw", "vh")
+    exprs = []
+    for src in exprstrs:
+        try:
+            exprs.append(parse_expr(src, exprnames) if src else None)
+        except ValueError as e:
+            print(f"Bad expression {src!r}: {e}", file=sys.stderr)
+            return 1
+    xexpr, yexpr, scaleexpr, xscaleexpr, yscaleexpr = exprs
+
+    try:
+        img = images.read_image(args[0], channels="RGB", linear=gamma)
+    except Exception as e:  # noqa: BLE001
+        print(e, file=sys.stderr)
+        return 1
+    gamma = gamma or img.linear
+    height, width = img.pixels.shape[:2]
+
+    spectrum = zp.forward_spectrum(img.pixels)
+
+    if logical_width:
+        xscale = (logical_width, float(width))
+    if logical_height:
+        yscale = (logical_height, float(height))
+    xscale = zp.clamp_scale(width, *xscale)
+    yscale = zp.clamp_scale(height, *yscale)
+
+    if not vw or not vh:
+        dvw, dvh = zp.default_view(width, height, xscale, yscale)
+        vw = vw or dvw
+        vh = vh or dvh
+
+    vx, vy = zp.resolve_position(
+        vx, vy, vw, vh, width, height, xscale, yscale,
+        centered, input_coords, pct_coords,
+    )
+
+    props = video.parse_color_props(oopt)
+    props.pix_fmt = props.pix_fmt or "gbrpf32le"
+    props.color_range = props.color_range or "jpeg"
+    if gamma or not img.linear:
+        props.color_trc = props.color_trc or "iec61966-2-1"
+        props.color_space = props.color_space or "rgb"
+        props.color_primaries = props.color_primaries or "bt709"
+    try:
+        writer = video.open_output(args[1], vw, vh, rate, props, format=ofmt)
+    except Exception as e:  # noqa: BLE001
+        print(f"Error opening output context: {e}", file=sys.stderr)
+        return 1
+    trc_encode = gamma and writer.props.color_trc == "iec61966-2-1"
+
+    try:
+        for d in range(nframes):
+            env = {
+                "i": float(d), "n": float(nframes), "x": vx, "y": vy,
+                "xs": xscale[0] / xscale[1], "ys": yscale[0] / yscale[1],
+                "w": float(width), "h": float(height),
+                "vw": float(vw), "vh": float(vh),
+            }
+            if scaleexpr:
+                s = float(scaleexpr(env, math_env()))
+                xscale = yscale = (s, 1.0)
+            if xscaleexpr:
+                xscale = (float(xscaleexpr(env, math_env())), 1.0)
+            if yscaleexpr:
+                yscale = (float(yscaleexpr(env, math_env())), 1.0)
+            env["xs"] = xscale[0] / xscale[1]
+            env["ys"] = yscale[0] / yscale[1]
+            if xexpr:
+                vx = float(xexpr(env, math_env()))
+            if yexpr:
+                vy = float(yexpr(env, math_env()))
+
+            if not all(map(math.isfinite, (vx, vy, env["xs"], env["ys"]))):
+                print(f"Skipping non-finite expression result at frame {d}",
+                      file=sys.stderr)
+                continue
+
+            frame = np.asarray(
+                zp.zoom_frame(spectrum, scaling_type, xscale, yscale,
+                              vx, vy, vw, vh),
+                dtype=np.float64,
+            )
+            frame = zp.overlay_showsamples(
+                frame, showsamples, env["xs"], env["ys"], vx, vy
+            )
+            if trc_encode:
+                frame = _color.srgb_encode(frame)
+            writer.write_frame_rgb(frame)
+            if not quiet:
+                print(f"\r{d}/{nframes}         ", end="", file=sys.stderr)
+        if not quiet:
+            print(f"\r{nframes}/{nframes}         ", file=sys.stderr)
+    finally:
+        writer.close()
+    return 0
+
+
+def math_env():
+    return np
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,136 @@
+"""zoom pipeline + CLI tests (vs reference zoom/zoom.c)."""
+
+import math
+
+import numpy as np
+import pytest
+import scipy.fft
+
+from dspfun_tpu.io import images, video
+from dspfun_tpu.models import zoom_pipeline as zp
+from dspfun_tpu.tools import zoom as zoom_tool
+
+
+def make_image(h, w, seed=3):
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [0.5 + 0.4 * np.sin(x / 5 + c) * np.cos(y / 4 - c) for c in range(3)],
+        axis=-1,
+    )
+    return np.clip(img, 0, 1)
+
+
+def oracle_zoom(img, scaling_type, sx, sy, vx, vy, vw, vh):
+    """Independent float64 implementation of the continuous synthesis."""
+    h, w, c = img.shape
+    C = scipy.fft.dctn(img, type=2, axes=(0, 1))
+
+    def basis(n_in, scale, off, nvec):
+        num, den = scale
+        if n_in * num / den < 1:
+            num, den = 1.0, float(n_in)
+        ncomp = min(n_in, round(n_in * num / den))
+        b = np.arange(nvec)[:, None]
+        u = np.arange(n_in)[None, :]
+        if scaling_type == "native":
+            k = b + off
+            N = n_in * num / den
+        elif scaling_type == "interpolated":
+            k = (b + off) * den / num
+            N = float(n_in)
+        else:
+            k = (b + off) * (n_in - 1) * den / (n_in * num - den)
+            N = float(n_in)
+        m = np.cos(math.pi * (k + 0.5) * u / N)
+        m[:, 0] = 0.5
+        m[:, ncomp:] = 0.0
+        return m
+
+    Xb = basis(w, sx, vx, vw)
+    Yb = basis(h, sy, vy, vh)
+    return np.einsum("jv,vuz,iu->jiz", Yb, C, Xb) / (w * h)
+
+
+def test_identity_scale_reproduces_image():
+    img = make_image(10, 14)
+    spec = zp.forward_spectrum(img)
+    out = np.asarray(
+        zp.zoom_frame(spec, "interpolated", (1, 1), (1, 1), 0, 0, 14, 10)
+    )
+    assert np.max(np.abs(out - img)) < 1e-5
+
+
+@pytest.mark.parametrize("scaling_type", ["interpolated", "native", "centered"])
+def test_matches_float64_oracle(scaling_type):
+    img = make_image(8, 12)
+    spec = zp.forward_spectrum(img)
+    out = np.asarray(
+        zp.zoom_frame(spec, scaling_type, (2, 1), (3, 2), 1.5, -0.25, 20, 11)
+    )
+    ref = oracle_zoom(img, scaling_type, (2, 1), (3, 2), 1.5, -0.25, 20, 11)
+    assert np.max(np.abs(out - ref)) < 1e-5
+
+
+def test_downscale_truncates_components():
+    img = make_image(8, 8)
+    spec = zp.forward_spectrum(img)
+    out = np.asarray(
+        zp.zoom_frame(spec, "interpolated", (1, 2), (1, 2), 0, 0, 4, 4)
+    )
+    ref = oracle_zoom(img, "interpolated", (1, 2), (1, 2), 0, 0, 4, 4)
+    assert np.max(np.abs(out - ref)) < 1e-5
+
+
+def test_clamp_scale():
+    assert zp.clamp_scale(16, 1.0, 100.0) == (1.0, 16.0)
+    assert zp.clamp_scale(16, 2.0, 1.0) == (2.0, 1.0)
+
+
+def test_showsamples_coords_truncating_walk():
+    # y starts at scale - off%scale, then y = trunc(y + scale)
+    assert zp.showsamples_coords(0.0, 2.0, 8) == [2, 4, 6]
+    assert zp.showsamples_coords(1.0, 2.0, 8) == [1, 3, 5, 7]
+    assert zp.showsamples_coords(0.0, 2.5, 10) == [2, 4, 6, 8]
+
+
+def test_cli_upscale_and_animation(tmp_path):
+    src = str(tmp_path / "in.png")
+    images.write_image(src, make_image(8, 8))
+    out = str(tmp_path / "zoom.fvid")
+    rc = zoom_tool.main(["-s", "2", "-n", "3", "-S", "1+i", "-q", src, out])
+    assert rc == 0
+    with video.open_input(out) as r:
+        assert r.frames == 3
+        assert (r.width, r.height) == (16, 16)
+        f0 = r.read_frame_rgb()  # scale 1 (expr: 1+0): top-left crop
+    img = images.read_image(src).pixels
+    np.testing.assert_allclose(f0[:8, :8], img, atol=1e-4)
+
+
+def test_cli_view_and_center(tmp_path):
+    src = str(tmp_path / "in.png")
+    images.write_image(src, make_image(10, 10))
+    out = str(tmp_path / "z.fvid")
+    rc = zoom_tool.main(["-s", "3", "-v", "6x6", "-c", "-q", src, out])
+    assert rc == 0
+    with video.open_input(out) as r:
+        assert (r.width, r.height) == (6, 6)
+
+
+def test_cli_showsamples_grid(tmp_path):
+    src = str(tmp_path / "in.png")
+    images.write_image(src, np.zeros((4, 4, 3)))
+    out = str(tmp_path / "z.fvid")
+    rc = zoom_tool.main(["-s", "2", "--showsamples=grid", "-q", src, out])
+    assert rc == 0
+    with video.open_input(out) as r:
+        f = r.read_frame_rgb()
+    # green grid rows/cols at even offsets
+    assert f[2, 0, 1] == pytest.approx(1.0)
+    assert f[0, 2, 1] == pytest.approx(1.0)
+    assert f[1, 1, 1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cli_rational_scale_parse():
+    (xn, xd), (yn, yd) = zoom_tool._parse_scale("30000/1001x2")
+    assert (xn, xd, yn, yd) == (30000.0, 1001.0, 2.0, 1.0)
