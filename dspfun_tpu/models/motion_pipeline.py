@@ -1,0 +1,465 @@
+"""motion compute: 3-D blockwise frequency-space video editing.
+
+The reference (motion/motion.c:591-811) loops block-by-block per plane:
+forward 3-D FFTW DCT in a strided max(block, scaled) buffer, a ~100-line
+scalar filter chain (uniform-range renorm, top-N coefficient limit,
+expression eval, brick-wall bandpass, threshold, preserve-DC, quantize),
+inverse DCT at the scaled dims, and pel mapping with optional
+Floyd-Steinberg dithering.
+
+TPU formulation: all blocks of a slab are processed in ONE jitted call
+per plane — the block grid becomes a batch axis, the 3-D DCTs are six
+batched MXU matmuls, and the whole filter chain is elementwise work XLA
+fuses between them.  Region effects (uniform renorm, bandpass, active
+windows) become precomputed mask arrays over the [md, mh, mw] buffer,
+matching the reference's strided-buffer semantics exactly (including
+block resize by zero-pad/truncate, motion.c:566, and top-N competition
+from coefficients beyond the scaled dims).
+
+Floyd-Steinberg dithering is a genuinely sequential scan-order loop
+(motion.c:778-787); it runs as a lax.scan over rows x columns, vmapped
+over the (block, z) batch — per-pixel serial, parallel across blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dspfun_tpu.core.expr import Expr
+from dspfun_tpu.core.precision import Precision, get_precision
+from dspfun_tpu.core.transforms import apply_plan_nd, plan_axis
+
+__all__ = [
+    "Dims",
+    "PlaneGeometry",
+    "MotionParams",
+    "plan_geometry",
+    "filter_blocks",
+    "frames_to_blocks",
+    "blocks_to_frames",
+    "SPECTYPES",
+    "ISPECTYPES",
+    "PRESERVE_DCTYPES",
+]
+
+SPECTYPES = ("abs", "shift", "flat", "copy")
+ISPECTYPES = ("shift", "flat", "copy")
+PRESERVE_DCTYPES = ("dc", "grey")
+
+_SQRT2 = math.sqrt(2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Dims:
+    w: int = 0
+    h: int = 0
+    d: int = 0
+
+    def volume(self) -> int:
+        return self.w * self.h * self.d
+
+
+def _propagate(c: Dims, base: Dims, sub_w: int, sub_h: int) -> Dims:
+    """0 = inherit from plane 0 with chroma shift (reference
+    motion.c:61-68: ceiling-shifted)."""
+    w = c.w or -((-base.w) >> sub_w)
+    h = c.h or -((-base.h) >> sub_h)
+    d = c.d or base.d
+    return Dims(w, h, d)
+
+
+def _fill(src: Dims, dst: Dims) -> Dims:
+    return Dims(dst.w or src.w, dst.h or src.h, dst.d or src.d)
+
+
+def _limit(src: Dims, dst: Dims) -> Dims:
+    return Dims(min(src.w, dst.w), min(src.h, dst.h), min(src.d, dst.d))
+
+
+@dataclasses.dataclass(frozen=True)
+class PlaneGeometry:
+    """Per-plane block geometry (reference motion.c:369-433,487-511)."""
+
+    source: Dims
+    block: Dims
+    scaled: Dims
+    bp_begin: Dims
+    bp_end: Dims
+    nblocks: Dims
+    truncated: Dims
+    newres: Dims
+    active: Dims
+    minbuf: Dims
+
+
+def plan_geometry(
+    source_w: int,
+    source_h: int,
+    source_d: int,
+    nplanes: int,
+    log2_chroma_w: int = 0,
+    log2_chroma_h: int = 0,
+    block: Dims = Dims(0, 0, 1),
+    scaled: Dims = Dims(),
+    bp_begin: Dims = Dims(),
+    bp_end: Dims = Dims(),
+    samesize_chroma: bool = False,
+) -> list[PlaneGeometry]:
+    """Propagate block/scaled/bandpass boxes to every plane with
+    0-inherit semantics (reference motion.c:369-433)."""
+    subs = [(0, 0)] + [(log2_chroma_w, log2_chroma_h)] * min(2, nplanes - 1) \
+        + [(0, 0)] * max(0, nplanes - 3)
+    src0 = Dims(source_w, source_h, source_d)
+    sources = [_propagate(Dims(), src0, sw, sh) if i else src0
+               for i, (sw, sh) in enumerate(subs)]
+    # samesize-chroma: when the block fits the chroma plane, clear the
+    # chroma subsample factors (and default an unset block to the
+    # chroma plane dims, as the reference does — motion.c:337-353)
+    if samesize_chroma and nplanes >= 3:
+        sw, sh = subs[1]
+        if block.w <= sources[1].w:
+            subs[1] = (0, subs[1][1])
+            subs[2] = (0, subs[2][1])
+            if not block.w:
+                block = dataclasses.replace(block, w=sources[1].w)
+        if block.h <= sources[1].h:
+            subs[1] = (subs[1][0], 0)
+            subs[2] = (subs[2][0], 0)
+            if not block.h:
+                block = dataclasses.replace(block, h=sources[1].h)
+
+    planes = []
+    for i in range(nplanes):
+        sw, sh = subs[i]
+        src = sources[i] if i < len(sources) else src0
+        blk = Dims(
+            (-((-block.w) >> sw)) if block.w else 0,
+            (-((-block.h) >> sh)) if block.h else 0,
+            block.d,
+        )
+        scl = Dims(
+            (-((-scaled.w) >> sw)) if scaled.w else 0,
+            (-((-scaled.h) >> sh)) if scaled.h else 0,
+            scaled.d,
+        )
+        bpb = Dims(
+            (-((-bp_begin.w) >> sw)) if bp_begin.w else 0,
+            (-((-bp_begin.h) >> sh)) if bp_begin.h else 0,
+            bp_begin.d,
+        )
+        bpe = Dims(
+            (-((-bp_end.w) >> sw)) if bp_end.w else 0,
+            (-((-bp_end.h) >> sh)) if bp_end.h else 0,
+            bp_end.d,
+        )
+        blk = _limit(src, _fill(src, blk))
+        scl = _fill(blk, scl)
+        bpe = _limit(blk, _fill(blk, bpe))
+        bpb = _limit(blk, bpb)
+        nb = Dims(src.w // blk.w, src.h // blk.h, src.d // blk.d)
+        trunc = Dims(nb.w * blk.w, nb.h * blk.h, nb.d * blk.d)
+        newres = Dims(nb.w * scl.w, nb.h * scl.h, nb.d * scl.d)
+        active = Dims(min(blk.w, scl.w), min(blk.h, scl.h), min(blk.d, scl.d))
+        minbuf = Dims(max(blk.w, scl.w), max(blk.h, scl.h), max(blk.d, scl.d))
+        planes.append(PlaneGeometry(src, blk, scl, bpb, bpe, nb, trunc,
+                                    newres, active, minbuf))
+    return planes
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionParams:
+    """The filter-chain parameter set (reference motion.c:170-287)."""
+
+    spec: str | None = None          # abs | shift | flat | copy
+    ispec: str | None = None         # shift | flat | copy
+    preserve_dc: str | None = None   # dc | grey
+    boost: float = 1.0
+    damp: float = 0.0
+    quant: float = 0.0
+    threshold_min: float = 0.0
+    threshold_max: float = 0.0
+    coeff_limit: int = 0
+    expr: Expr | None = None
+    dither: bool = False
+    linear: bool = False
+    float_pixels: bool = True
+
+    def __hash__(self):
+        return hash((self.spec, self.ispec, self.preserve_dc, self.boost,
+                     self.damp, self.quant, self.threshold_min,
+                     self.threshold_max, self.coeff_limit,
+                     self.expr.source if self.expr else None,
+                     self.dither, self.linear, self.float_pixels))
+
+    def __eq__(self, other):
+        return isinstance(other, MotionParams) and hash(self) == hash(other)
+
+
+def _region_mask(md, mh, mw, dims: Dims) -> np.ndarray:
+    m = np.zeros((md, mh, mw), dtype=bool)
+    m[: dims.d, : dims.h, : dims.w] = True
+    return m
+
+
+def _uniform_factor(md, mh, mw) -> np.ndarray:
+    """2*sqrt2 / ((x?1:sqrt2)(y?1:sqrt2)(z?1:sqrt2)) per coefficient
+    (reference motion.c:643-647)."""
+    z = np.where(np.arange(md) > 0, 1.0, _SQRT2)[:, None, None]
+    y = np.where(np.arange(mh) > 0, 1.0, _SQRT2)[None, :, None]
+    x = np.where(np.arange(mw) > 0, 1.0, _SQRT2)[None, None, :]
+    return 2.0 * _SQRT2 / (x * y * z)
+
+
+def _bandpass_mult(g: PlaneGeometry, boost: float, damp: float) -> np.ndarray:
+    """Multiplier array: boost inside [begin, end), damp in the six
+    face regions outside the box but inside active, 1 elsewhere
+    (reference motion.c:683-719)."""
+    md, mh, mw = g.minbuf.d, g.minbuf.h, g.minbuf.w
+    mult = np.ones((md, mh, mw), dtype=np.float64)
+    act = _region_mask(md, mh, mw, g.active)
+    z = np.arange(md)[:, None, None]
+    y = np.arange(mh)[None, :, None]
+    x = np.arange(mw)[None, None, :]
+    inside = (
+        (z >= g.bp_begin.d) & (z < g.bp_end.d)
+        & (y >= g.bp_begin.h) & (y < g.bp_end.h)
+        & (x >= g.bp_begin.w) & (x < g.bp_end.w)
+    )
+    # boost covers the whole box even beyond active (the reference's
+    # boost loop is not clipped to active dims, motion.c:715-719);
+    # damp covers active \ box (the six face regions, motion.c:683-714)
+    mult = np.where(inside, boost, np.where(act, damp, 1.0))
+    return mult
+
+
+@functools.partial(jax.jit, static_argnames=("geom", "params", "plane_index", "nplanes"))
+def filter_blocks(
+    blocks: jax.Array,          # [NB, bd, bh, bw] pel values in 0..255
+    plans,                      # ((fwd_d, fwd_h, fwd_w), (inv_d, inv_h, inv_w))
+    block_coords,               # (bx[NB], by[NB]) int arrays
+    bz: jax.Array,              # scalar block-depth index
+    geom: PlaneGeometry,
+    params: MotionParams,
+    plane_index: int,
+    nplanes: int,
+):
+    """The full per-plane chain over all blocks of a slab.
+
+    Returns (out_blocks [NB, sd, sh, sw] pel 0..255, coded_count).
+    """
+    g = geom
+    p = params
+    nb = blocks.shape[0]
+    md, mh, mw = g.minbuf.d, g.minbuf.h, g.minbuf.w
+    sd, sh, sw = g.scaled.d, g.scaled.h, g.scaled.w
+    dtype = blocks.dtype
+
+    svol = g.scaled.volume()
+    scalefactor = svol / g.block.volume()
+    normalization = 1.0 / math.sqrt(svol * 8.0)
+    norm2 = normalization * normalization
+
+    fwd_plans, inv_plans = plans
+
+    # --- input decode (motion.c:618-638) -------------------------------
+    x = blocks
+    if p.ispec == "shift":
+        ic = 127.5 / math.log1p(svol * normalization * 255 * 8)
+        t = x - 127.5
+        x = jnp.sign(t) * jnp.expm1(jnp.abs(t / ic)) / normalization
+    elif p.ispec == "flat":
+        x = (x - 127.5) * 2.0 / norm2
+    elif p.ispec == "copy":
+        x = x / norm2
+    elif p.linear:
+        from dspfun_tpu.io.color import srgb_decode  # noqa: PLC0415
+
+        x = srgb_decode(x / 255.0, jnp) * 255.0
+
+    # --- forward transform + uniform renorm (motion.c:641-647) ---------
+    if not p.ispec:
+        x = apply_plan_nd(x, fwd_plans, (1, 2, 3))
+        uf = _uniform_factor(md, mh, mw)[: x.shape[1], : x.shape[2], : x.shape[3]]
+        act3 = _region_mask(md, mh, mw, g.active)[
+            : x.shape[1], : x.shape[2], : x.shape[3]
+        ]
+        x = x * jnp.asarray(np.where(act3, uf, 1.0), dtype)
+
+    # embed into the minbuf-sized buffer (zero-pad / work at full size)
+    M = jnp.zeros((nb, md, mh, mw), dtype)
+    M = M.at[:, : x.shape[1], : x.shape[2], : x.shape[3]].set(x)
+
+    dc = M[:, 0, 0, 0]
+    act = jnp.asarray(_region_mask(md, mh, mw, g.active), dtype=bool)
+
+    # --- top-N coefficient limit (motion.c:652-668) --------------------
+    if p.coeff_limit:
+        k = min(p.coeff_limit, md * mh * mw)
+        flat = jnp.abs(M).reshape(nb, -1)
+        _, idx = jax.lax.top_k(flat, k)
+        keep = jnp.zeros((nb, md * mh * mw), dtype=bool)
+        keep = keep.at[jnp.arange(nb)[:, None], idx].set(True)
+        M = jnp.where(keep.reshape(M.shape), M, 0.0)
+
+    # --- expression (motion.c:670-681) ---------------------------------
+    if p.expr is not None:
+        z = jnp.arange(md, dtype=dtype)[:, None, None]
+        yy = jnp.arange(mh, dtype=dtype)[None, :, None]
+        xx = jnp.arange(mw, dtype=dtype)[None, None, :]
+        bxs, bys = block_coords
+        env = {
+            "c": M * (norm2 / 255.0),
+            "x": jnp.broadcast_to(xx, M.shape[1:]),
+            "y": jnp.broadcast_to(yy, M.shape[1:]),
+            "z": jnp.broadcast_to(z, M.shape[1:]),
+            "i": jnp.asarray(float(plane_index), dtype),
+            "width": float(g.block.w), "height": float(g.block.h),
+            "depth": float(g.block.d), "components": float(nplanes),
+            "bx": bxs.astype(dtype)[:, None, None, None],
+            "by": bys.astype(dtype)[:, None, None, None],
+            "bz": bz.astype(dtype),
+            "bwidth": float(g.nblocks.w), "bheight": float(g.nblocks.h),
+            "bdepth": float(g.nblocks.d),
+        }
+        res = p.expr(env, jnp) * (255.0 / norm2)
+        M = jnp.where(act[None], res.astype(dtype), M)
+
+    # --- bandpass (motion.c:683-719) -----------------------------------
+    if p.damp != 1.0 or p.boost != 1.0:
+        mult = _bandpass_mult(g, p.boost, p.damp)
+        M = M * jnp.asarray(mult, dtype)
+
+    # --- threshold (motion.c:721-728) ----------------------------------
+    if p.threshold_max:
+        tmin = p.threshold_min * 255.0 / norm2
+        tmax = p.threshold_max * 255.0 / norm2
+        a = jnp.abs(M)
+        M = jnp.where(act[None] & ((a < tmin) | (a > tmax)), 0.0, M)
+
+    # --- preserve DC (motion.c:730-738) --------------------------------
+    if p.preserve_dc:
+        dcstop = bool(g.bp_begin.d or g.bp_begin.h or g.bp_begin.w)
+        if p.expr is not None or dcstop or p.boost != 1.0 or p.threshold_max:
+            if p.preserve_dc == "dc":
+                M = M.at[:, 0, 0, 0].set(dc)
+            else:  # grey
+                edge = p.damp if dcstop else p.boost
+                M = M.at[:, 0, 0, 0].add(
+                    (1.0 - edge) * 127.5 / (norm2 * scalefactor)
+                )
+
+    # --- quantize (motion.c:740-744) -----------------------------------
+    coded = jnp.zeros((), jnp.int32)
+    if p.quant:
+        quantizer = p.quant * 8.0 * math.sqrt(svol)
+        Mq = jnp.round(M / quantizer) * quantizer
+        M = jnp.where(act[None], Mq, M)
+        coded = jnp.sum((M != 0) & act[None], dtype=jnp.int32)
+
+    # --- inverse / spectrogram output (motion.c:746-771) ---------------
+    if not p.spec:
+        uf = _uniform_factor(md, mh, mw)
+        M = M * jnp.asarray(np.where(_region_mask(md, mh, mw, g.active),
+                                     1.0 / uf, 1.0), dtype)
+        S = apply_plan_nd(M[:, :sd, :sh, :sw], inv_plans, (1, 2, 3))
+    else:
+        S = M[:, :sd, :sh, :sw]
+
+    pel = S * (scalefactor * normalization)
+    if p.spec == "abs":
+        cval = 255.0 / jnp.log1p(jnp.abs(dc * (scalefactor * normalization)))
+        pel = cval[:, None, None, None] * jnp.log1p(jnp.abs(pel))
+    elif p.spec == "shift":
+        cs = 127.5 / math.log1p(svol * normalization * 255 * 8)
+        pel = cs * jnp.sign(pel) * jnp.log1p(jnp.abs(pel)) + 127.5
+    elif p.spec == "flat":
+        pel = pel * normalization / 2.0 + 127.5
+    else:  # copy or none
+        pel = pel * normalization
+        if p.spec is None and p.linear:
+            from dspfun_tpu.io.color import srgb_encode  # noqa: PLC0415
+
+            pel = srgb_encode(pel / 255.0, jnp) * 255.0
+
+    # --- output quantisation + dithering (motion.c:772-787) ------------
+    if p.float_pixels or p.spec:
+        out = pel
+    elif p.dither:
+        out = _dither_blocks(pel, scalefactor * norm2)
+    else:
+        out = jnp.clip(jnp.round(pel), 0.0, 255.0)
+
+    return out, coded
+
+
+def _dither_blocks(pel: jax.Array, back_scale: float) -> jax.Array:
+    """2-D Floyd-Steinberg over each (block, z) slice
+    (reference motion.c:778-787).
+
+    The reference diffuses error in *coefficient* units: the quantised
+    pel is scaled back by 1/(normalization^2*scalefactor) before
+    differencing.  Here pel and the error are kept in pel units (the
+    two scalings cancel through the linear error propagation).
+    """
+    nb, d, h, w = pel.shape
+    sl = pel.reshape(nb * d, h, w)
+    del back_scale  # scalings cancel; kept for signature parity
+
+    def one_slice(img):
+        def row_step(err_next, row):
+            # err_next: error arriving at this row [w]
+            def col_step(carry, inp):
+                err_right, next_row = carry
+                xval, xi = inp
+                v = xval + err_right
+                # C lround after 0/255 clamp (motion.c:776)
+                q = jnp.clip(jnp.floor(v + 0.5), 0.0, 255.0)
+                dp = v - q
+                nr = next_row.at[xi - 1].add(dp * 3 / 16)
+                nr = nr.at[xi].add(dp * 5 / 16)
+                nr = nr.at[xi + 1].add(dp * 1 / 16)
+                return (dp * 7 / 16, nr), q
+
+            init = (jnp.zeros((), pel.dtype), jnp.zeros(w + 2, pel.dtype))
+            (_, next_row), qrow = jax.lax.scan(
+                col_step, init, (row + err_next, jnp.arange(1, w + 1))
+            )
+            return next_row[1 : w + 1], qrow
+
+        _, out = jax.lax.scan(row_step, jnp.zeros(w, pel.dtype), img)
+        return out
+
+    return jax.vmap(one_slice)(sl).reshape(nb, d, h, w)
+
+
+def frames_to_blocks(frames: np.ndarray, g: PlaneGeometry) -> np.ndarray:
+    """[bd, H, W] plane frames -> [nbh*nbw, bd, bh, bw] blocks
+    (truncating ragged edges, reference motion.c:597-608)."""
+    bd, bh, bw = g.block.d, g.block.h, g.block.w
+    nbh, nbw = g.nblocks.h, g.nblocks.w
+    a = frames[:bd, : nbh * bh, : nbw * bw]
+    a = a.reshape(bd, nbh, bh, nbw, bw).transpose(1, 3, 0, 2, 4)
+    return a.reshape(nbh * nbw, bd, bh, bw)
+
+
+def blocks_to_frames(blocks: np.ndarray, g: PlaneGeometry) -> np.ndarray:
+    """[nbh*nbw, sd, sh, sw] -> [sd, nbh*sh, nbw*sw]."""
+    sd, sh, sw = g.scaled.d, g.scaled.h, g.scaled.w
+    nbh, nbw = g.nblocks.h, g.nblocks.w
+    a = blocks.reshape(nbh, nbw, sd, sh, sw).transpose(2, 0, 3, 1, 4)
+    return a.reshape(sd, nbh * sh, nbw * sw)
+
+
+def make_plans(g: PlaneGeometry, precision: Precision | None = None):
+    """(forward, inverse) axis plans: forward DCT-II at block dims,
+    inverse DCT-III at scaled dims (reference motion.c:518-552)."""
+    p = precision or get_precision()
+    fwd = tuple(plan_axis(n, "dct2", p) for n in (g.block.d, g.block.h, g.block.w))
+    inv = tuple(plan_axis(n, "dct3", p) for n in (g.scaled.d, g.scaled.h, g.scaled.w))
+    return fwd, inv

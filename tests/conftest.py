@@ -9,7 +9,10 @@ Must set env vars before anything imports jax.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the environment pins JAX_PLATFORMS to the tunnelled
+# TPU backend, but the test suite must run on the CPU oracle backend
+# (f64/complex128 + virtual multi-device mesh).
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Enable x64 so the coeff=float64 precision policy (the analogue of the
 # reference's default COEFF_PRECISION=D, include/precision.h:50-57) is
 # real on the CPU oracle backend.  All library code is explicit about
