@@ -319,7 +319,7 @@ class VideoReader:
 
     # -- interface ----------------------------------------------------
 
-    def read_frame(self) -> list[np.ndarray] | None:
+    def read_frame(self, raw: bool = False) -> list[np.ndarray] | None:
         raise NotImplementedError
 
     def read_frame_rgb(self) -> np.ndarray | None:
@@ -373,22 +373,28 @@ class _HeaderedReader(VideoReader):
         self.frames = n
         self._stream.seek(pos)
 
-    def read_frame(self) -> list[np.ndarray] | None:
+    def read_frame(self, raw: bool = False) -> list[np.ndarray] | None:
+        """``raw=True`` returns stored pel values (8-bit: 0..255) with
+        no range conversion — the ffapi_getpel_direct path the motion
+        tool uses (reference ffapi.h:58-77)."""
         line = self._stream.readline()
         if not line:
             return None
         if not line.startswith(b"FRAME"):
             raise ValueError(f"bad frame marker in {self.spec!r}")
         pf = self.pix_fmt
-        raw = self._stream.read(pf.frame_bytes(self.width, self.height))
-        if raw is None or len(raw) < pf.frame_bytes(self.width, self.height):
+        data = self._stream.read(pf.frame_bytes(self.width, self.height))
+        if data is None or len(data) < pf.frame_bytes(self.width, self.height):
             return None
         out = []
         off = 0
         for i, (w, h) in enumerate(pf.plane_dims(self.width, self.height)):
             nb = w * h * pf.dtype.itemsize
-            arr = np.frombuffer(raw[off : off + nb], dtype=pf.dtype).reshape(h, w)
-            out.append(_dequantize_plane(arr, pf, i, self.props.color_range))
+            arr = np.frombuffer(data[off : off + nb], dtype=pf.dtype).reshape(h, w)
+            if raw:
+                out.append(np.asarray(arr, dtype=np.float64))
+            else:
+                out.append(_dequantize_plane(arr, pf, i, self.props.color_range))
             off += nb
         self.frame_index += 1
         return out
@@ -499,13 +505,14 @@ class ImageSeqReader(VideoReader):
             first = self._read_image(pattern % start)
             self.height, self.width = first.pixels.shape[:2]
 
-    def read_frame(self):
+    def read_frame(self, raw: bool = False):
         if self.frames is not None and self.frame_index >= self.frames:
             return None
         img = self._read_image(self.pattern % (self._start + self.frame_index))
         self.frame_index += 1
         rgb = img.pixels
-        return [rgb[..., 1], rgb[..., 2], rgb[..., 0]]  # gbr planar
+        planes = [rgb[..., 1], rgb[..., 2], rgb[..., 0]]  # gbr planar
+        return planes
 
     def close(self):
         pass
@@ -528,16 +535,26 @@ class VideoWriter:
     def _write_header(self):
         pass
 
-    def write_frame(self, planes: list[np.ndarray]) -> None:
-        """Write float planes in [0,1] (raw floats for float formats)."""
+    def write_frame(self, planes: list[np.ndarray], raw: bool = False) -> None:
+        """Write float planes in [0,1] (raw floats for float formats).
+
+        ``raw=True`` writes stored pel values directly (8-bit: already
+        0..255) — the ffapi_setpel_direct path (reference ffapi.h:78-95).
+        """
         if not self._wrote_header:
             self._write_header()
             self._wrote_header = True
         self._stream.write(b"FRAME\n")
+        pf = self.pix_fmt
         for i, p in enumerate(planes):
-            self._stream.write(
-                _quantize_plane(p, self.pix_fmt, i, self.props.color_range).tobytes()
-            )
+            if raw and not pf.is_float:
+                maxv = (1 << pf.depth) - 1
+                q = np.clip(np.rint(p), 0, maxv).astype(pf.dtype)
+            elif raw:
+                q = np.asarray(p, dtype=pf.dtype)
+            else:
+                q = _quantize_plane(p, pf, i, self.props.color_range)
+            self._stream.write(q.tobytes())
         self.frame_index += 1
 
     def write_frame_rgb(self, rgb: np.ndarray) -> None:
@@ -591,7 +608,7 @@ class ImageSeqWriter(VideoWriter):
         super().__init__(None, spec, "image2", width, height, rate, pix_fmt, props)
         self.pattern = pattern
 
-    def write_frame(self, planes):
+    def write_frame(self, planes, raw: bool = False):
         rgb = planes_to_rgb(planes, self.pix_fmt, self.props, self.width, self.height)
         self.write_frame_rgb(rgb)
 

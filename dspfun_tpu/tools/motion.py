@@ -1,0 +1,363 @@
+"""motion — apply 2- or 3-dimensional frequency-domain operations to an
+image or video.
+
+CLI-compatible rebuild of reference motion/motion.c on the batched
+block pipeline in dspfun_tpu.models.motion_pipeline.  The FFTW plan
+machinery (planning rigor, wisdom files, threads) maps onto XLA's
+compilation cache, so those flags are accepted for CLI parity and the
+planning knobs become no-ops.
+"""
+
+from __future__ import annotations
+
+import getopt
+import math
+import sys
+from fractions import Fraction
+
+import numpy as np
+
+from dspfun_tpu.core.expr import parse_expr
+from dspfun_tpu.io import video
+from dspfun_tpu.models import motion_pipeline as mp
+
+SHORT = "b:s:p:B:D:c:q:r:Qh"
+LONG = [
+    "size=", "blocksize=", "offset=", "frames=", "framerate=", "keep-rate",
+    "samesize-chroma", "spectrogram=", "ispectrogram=", "bandpass=", "boost=",
+    "damp=", "quant=", "dither", "csp=", "format=", "codec=", "encopts=",
+    "iformat=", "decopts=", "loglevel=", "preserve-dc=", "eval=",
+    "fftw-planning-method=", "fftw-wisdom-file=", "fftw-threads=", "quiet",
+    "help", "threshold=", "coeff-limit=", "linear",
+]
+
+# getopt has no optional-argument long options; bare forms of these are
+# rewritten to "--opt=" before parsing (empty value selects the default)
+_OPTIONAL_ARG = ("--spectrogram", "--ispectrogram", "--preserve-dc")
+
+USAGE = """Usage: motion [options] <infile> [outfile]
+[-s|--size WxHxD] [-b|--blocksize WxHxD] [-p|--bandpass X1xY1xZ1-X2xY2xZ2]
+[-B|--boost float] [-D|--damp float]  [--spectrogram=type] [--ispectrogram=type] [-q|--quant quant] [--threshold] [--coeff-limit limit] [-d|--dither] [--preserve-dc=type] [--eval expression]
+[-r|--framerate] [--keep-rate] [--samesize-chroma] [--frames lim] [--offset pos] [--csp|c colorspace options] [--iformat|--format fmt] [--codec codec] [--encopts|--decopts opts] [--loglevel int]
+[-Q|--quiet]"""
+
+EXPR_NAMES = ("c", "x", "y", "z", "i", "width", "height", "depth",
+              "components", "bx", "by", "bz", "bwidth", "bheight", "bdepth")
+
+
+def _parse_dims(arg: str) -> mp.Dims:
+    parts = (arg.split("x") + ["0", "0", "0"])[:3]
+    return mp.Dims(*(int(p or 0) for p in parts))
+
+
+def _parse_multi(arg: str, default: float) -> list[float]:
+    """N[:N:N:N] per-plane values; missing entries repeat the last
+    (reference motion.c:235-236)."""
+    vals = [float(t) for t in arg.split(":") if t != ""]
+    out = []
+    for i in range(4):
+        if i < len(vals):
+            out.append(vals[i])
+        else:
+            out.append(out[-1] if out else default)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    argv = [a + "=" if a in _OPTIONAL_ARG else a for a in argv]
+    try:
+        flags, args = getopt.gnu_getopt(argv, SHORT, LONG)
+    except getopt.GetoptError as e:
+        print(e, file=sys.stderr)
+        print(USAGE, file=sys.stderr)
+        return 1
+
+    block = mp.Dims(0, 0, 1)
+    scaled = mp.Dims()
+    bp_begin = mp.Dims()
+    bp_end = mp.Dims()
+    boost = [1.0] * 4
+    damp = [0.0] * 4
+    quant = 0.0
+    threshold_min = threshold_max = 0.0
+    coeff_limit = 0
+    spec = ispec = preserve_dc = None
+    exprstr = None
+    dither = linear = samerate = samesize = quiet = False
+    offset = 0
+    maxframes = 0
+    out_rate = None
+    csp = iformat = oformat = None
+    for flag, arg in flags:
+        if flag in ("-h", "--help"):
+            print(USAGE)
+            return 0
+        elif flag in ("-b", "--blocksize"):
+            block = _parse_dims(arg)
+            if not block.d:
+                block = mp.Dims(block.w, block.h, 1)
+        elif flag in ("-s", "--size"):
+            scaled = _parse_dims(arg)
+        elif flag in ("-p", "--bandpass"):
+            lo, _, hi = arg.partition("-")
+            bp_begin = _parse_dims(lo)
+            bp_end = _parse_dims(hi) if hi else mp.Dims()
+        elif flag in ("-B", "--boost"):
+            boost = _parse_multi(arg, 1.0)
+        elif flag in ("-D", "--damp"):
+            damp = _parse_multi(arg, 0.0)
+        elif flag in ("-c", "--csp"):
+            csp = arg
+        elif flag in ("-r", "--framerate"):
+            out_rate = video.parse_rate(arg)
+        elif flag == "--offset":
+            offset = int(arg)
+        elif flag == "--frames":
+            maxframes = int(arg)
+        elif flag == "--keep-rate":
+            samerate = True
+        elif flag == "--samesize-chroma":
+            samesize = True
+        elif flag == "--spectrogram":
+            spec = arg or "abs"
+            if spec not in mp.SPECTYPES:
+                print(f"invalid spectrogram type '{spec}', use one of: "
+                      f"{' '.join(mp.SPECTYPES)}", file=sys.stderr)
+                return 1
+        elif flag == "--ispectrogram":
+            ispec = arg or "shift"
+            if ispec not in mp.ISPECTYPES:
+                print(f"invalid ispectrogram type '{ispec}', use one of: "
+                      f"{' '.join(mp.ISPECTYPES)}", file=sys.stderr)
+                return 1
+        elif flag == "--preserve-dc":
+            preserve_dc = arg or "dc"
+            if preserve_dc not in mp.PRESERVE_DCTYPES:
+                print(f"invalid preserve-dc type '{preserve_dc}', use one "
+                      f"of: {' '.join(mp.PRESERVE_DCTYPES)}", file=sys.stderr)
+                return 1
+        elif flag in ("-q", "--quant"):
+            quant = float(arg)
+        elif flag == "--threshold":
+            lo, _, hi = arg.partition("-")
+            threshold_min = float(lo or 0)
+            threshold_max = float(hi or 0)
+        elif flag == "--coeff-limit":
+            coeff_limit = int(arg)
+        elif flag == "--dither":
+            dither = True
+        elif flag == "--eval":
+            exprstr = arg
+        elif flag == "--linear":
+            linear = True
+        elif flag == "--format":
+            oformat = arg
+        elif flag == "--iformat":
+            iformat = arg
+        elif flag in ("--codec", "--encopts", "--decopts", "--loglevel",
+                      "--fftw-planning-method", "--fftw-wisdom-file",
+                      "--fftw-threads"):
+            pass  # CLI parity; XLA's compile cache replaces FFTW planning
+        elif flag in ("-Q", "--quiet"):
+            quiet = True
+
+    if not args:
+        print(USAGE, file=sys.stderr)
+        return 1
+    infile = args[0]
+    outfile = args[1] if len(args) > 1 else None
+
+    expr = None
+    if exprstr:
+        try:
+            expr = parse_expr(exprstr, EXPR_NAMES)
+        except ValueError as e:
+            print(f"Bad expression: {e}", file=sys.stderr)
+            return 1
+
+    try:
+        reader = video.open_input(infile, format=iformat)
+    except Exception as e:  # noqa: BLE001
+        print(f'Error opening "{infile}": {e}', file=sys.stderr)
+        return 1
+
+    # processing pixel format: --csp request > spec constraints > input
+    proc_fmt = reader.pix_fmt
+    csp_props = video.parse_color_props(csp)
+    if csp_props.pix_fmt:
+        proc_fmt = video.PIXEL_FORMATS[csp_props.pix_fmt]
+    elif (spec or linear) and not (proc_fmt.is_rgb or proc_fmt.ncomp == 1):
+        # spectrogram / linear processing wants RGB or gray
+        # (reference motion.c:313-325)
+        proc_fmt = video.PIXEL_FORMATS["gbrpf32le"]
+    convert = proc_fmt.name != reader.pix_fmt.name
+    float_pixels = proc_fmt.is_float
+
+    if reader.frames is None and not maxframes:
+        print("Input frame count unknown (unseekable pipe); specify "
+              "--frames", file=sys.stderr)
+        reader.close()
+        return 1
+    nframes_in = reader.frames or 0
+    source_d = nframes_in or maxframes
+    if maxframes:
+        if source_d and maxframes + offset > source_d:
+            if maxframes > source_d:
+                maxframes = source_d
+            if offset >= source_d:
+                offset = source_d - maxframes
+            else:
+                maxframes = source_d - offset
+        source_d = maxframes
+    elif source_d:
+        if offset >= source_d:
+            offset = source_d - 1
+        source_d -= offset
+
+    if not quiet:
+        print(f"  source: {reader.width} x {reader.height} x {source_d}",
+              file=sys.stderr)
+    if not outfile:
+        reader.close()
+        return 0
+
+    sx, sy = proc_fmt.chroma_shift
+    geoms = mp.plan_geometry(
+        reader.width, reader.height, source_d, proc_fmt.ncomp,
+        log2_chroma_w=sx, log2_chroma_h=sy,
+        block=block, scaled=scaled, bp_begin=bp_begin, bp_end=bp_end,
+        samesize_chroma=samesize,
+    )
+    g0 = geoms[0]
+    if not quiet and (reader.width % g0.block.w or reader.height % g0.block.h
+                      or source_d % g0.block.d):
+        print("Warning: Blocks not evenly divisible, truncating dimensions",
+              file=sys.stderr)
+
+    if out_rate is None:
+        rate = reader.rate
+        if not samerate:
+            rate = rate * Fraction(g0.scaled.d, g0.block.d)
+    else:
+        rate = out_rate
+
+    props = reader.props.copy()
+    props.pix_fmt = proc_fmt.name
+    if spec:
+        props.color_range = "jpeg"
+    try:
+        writer = video.open_output(
+            outfile, g0.newres.w, g0.newres.h, rate, props, format=oformat
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"Output setup failed for '{outfile}': {e}", file=sys.stderr)
+        reader.close()
+        return 1
+
+    if not quiet:
+        for gi, g in enumerate(geoms):
+            print(f"plane {gi}: block {g.block} scaled {g.scaled} "
+                  f"nblocks {g.nblocks} newres {g.newres}", file=sys.stderr)
+
+    if dither and (spec or float_pixels):
+        print("Warning: dithering cannot be used with spectrogram or float "
+              "output, disabling.", file=sys.stderr)
+        dither = False
+
+    if offset:
+        reader.seek_frame(offset)
+
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    params = [
+        mp.MotionParams(
+            spec=spec, ispec=ispec, preserve_dc=preserve_dc,
+            boost=boost[i], damp=damp[i], quant=quant,
+            threshold_min=threshold_min, threshold_max=threshold_max,
+            coeff_limit=coeff_limit, expr=expr, dither=dither,
+            linear=linear, float_pixels=float_pixels,
+        )
+        for i in range(proc_fmt.ncomp)
+    ]
+    plans = [mp.make_plans(g) for g in geoms]
+    bcoords = []
+    for g in geoms:
+        nb = g.nblocks.w * g.nblocks.h
+        bidx = np.arange(nb, dtype=np.int32)
+        bcoords.append((jnp.asarray(bidx % g.nblocks.w),
+                        jnp.asarray(bidx // g.nblocks.w)))
+
+    def read_proc_planes():
+        """One frame in processing format, pel units 0..255."""
+        if convert:
+            rgb = reader.read_frame_rgb()
+            if rgb is None:
+                return None
+            planes = video.rgb_to_planes(rgb, proc_fmt, props)
+            return [p * 255.0 for p in planes]
+        planes = reader.read_frame(raw=not float_pixels)
+        if planes is None:
+            return None
+        if float_pixels:
+            return [p * 255.0 for p in planes]
+        return planes
+
+    coded = 0
+    written = 0
+    read_count = 0
+    ret = 0
+    padb = int(math.log10(max(source_d, 1))) + 1
+    pads = int(math.log10(max(g0.newres.d, 1))) + 1
+    try:
+        for bz in range(g0.nblocks.d):
+            slab = []
+            for _z in range(g0.block.d):
+                planes = read_proc_planes()
+                if planes is None:
+                    print("Error reading frame: end of stream", file=sys.stderr)
+                    ret = 1
+                    return ret
+                slab.append(planes)
+                read_count += 1
+                if not quiet:
+                    print(f"\rread: {read_count:>{padb}} wrote: "
+                          f"{written:>{pads}}", end="", file=sys.stderr)
+            out_planes = []
+            for i, g in enumerate(geoms):
+                frames = np.stack([slab[z][i] for z in range(g.block.d)])
+                blocks = mp.frames_to_blocks(frames, g)
+                out, c = mp.filter_blocks(
+                    jnp.asarray(blocks, dtype=jnp.float32), plans[i],
+                    bcoords[i], jnp.asarray(bz), geom=g, params=params[i],
+                    plane_index=i, nplanes=proc_fmt.ncomp,
+                )
+                coded += int(c)
+                out_planes.append(mp.blocks_to_frames(np.asarray(out), g))
+            for z in range(g0.scaled.d):
+                frame = []
+                for i, g in enumerate(geoms):
+                    zz = min(z, g.scaled.d - 1)
+                    p = out_planes[i][zz]
+                    frame.append(p / 255.0 if float_pixels else p)
+                writer.write_frame(frame, raw=not float_pixels)
+                written += 1
+                if not quiet:
+                    print(f"\rread: {read_count:>{padb}} wrote: "
+                          f"{written:>{pads}}", end="", file=sys.stderr)
+    finally:
+        if not quiet:
+            print(file=sys.stderr)
+        writer.close()
+        reader.close()
+
+    if quant and not quiet:
+        total = sum(g.newres.volume() for g in geoms)
+        print(f"coeffs: {coded} / {total} ({coded * 100.0 / total:2.0f}%)\n"
+              f"zeroes: {total - coded} / {total} "
+              f"({(total - coded) * 100.0 / total:2.0f}%)", file=sys.stderr)
+    return ret
+
+
+if __name__ == "__main__":
+    sys.exit(main())

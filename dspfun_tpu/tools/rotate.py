@@ -1,0 +1,214 @@
+"""rotate — rotate video by right angles on a 3-dimensional axis.
+
+CLI-compatible rebuild of reference motion/rotate.c: buffers the whole
+clip, permutes/flips the (x, y, t) axes, rewrites.
+
+    90 deg ccw = +y-x+z     90 deg cw = -y+x+z     180 deg = -x-y+z
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+from fractions import Fraction
+
+import numpy as np
+
+from dspfun_tpu.io import video
+
+USAGE = "Usage: rotate [options] [-]xyz <infile> <outfile>"
+
+HELP = """Usage: rotate [options] [-]xyz <infile> <outfile>
+
+  [-]xyz  How to rearrange the input dimensions, with -/+ to indicate direction.
+          e.g. "zyx" swaps the x and z axis while "x-yz" results in a vertical flip.
+
+  -h                  This help text.
+  -s <start:nframes>  Starting frame number and total number of frames of input to use.
+  -r <rational>       Output framerate or "same" to match input duration. [default: input rate]
+  -q                  Don't print progress.
+
+  -o <optstring>  decoder options (accepted for CLI parity)
+  -O <optstring>  encoder options (accepted for CLI parity)
+  -f <fmt>        input format name (e.g. for pipe input).
+  -F <fmt>        output format name. [default: from output file extension]
+  -c <optstring>  Option string specifying the pixel format and color properties to convert to for processing.
+  -e <enc>        output encoder name (accepted for CLI parity)
+  -l <int>        log level (accepted for CLI parity)
+"""
+
+
+def parse_axis_map(spec: str) -> tuple[list[int], list[bool]]:
+    """Parse "[-]x[-]y[-]z" into (map, invert) — ``map[i]`` is the
+    source axis (0=x,1=y,2=z) placed at position i, ``invert[i]`` the
+    sign parsed at position i (reference rotate.c:74-89; note the
+    reference *applies* the flip as invert[map[i]])."""
+    m = []
+    inv = []
+    pos = 0
+    for _ in range(3):
+        neg = False
+        if pos < len(spec) and spec[pos] in "+-":
+            neg = spec[pos] == "-"
+            pos += 1
+        if pos >= len(spec):
+            break
+        ax = ord(spec[pos]) - ord("x")
+        pos += 1
+        if ax < 0 or ax > 2:
+            raise ValueError(f"bad axis in {spec!r}")
+        m.append(ax)
+        inv.append(neg)
+    if len(m) != 3 or sorted(m) != [0, 1, 2]:
+        raise ValueError(f"bad axis map {spec!r}")
+    return m, inv
+
+
+def rotate_volume(vol: np.ndarray, axmap: list[int], invert: list[bool]) -> np.ndarray:
+    """Permute/flip a [T, H, W, ...] volume.
+
+    Implements the reference's index map (rotate.c:159-172):
+    out[a_{map0}, a_{map1}, a_{map2}] = in[flip(a_0), flip(a_1), flip(a_2)]
+    where source axis j is reversed iff invert[map[j]].
+    """
+    # convert to x,y,z axis order: A[x, y, z]
+    a = np.moveaxis(vol, (0, 1, 2), (2, 1, 0))
+    for j in range(3):
+        if invert[axmap[j]]:
+            a = np.flip(a, axis=j)
+    a = np.transpose(a, axes=axmap + list(range(3, a.ndim)))
+    # back to [T', H', W', ...]
+    return np.moveaxis(a, (0, 1, 2), (2, 1, 0))
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        flags, args = getopt.gnu_getopt(argv, "o:O:f:F:c:e:l:r:s:hq")
+    except getopt.GetoptError as e:
+        print(e, file=sys.stderr)
+        return 1
+
+    rate = None
+    samedur = False
+    frames = 0
+    offset = 0
+    quiet = False
+    ifmt = ofmt = cprops = None
+    for flag, arg in flags:
+        if flag == "-h":
+            print(HELP)
+            return 0
+        elif flag == "-s":
+            start, _, n = arg.partition(":")
+            offset = int(start or 0)
+            frames = int(n or 0)
+        elif flag == "-r":
+            if arg == "same":
+                samedur = True
+            else:
+                rate = video.parse_rate(arg)
+        elif flag == "-q":
+            quiet = True
+        elif flag == "-f":
+            ifmt = arg
+        elif flag == "-F":
+            ofmt = arg
+        elif flag == "-c":
+            cprops = arg
+
+    if len(args) < 3:
+        print(USAGE, file=sys.stderr)
+        return 1
+    try:
+        axmap, invert = parse_axis_map(args[0])
+    except ValueError:
+        print(USAGE, file=sys.stderr)
+        return 1
+
+    try:
+        reader = video.open_input(args[1], format=ifmt)
+    except Exception as e:  # noqa: BLE001
+        print(f"error opening input file {args[1]}: {e}", file=sys.stderr)
+        return 1
+    # rotation needs non-subsampled pixels (reference rotate.c:14-16);
+    # subsampled input is converted to full-res planes via RGB
+    subsampled = reader.pix_fmt.chroma_shift != (0, 0)
+
+    reader.seek_frame(offset)
+    nframes = reader.frames or 0
+    if nframes:
+        nframes -= offset
+    if frames and nframes:
+        nframes = min(frames, nframes)
+    elif frames:
+        nframes = frames
+
+    vol_frames = []
+    z = 0
+    while nframes == 0 or z < nframes:
+        if subsampled:
+            f = reader.read_frame_rgb()
+            planes = None if f is None else [f[..., 1], f[..., 2], f[..., 0]]
+        else:
+            planes = reader.read_frame()
+        if planes is None:
+            break
+        vol_frames.append(np.stack(planes, axis=-1))
+        if not quiet:
+            print(f"\r{z}", end="", file=sys.stderr)
+        z += 1
+    if not quiet:
+        print(file=sys.stderr)
+    reader.close()
+    if not vol_frames:
+        print("no input frames", file=sys.stderr)
+        return 1
+
+    vol = np.stack(vol_frames)  # [T, H, W, C]
+    lens = [vol.shape[2], vol.shape[1], vol.shape[0]]  # x, y, z
+
+    out_vol = rotate_volume(vol, axmap, invert)
+    out_t, out_h, out_w = out_vol.shape[:3]
+
+    if rate is None:
+        r = reader.rate
+        if samedur:
+            # fps = len[map[2]]*r / len[2] (reference rotate.c:122-126)
+            rate = Fraction(lens[axmap[2]] * r.numerator,
+                            lens[2] * r.denominator)
+        else:
+            rate = r
+
+    props = video.parse_color_props(cprops)
+    if not props.pix_fmt:
+        pf = reader.pix_fmt.name
+        if subsampled:
+            pf = "gbrpf32le" if reader.pix_fmt.is_float else "yuv444p"
+        props.pix_fmt = pf
+    for field in ("color_range", "color_primaries", "color_trc",
+                  "color_space"):
+        if getattr(props, field) is None:
+            setattr(props, field, getattr(reader.props, field))
+
+    try:
+        writer = video.open_output(args[2], out_w, out_h, rate, props,
+                                   format=ofmt)
+    except Exception as e:  # noqa: BLE001
+        print(f"error opening output file {args[2]}: {e}", file=sys.stderr)
+        return 1
+    try:
+        for t in range(out_t):
+            frame = out_vol[t]
+            writer.write_frame([frame[..., c] for c in range(frame.shape[-1])])
+            if not quiet:
+                print(f"\r{t}", end="", file=sys.stderr)
+        if not quiet:
+            print(file=sys.stderr)
+    finally:
+        writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,129 @@
+"""transcode — simple transcoder / video-layer test utility.
+
+CLI-compatible rebuild of reference motion/transcode.c ("meant for
+testing dspfun's FFmpeg API wrapper", motion/README.md:127): a
+decode -> encode pass-through exercising the container layer.
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+
+from dspfun_tpu.io import video
+
+USAGE = "Usage: transcode [options] <input> <output>"
+
+HELP = """Usage: transcode [options] <infile> <outfile>
+
+  -h                  This help text.
+  -s <start:nframes>  Starting frame number and total number of frames of input to use.
+  -r <rational>       Output framerate. [default: input rate]
+  -q                  Don't print progress.
+
+  -o <optstring>  decoder options (accepted for CLI parity)
+  -O <optstring>  encoder options (accepted for CLI parity)
+  -f <fmt>        input format name (e.g. for pipe input).
+  -F <fmt>        output format name. [default: from output file extension]
+  -c <optstring>  Option string specifying the pixel format and color properties to convert to for processing.
+  -e <enc>        output encoder name (accepted for CLI parity)
+  -l <int>        log level (accepted for CLI parity)
+"""
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        flags, args = getopt.gnu_getopt(argv, "o:O:f:F:c:e:l:r:s:qh")
+    except getopt.GetoptError as e:
+        print(e, file=sys.stderr)
+        return 1
+
+    rate = None
+    frames = 0
+    offset = 0
+    quiet = False
+    ifmt = ofmt = cprops = None
+    for flag, arg in flags:
+        if flag == "-h":
+            print(HELP)
+            return 0
+        elif flag == "-s":
+            start, _, n = arg.partition(":")
+            offset = int(start or 0)
+            frames = int(n or 0)
+        elif flag == "-r":
+            rate = video.parse_rate(arg)
+        elif flag == "-q":
+            quiet = True
+        elif flag == "-f":
+            ifmt = arg
+        elif flag == "-F":
+            ofmt = arg
+        elif flag == "-c":
+            cprops = arg
+        # -o, -O, -e, -l: parity only
+
+    if len(args) < 2:
+        print(USAGE, file=sys.stderr)
+        return 1
+
+    try:
+        reader = video.open_input(args[0], format=ifmt)
+    except Exception as e:  # noqa: BLE001
+        print(f"Error opening input context: {e}", file=sys.stderr)
+        return 1
+
+    props = video.parse_color_props(cprops)
+    convert = bool(props.pix_fmt) and props.pix_fmt != reader.pix_fmt.name
+    if not props.pix_fmt:
+        props.pix_fmt = reader.pix_fmt.name
+    for field in ("color_range", "color_primaries", "color_trc",
+                  "color_space", "chroma_location"):
+        if getattr(props, field) is None:
+            setattr(props, field, getattr(reader.props, field))
+
+    nframes = reader.frames or 0
+    if frames:
+        nframes = frames
+    else:
+        nframes -= min(nframes, offset)
+    reader.seek_frame(offset)
+
+    try:
+        writer = video.open_output(
+            args[1], reader.width, reader.height, rate or reader.rate,
+            props, format=ofmt,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"Error opening output context: {e}", file=sys.stderr)
+        reader.close()
+        return 1
+
+    ret = 0
+    try:
+        z = 0
+        while nframes == 0 or z < nframes:
+            if convert:
+                rgb = reader.read_frame_rgb()
+                if rgb is None:
+                    break
+                writer.write_frame_rgb(rgb)
+            else:
+                planes = reader.read_frame()
+                if planes is None:
+                    break
+                writer.write_frame(planes)
+            if not quiet:
+                print(f"\r{z}", end="", file=sys.stderr)
+            z += 1
+        if not quiet:
+            print(file=sys.stderr)
+    finally:
+        writer.close()
+        reader.close()
+    return ret
+
+
+if __name__ == "__main__":
+    sys.exit(main())
