@@ -56,28 +56,30 @@ def split_hilo(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 class AxisPlan(NamedTuple):
-    """A planned 1-D transform: basis matrix as device array(s).
+    """A planned 1-D transform: basis matrix array(s).
 
     The TPU analogue of an FFTW plan (reference motion/motion.c:518-557
-    plans + wisdom): materialised once per (size, kind, precision) and
-    passed *as arguments* into jitted pipelines so the matrices live in
-    HBM instead of being inlined into the compiled program.  ``lo`` is
-    the double-float compensation term (None outside hilo mode).
+    plans + wisdom): materialised once per (size, kind, precision).
+    Held as *host* numpy arrays so a cached plan is safe to use both as
+    a jit argument (lives in HBM, not inlined) and inside jit/shard_map
+    traces (becomes a compile-time constant).  ``lo`` is the
+    double-float compensation term (None outside hilo mode).
     """
 
-    hi: jax.Array
-    lo: jax.Array | None
+    hi: jax.Array | np.ndarray
+    lo: jax.Array | np.ndarray | None
 
 
 def plan_matrix(m: np.ndarray, precision: Precision | None = None) -> AxisPlan:
     """Build an AxisPlan from an arbitrary float64 matrix."""
     p = precision or get_precision()
+    m = np.asarray(m, dtype=np.float64)
     if p.intermediate == "f64":
-        return AxisPlan(jnp.asarray(m, dtype=jnp.float64), None)
+        return AxisPlan(m, None)
     if p.intermediate == "hilo":
-        hi, lo = split_hilo(np.asarray(m, dtype=np.float64))
-        return AxisPlan(jnp.asarray(hi), jnp.asarray(lo))
-    return AxisPlan(jnp.asarray(np.asarray(m, dtype=np.float32)), None)
+        hi, lo = split_hilo(m)
+        return AxisPlan(hi, lo)
+    return AxisPlan(m.astype(np.float32), None)
 
 
 @functools.lru_cache(maxsize=128)

@@ -201,8 +201,8 @@ def _scan_chunk(
     plan_h, plan_w = plans_inv
     if use_pruned:
         # gather basis columns: By[:, ys] -> [F, H, K]
-        by = jnp.moveaxis(plan_h.hi[:, ys], 1, 0)
-        bx = jnp.moveaxis(plan_w.hi[:, xs], 1, 0)
+        by = jnp.moveaxis(jnp.asarray(plan_h.hi)[:, ys], 1, 0)
+        bx = jnp.moveaxis(jnp.asarray(plan_w.hi)[:, xs], 1, 0)
         t = v[:, :, None, :] * bx[:, :, :, None].transpose(0, 2, 1, 3)  # [F,K,W,C]
         delta = jax.lax.dot_general(
             by, t.reshape(f, -1, w * c),
@@ -211,8 +211,8 @@ def _scan_chunk(
             preferred_element_type=jnp.float32,
         ).reshape(f, h, w, c)
         if plan_h.lo is not None:
-            by_lo = jnp.moveaxis(plan_h.lo[:, ys], 1, 0)
-            bx_lo = jnp.moveaxis(plan_w.lo[:, xs], 1, 0)
+            by_lo = jnp.moveaxis(jnp.asarray(plan_h.lo)[:, ys], 1, 0)
+            bx_lo = jnp.moveaxis(jnp.asarray(plan_w.lo)[:, xs], 1, 0)
             t_lo = v[:, :, None, :] * bx_lo[:, :, :, None].transpose(0, 2, 1, 3)
             delta = delta + jax.lax.dot_general(
                 by, t_lo.reshape(f, -1, w * c),
