@@ -31,7 +31,9 @@ def main() -> int:
     mask_np = lowpass_mask((h, w), cutoff=0.25, boost=1.25, damp=0.0)[:, :, None]
 
     precision = Precision(coeff="float32", intermediate="hilo")
-    plans = filter_plans((h, w), precision)
+    # plans are host numpy; ship them to HBM once (they are the FFTW-plan
+    # analogue and must not be re-uploaded per call)
+    plans = jax.device_put(filter_plans((h, w), precision))
     fn = jax.jit(lambda a, m, pl: fused_filter_2d(a, m, pl, precision))
 
     x = jax.device_put(x_np)

@@ -691,6 +691,7 @@ def open_output(
     props: ColorProps | None = None,
     format: str | None = None,
     options: str | None = None,
+    append: bool = False,
 ) -> VideoWriter:
     """Open a video output.
 
@@ -722,9 +723,16 @@ def open_output(
         return ImageSeqWriter(spec, spec, width, height, rate, pf, props)
     pf = PIXEL_FORMATS[_negotiate_pix_fmt(fmt, props)]
     _default_props(fmt, props)
-    stream = _open_stream_out(spec)
     cls = Y4MWriter if fmt == "y4m" else FvidWriter
     name = "yuv4mpegpipe" if fmt == "y4m" else "fvid"
+    if append and spec not in ("-", "pipe:", "pipe:1") and os.path.exists(spec) \
+            and os.path.getsize(spec) > 0:
+        # checkpoint/resume: continue an existing stream in place
+        stream = open(spec, "ab")
+        w = cls(stream, spec, name, width, height, rate, pf, props)
+        w._wrote_header = True
+        return w
+    stream = _open_stream_out(spec)
     return cls(stream, spec, name, width, height, rate, pf, props)
 
 

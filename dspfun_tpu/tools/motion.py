@@ -28,7 +28,7 @@ LONG = [
     "damp=", "quant=", "dither", "csp=", "format=", "codec=", "encopts=",
     "iformat=", "decopts=", "loglevel=", "preserve-dc=", "eval=",
     "fftw-planning-method=", "fftw-wisdom-file=", "fftw-threads=", "quiet",
-    "help", "threshold=", "coeff-limit=", "linear",
+    "help", "threshold=", "coeff-limit=", "linear", "resume-file=",
 ]
 
 # getopt has no optional-argument long options; bare forms of these are
@@ -89,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
     maxframes = 0
     out_rate = None
     csp = iformat = oformat = None
+    resume_file = None
     for flag, arg in flags:
         if flag in ("-h", "--help"):
             print(USAGE)
@@ -155,10 +156,16 @@ def main(argv: list[str] | None = None) -> int:
             oformat = arg
         elif flag == "--iformat":
             iformat = arg
+        elif flag == "--fftw-wisdom-file":
+            # FFTW wisdom -> XLA persistent compilation cache
+            from dspfun_tpu.utils.cache import enable_compilation_cache  # noqa: PLC0415
+
+            enable_compilation_cache(arg)
+        elif flag == "--resume-file":
+            resume_file = arg
         elif flag in ("--codec", "--encopts", "--decopts", "--loglevel",
-                      "--fftw-planning-method", "--fftw-wisdom-file",
-                      "--fftw-threads"):
-            pass  # CLI parity; XLA's compile cache replaces FFTW planning
+                      "--fftw-planning-method", "--fftw-threads"):
+            pass  # CLI parity; XLA handles planning/threading
         elif flag in ("-Q", "--quiet"):
             quiet = True
 
@@ -242,13 +249,25 @@ def main(argv: list[str] | None = None) -> int:
     else:
         rate = out_rate
 
+    # checkpoint/resume: restart from the recorded slab index
+    start_slab = 0
+    if resume_file:
+        from dspfun_tpu.utils.checkpoint import load_state  # noqa: PLC0415
+
+        st = load_state(resume_file)
+        if st.get("newres") == [g0.newres.w, g0.newres.h, g0.newres.d]:
+            start_slab = int(st.get("slab", 0))
+            if not quiet and start_slab:
+                print(f"resuming at slab {start_slab}", file=sys.stderr)
+
     props = reader.props.copy()
     props.pix_fmt = proc_fmt.name
     if spec:
         props.color_range = "jpeg"
     try:
         writer = video.open_output(
-            outfile, g0.newres.w, g0.newres.h, rate, props, format=oformat
+            outfile, g0.newres.w, g0.newres.h, rate, props, format=oformat,
+            append=start_slab > 0,
         )
     except Exception as e:  # noqa: BLE001
         print(f"Output setup failed for '{outfile}': {e}", file=sys.stderr)
@@ -265,8 +284,8 @@ def main(argv: list[str] | None = None) -> int:
               "output, disabling.", file=sys.stderr)
         dither = False
 
-    if offset:
-        reader.seek_frame(offset)
+    if offset or start_slab:
+        reader.seek_frame(offset + start_slab * g0.block.d)
 
     import jax.numpy as jnp  # noqa: PLC0415
 
@@ -304,13 +323,13 @@ def main(argv: list[str] | None = None) -> int:
         return planes
 
     coded = 0
-    written = 0
-    read_count = 0
+    written = start_slab * g0.scaled.d
+    read_count = start_slab * g0.block.d
     ret = 0
     padb = int(math.log10(max(source_d, 1))) + 1
     pads = int(math.log10(max(g0.newres.d, 1))) + 1
     try:
-        for bz in range(g0.nblocks.d):
+        for bz in range(start_slab, g0.nblocks.d):
             slab = []
             for _z in range(g0.block.d):
                 planes = read_proc_planes()
@@ -345,6 +364,13 @@ def main(argv: list[str] | None = None) -> int:
                 if not quiet:
                     print(f"\rread: {read_count:>{padb}} wrote: "
                           f"{written:>{pads}}", end="", file=sys.stderr)
+            if resume_file:
+                from dspfun_tpu.utils.checkpoint import save_state  # noqa: PLC0415
+
+                save_state(resume_file, {
+                    "slab": bz + 1,
+                    "newres": [g0.newres.w, g0.newres.h, g0.newres.d],
+                })
     finally:
         if not quiet:
             print(file=sys.stderr)
