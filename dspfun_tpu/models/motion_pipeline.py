@@ -265,6 +265,60 @@ def filter_blocks(
     normalization = 1.0 / math.sqrt(svol * 8.0)
     norm2 = normalization * normalization
 
+    # ------------------------------------------------------------------
+    # Fast path: when the chain is two matmuls around a pointwise middle
+    # (no spectrogram codecs, expression, top-N, preserve-DC, dither,
+    # trc, quant stats, or block resize) and the block is small, fold
+    # everything into Kronecker matrices and run the fused VMEM-resident
+    # kernel — one HBM read + one write per block.
+    # ------------------------------------------------------------------
+    vol = g.minbuf.volume()
+    fast = (
+        p.expr is None and p.spec is None and p.ispec is None
+        and not p.coeff_limit and not p.preserve_dc and not p.dither
+        and not p.quant and not p.linear
+        and g.block == g.scaled == g.minbuf
+        and vol <= 4096
+    )
+    if fast:
+        from dspfun_tpu.ops import pallas_kernels as _pk  # noqa: PLC0415
+
+        dims3 = (g.block.d, g.block.h, g.block.w)
+        uf = _uniform_factor(*dims3).reshape(-1)
+        bpm = _bandpass_mult(g, p.boost, p.damp).reshape(-1)
+        tmin = p.threshold_min * 255.0 / norm2 if p.threshold_max else 0.0
+        tmax = p.threshold_max * 255.0 / norm2 if p.threshold_max else 0.0
+        flat = blocks.reshape(nb, -1)
+        use_pallas = (
+            _pk.has_pallas() and vol % 128 == 0
+            and jax.default_backend() not in ("cpu",)
+        )
+        if use_pallas:
+            out = _pk.fused_block_filter(
+                flat, dims3, uf * bpm, threshold=(tmin, tmax),
+                post_filter=1.0 / uf,
+            )
+        else:
+            from dspfun_tpu.ops.blockdct import kron_dct_matrix  # noqa: PLC0415
+
+            k2 = kron_dct_matrix(dims3, "dct2") * (uf * bpm)[:, None]
+            k3 = (kron_dct_matrix(dims3, "dct3") / (8.0 * vol)) \
+                * (1.0 / uf)[None, :]
+            fcoef = jnp.dot(flat.astype(jnp.float32),
+                            jnp.asarray(k2.T, jnp.float32),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+            if p.threshold_max:
+                a = jnp.abs(fcoef)
+                fcoef = jnp.where((a < tmin) | (a > tmax), 0.0, fcoef)
+            out = jnp.dot(fcoef, jnp.asarray(k3.T, jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+        pel = out.reshape(nb, g.scaled.d, g.scaled.h, g.scaled.w).astype(dtype)
+        if p.float_pixels:
+            return pel, jnp.zeros((), jnp.int32)
+        return jnp.clip(jnp.round(pel), 0.0, 255.0), jnp.zeros((), jnp.int32)
+
     fwd_plans, inv_plans = plans
 
     # --- input decode (motion.c:618-638) -------------------------------

@@ -82,6 +82,7 @@ def fused_block_filter(
     coeff_filter: np.ndarray,
     quant: float = 0.0,
     threshold: tuple[float, float] = (0.0, 0.0),
+    post_filter: np.ndarray | None = None,
     row_tile: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
@@ -90,8 +91,11 @@ def fused_block_filter(
 
     ``coeff_filter`` is the per-coefficient linear multiplier (folded
     into the forward matrix); ``quant``/``threshold`` run between the
-    matmuls on the VPU.  The round-trip normalisation 1/(2^n V) is
-    folded into the inverse matrix.
+    matmuls on the VPU in the filtered-coefficient domain;
+    ``post_filter`` is a per-coefficient multiplier applied after the
+    middle (folded into the inverse matrix — e.g. motion's inverse
+    uniform renorm).  The round-trip normalisation 1/(2^n V) is folded
+    into the inverse matrix.
     """
     from dspfun_tpu.ops.blockdct import kron_dct_matrix  # noqa: PLC0415
 
@@ -101,6 +105,8 @@ def fused_block_filter(
     k3 = kron_dct_matrix(dims, "dct3") / (2.0 ** len(dims) * v)
     f = np.asarray(coeff_filter, dtype=np.float64).reshape(v)
     k2m_t = np.ascontiguousarray((k2 * f[:, None]).T, dtype=np.float32)
+    if post_filter is not None:
+        k3 = k3 * np.asarray(post_filter, dtype=np.float64).reshape(v)[None, :]
     k3s_t = np.ascontiguousarray(k3.T, dtype=np.float32)
 
     pad = (-nb) % row_tile
