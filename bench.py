@@ -30,7 +30,7 @@ def main() -> int:
     x_np = rng.random((h, w, c)).astype(np.float32)
     mask_np = lowpass_mask((h, w), cutoff=0.25, boost=1.25, damp=0.0)[:, :, None]
 
-    precision = Precision(coeff="float32", intermediate="hilo")
+    precision = Precision(coeff="float32", intermediate="f32")
     # plans are host numpy; ship them to HBM once (they are the FFTW-plan
     # analogue and must not be re-uploaded per call)
     plans = jax.device_put(filter_plans((h, w), precision))
