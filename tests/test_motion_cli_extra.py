@@ -1,0 +1,100 @@
+"""motion CLI: chroma geometry, per-plane filters, coeff-limit, csp."""
+
+from fractions import Fraction
+
+import numpy as np
+
+from dspfun_tpu.io import video
+from dspfun_tpu.tools import motion as motion_tool
+
+
+def write_y4m(tmp_path, name, frames, pix="yuv420p"):
+    t, h, w = frames.shape[:3]
+    path = str(tmp_path / name)
+    props = video.parse_color_props(f"pixel_format={pix}")
+    with video.open_output(path, w, h, Fraction(25), props, format="y4m") as wr:
+        for f in frames:
+            wr.write_frame_rgb(f)
+    return path
+
+
+def read_clip(path):
+    with video.open_input(path) as r:
+        out = []
+        while True:
+            f = r.read_frame_rgb()
+            if f is None:
+                break
+            out.append(f)
+    return np.stack(out)
+
+
+def test_samesize_chroma(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = rng.random((2, 16, 16, 3)).astype(np.float32)
+    src = write_y4m(tmp_path, "in.y4m", frames)
+    out = str(tmp_path / "o.y4m")
+    rc = motion_tool.main(["-Q", "-b", "8x8x1", "--samesize-chroma", src, out])
+    assert rc == 0
+    a, b = read_clip(src), read_clip(out)
+    assert np.abs(a - b).max() < 0.02
+
+
+def test_per_plane_damp_list(tmp_path):
+    """-D 0:1:1 damps only the luma plane's stop band."""
+    rng = np.random.default_rng(1)
+    frames = rng.random((2, 8, 8, 3)).astype(np.float32)
+    src = write_y4m(tmp_path, "in.y4m", frames, pix="yuv444p")
+    out = str(tmp_path / "o.y4m")
+    rc = motion_tool.main(
+        ["-Q", "-p", "0x0x0-2x2x2", "-D", "0:1:1", src, out]
+    )
+    assert rc == 0
+    got = read_clip(out)
+    # luma heavily filtered, chroma untouched: compare overall change
+    assert not np.allclose(got, read_clip(src), atol=0.02)
+
+
+def test_coeff_limit_cli(tmp_path):
+    rng = np.random.default_rng(2)
+    frames = rng.random((1, 8, 8, 3)).astype(np.float32)
+    src = str(tmp_path / "in.fvid")
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(src, 8, 8, Fraction(25), props, format="fvid") as wr:
+        wr.write_frame_rgb(frames[0])
+    out = str(tmp_path / "o.fvid")
+    rc = motion_tool.main(["-Q", "--coeff-limit", "1", src, out])
+    assert rc == 0
+    got = read_clip(out)
+    # only DC per block plane survives -> flat channels
+    assert np.abs(got[0] - got[0].mean(axis=(0, 1))).max() < 1e-3
+
+
+def test_csp_conversion_yuv_to_rgb_float(tmp_path):
+    rng = np.random.default_rng(3)
+    frames = rng.random((1, 8, 8, 3)).astype(np.float32)
+    src = write_y4m(tmp_path, "in.y4m", frames, pix="yuv444p")
+    out = str(tmp_path / "o.fvid")
+    rc = motion_tool.main(
+        ["-Q", "-c", "pixel_format=gbrpf32le", src, out]
+    )
+    assert rc == 0
+    with video.open_input(out) as r:
+        assert r.pix_fmt.name == "gbrpf32le"
+        got = r.read_frame_rgb()
+    np.testing.assert_allclose(got, read_clip(src)[0], atol=0.02)
+
+
+def test_motion_linear_light(tmp_path):
+    rng = np.random.default_rng(4)
+    frames = rng.random((1, 8, 8, 3)).astype(np.float32)
+    src = str(tmp_path / "in.fvid")
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(src, 8, 8, Fraction(25), props, format="fvid") as wr:
+        wr.write_frame_rgb(frames[0])
+    out = str(tmp_path / "o.fvid")
+    # identity chain in linear light: decode+encode trc cancels
+    rc = motion_tool.main(["-Q", "--linear", src, out])
+    assert rc == 0
+    got = read_clip(out)
+    np.testing.assert_allclose(got[0], frames[0], atol=5e-3)
