@@ -74,7 +74,24 @@ class Precision:
         )
 
 
-_default = Precision()
+def _from_env() -> Precision:
+    """DSPFUN_PRECISION=[coeff:]intermediate — the runtime replacement
+    for the reference's COEFF_PRECISION/INTERMEDIATE_PRECISION compile
+    flags (include/precision.h:26-57).  Examples: "f32", "hilo",
+    "bf16:f32", "f64:f64"."""
+    import os  # noqa: PLC0415
+
+    spec = os.environ.get("DSPFUN_PRECISION", "")
+    if not spec:
+        return Precision()
+    coeff, _, inter = spec.partition(":")
+    if not inter:
+        coeff, inter = "float32", coeff
+    coeff = {"f32": "float32", "bf16": "bfloat16", "f64": "float64"}.get(coeff, coeff)
+    return Precision(coeff=coeff, intermediate=inter)
+
+
+_default = _from_env()
 
 
 def get_precision() -> Precision:

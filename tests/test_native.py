@@ -88,3 +88,22 @@ def test_native_dither_matches_jax_scan():
     ref = np.asarray(_dither_blocks(jnp.asarray(pel), 1.0))
     got = native.dither_fs_batch(pel.reshape(2, 8, 16).copy()).reshape(ref.shape)
     np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_prefetch_threading_stress(tmp_path):
+    """Staging-queue concurrency stress: many small frames through a
+    shallow ring, repeated (the 'race detection' coverage SURVEY.md
+    section 5 calls for — the prefetcher is the only threaded code)."""
+    path, frames = make_fvid(tmp_path, n=64, h=4, w=4)
+    for _ in range(3):
+        with native.NativeVideoReader(path, prefetch=2) as nr:
+            count = 0
+            while True:
+                planes = nr.read_frame()
+                if planes is None:
+                    break
+                np.testing.assert_allclose(
+                    planes[0], frames[count][..., 1], atol=1e-7
+                )
+                count += 1
+            assert count == 64
