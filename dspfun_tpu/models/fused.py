@@ -10,7 +10,6 @@ inverse per tool).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from dspfun_tpu.core.precision import Precision, get_precision

@@ -26,7 +26,6 @@ Layout walk-through for the forward half (per shard shapes):
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

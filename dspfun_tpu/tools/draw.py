@@ -8,8 +8,6 @@ from __future__ import annotations
 import getopt
 import sys
 
-import numpy as np
-
 from dspfun_tpu.io import images
 from dspfun_tpu.models.basis_pipeline import draw_canvas
 

@@ -2,7 +2,6 @@
 (vs reference applybasis/*.c)."""
 
 import numpy as np
-import pytest
 import scipy.fft
 
 from dspfun_tpu.io import images

@@ -1,7 +1,6 @@
 """motion pipeline unit tests (vs reference motion/motion.c chain)."""
 
 import numpy as np
-import pytest
 import scipy.fft
 
 from dspfun_tpu.core.expr import parse_expr

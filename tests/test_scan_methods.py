@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from dspfun_tpu.ops import scan_methods as sm
-from dspfun_tpu.ops.scan_order import ScanOrder, serialize, unserialize
+from dspfun_tpu.ops.scan_order import serialize, unserialize
 
 
 def order_of(name, w, h, coeffs=None, args=None):

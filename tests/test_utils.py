@@ -3,7 +3,6 @@
 import os
 
 import numpy as np
-import pytest
 
 from dspfun_tpu.io import video
 from dspfun_tpu.utils import checkpoint, profiling
