@@ -45,9 +45,15 @@ EXPR_NAMES = ("c", "x", "y", "z", "i", "width", "height", "depth",
               "components", "bx", "by", "bz", "bwidth", "bheight", "bdepth")
 
 
-def _parse_dims(arg: str) -> mp.Dims:
-    parts = (arg.split("x") + ["0", "0", "0"])[:3]
-    return mp.Dims(*(int(p or 0) for p in parts))
+def _parse_dims(arg: str, current: mp.Dims = mp.Dims(0, 0, 0)) -> mp.Dims:
+    """sscanf-style: unmatched trailing fields keep their prior values
+    (so `-b 8x8` keeps the default depth 1, while `-b 8x8x0` explicitly
+    requests whole-clip depth — reference motion.c:227,motion/README.md)."""
+    vals = [current.w, current.h, current.d]
+    for i, p in enumerate(arg.split("x")[:3]):
+        if p != "":
+            vals[i] = int(p)
+    return mp.Dims(*vals)
 
 
 def _parse_multi(arg: str, default: float) -> list[float]:
@@ -95,9 +101,7 @@ def main(argv: list[str] | None = None) -> int:
             print(USAGE)
             return 0
         elif flag in ("-b", "--blocksize"):
-            block = _parse_dims(arg)
-            if not block.d:
-                block = mp.Dims(block.w, block.h, 1)
+            block = _parse_dims(arg, block)
         elif flag in ("-s", "--size"):
             scaled = _parse_dims(arg)
         elif flag in ("-p", "--bandpass"):

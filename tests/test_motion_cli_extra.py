@@ -98,3 +98,35 @@ def test_motion_linear_light(tmp_path):
     assert rc == 0
     got = read_clip(out)
     np.testing.assert_allclose(got[0], frames[0], atol=5e-3)
+
+
+def test_whole_clip_3d_block(tmp_path):
+    """-b 0x0x0 transforms the entire input as one 3-D volume
+    (motion/README.md 'Blocks')."""
+    rng = np.random.default_rng(5)
+    frames = rng.random((4, 8, 8, 3)).astype(np.float32)
+    src = str(tmp_path / "in.fvid")
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(src, 8, 8, Fraction(25), props, format="fvid") as wr:
+        for f in frames:
+            wr.write_frame_rgb(f)
+    out = str(tmp_path / "o.fvid")
+    assert motion_tool.main(["-Q", "-b", "0x0x0", src, out]) == 0
+    got = read_clip(out)
+    assert got.shape[0] == 4
+    np.testing.assert_allclose(got, frames, atol=2e-3)
+
+
+def test_partial_blocksize_keeps_default_depth(tmp_path):
+    """-b 8x8 (two fields) keeps depth 1 like the reference's sscanf."""
+    rng = np.random.default_rng(6)
+    frames = rng.random((2, 8, 8, 3)).astype(np.float32)
+    src = str(tmp_path / "in.fvid")
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(src, 8, 8, Fraction(25), props, format="fvid") as wr:
+        for f in frames:
+            wr.write_frame_rgb(f)
+    out = str(tmp_path / "o.fvid")
+    assert motion_tool.main(["-Q", "-b", "8x8", src, out]) == 0
+    with video.open_input(out) as r:
+        assert r.frames == 2  # depth-1 blocks: every frame written
