@@ -1,0 +1,86 @@
+"""Cross-tool CLI edge-case coverage: signmap inversion, zoom position
+flags, genbasis complex plane, image-sequence video input."""
+
+import numpy as np
+
+from dspfun_tpu.io import images, video
+from dspfun_tpu.tools import genbasis as gb_tool
+from dspfun_tpu.tools import ispec as ispec_tool
+from dspfun_tpu.tools import motion as motion_tool
+from dspfun_tpu.tools import spec as spec_tool
+from dspfun_tpu.tools import zoom as zoom_tool
+
+
+def smooth_image(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [0.5 + 0.35 * np.sin(x / 4 + c) * np.cos(y / 5 - c) for c in range(3)],
+        axis=-1,
+    )
+    return np.clip(img, 0, 1)
+
+
+def test_spec_sign_then_ispec_with_signmap(tmp_path):
+    """spec -t abs + spec -t sign -> ispec -m signmap recovers the image
+    (reference spec/README.md signmap workflow)."""
+    src = str(tmp_path / "in.png")
+    images.write_image(src, smooth_image(16, 16))
+    absspec = str(tmp_path / "abs.png")
+    signmap = str(tmp_path / "sign.png")
+    back = str(tmp_path / "back.png")
+    assert spec_tool.main(["-t", "abs", src, absspec]) == 0
+    assert spec_tool.main(["-t", "sign", src, signmap]) == 0
+    assert ispec_tool.main(["-t", "abs", "-m", signmap, absspec, back]) == 0
+    a = images.read_image(src).pixels
+    b = images.read_image(back).pixels
+    # 8-bit log-abs spectrum quantisation limits accuracy
+    assert np.sqrt(((a - b) ** 2).mean()) < 0.12
+
+
+def test_zoom_input_coords_and_percent(tmp_path):
+    src = str(tmp_path / "in.png")
+    images.write_image(src, smooth_image(8, 8))
+    out1 = str(tmp_path / "a.fvid")
+    out2 = str(tmp_path / "b.fvid")
+    # -P: position in input units; at scale 2, -p 2x2 -P == -p 4x4
+    assert zoom_tool.main(["-s", "2", "-v", "8x8", "-p", "2x2", "-P", "-q",
+                           src, out1]) == 0
+    assert zoom_tool.main(["-s", "2", "-v", "8x8", "-p", "4x4", "-q",
+                           src, out2]) == 0
+    with video.open_input(out1) as r1, video.open_input(out2) as r2:
+        np.testing.assert_allclose(r1.read_frame_rgb(), r2.read_frame_rgb(),
+                                   atol=1e-6)
+    # -%: percent of view
+    out3 = str(tmp_path / "c.fvid")
+    out4 = str(tmp_path / "d.fvid")
+    assert zoom_tool.main(["-s", "2", "-v", "8x8", "-p", "50x50", "-%", "-q",
+                           src, out3]) == 0
+    assert zoom_tool.main(["-s", "2", "-v", "8x8", "-p", "4x4", "-q",
+                           src, out4]) == 0
+    with video.open_input(out3) as r3, video.open_input(out4) as r4:
+        np.testing.assert_allclose(r3.read_frame_rgb(), r4.read_frame_rgb(),
+                                   atol=1e-6)
+
+
+def test_genbasis_complex_plane(tmp_path):
+    out = str(tmp_path / "c.png")
+    assert gb_tool.main(["--size", "4x4", "-f", "dft", "-P", "complex",
+                         "-n", out]) == 0
+    img = images.read_image(out, channels="RGB").pixels
+    # complex plane packs Re->R, Im->B with G=0 inside tiles
+    # (genbasis.c:45-49); padding defaults to the dim green mix
+    assert img.shape == (4 * 4 + 5, 4 * 4 + 5, 3)
+    inner = img[1:5, 1:5]
+    assert inner[..., 1].max() < 0.01
+
+
+def test_motion_image_sequence_input(tmp_path):
+    pattern = str(tmp_path / "f%02d.png")
+    for i in range(2):
+        images.write_image(pattern % i, smooth_image(8, 8))
+    out = str(tmp_path / "o.fvid")
+    assert motion_tool.main(["-Q", pattern, out]) == 0
+    with video.open_input(out) as r:
+        assert r.frames == 2
+        got = r.read_frame_rgb()
+    np.testing.assert_allclose(got, smooth_image(8, 8), atol=0.02)
