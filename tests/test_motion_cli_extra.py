@@ -130,3 +130,37 @@ def test_partial_blocksize_keeps_default_depth(tmp_path):
     assert motion_tool.main(["-Q", "-b", "8x8", src, out]) == 0
     with video.open_input(out) as r:
         assert r.frames == 2  # depth-1 blocks: every frame written
+
+
+def test_rotate_subsampled_input_converts(tmp_path):
+    rng = np.random.default_rng(7)
+    frames = rng.random((3, 8, 8, 3)).astype(np.float32)
+    src = write_y4m(tmp_path, "in420.y4m", frames, pix="yuv420p")
+    out = str(tmp_path / "rot.y4m")
+    from dspfun_tpu.tools import rotate as rotate_tool
+
+    assert rotate_tool.main(["-q", "zyx", src, out]) == 0
+    with video.open_input(out) as r:
+        # x<->z swap: width becomes clip length, frames become old width
+        assert (r.width, r.height) == (3, 8)
+        assert r.frames == 8
+        assert r.pix_fmt.name == "yuv444p"  # converted, non-subsampled
+
+
+def test_motion_8bit_spectrogram_roundtrip(tmp_path):
+    """The 8-bit spectrogram editing workflow: spec shift at yuv444p,
+    invert with ispectrogram, compare (reference motion/README.md)."""
+    rng = np.random.default_rng(8)
+    base = rng.random((8, 8, 3)).astype(np.float32)
+    frames = np.stack([base, base])  # static clip: benign spectrum
+    src = write_y4m(tmp_path, "in.y4m", frames, pix="yuv444p")
+    spec = str(tmp_path / "spec.y4m")
+    back = str(tmp_path / "back.y4m")
+    # both legs must process in the stored format (here: per-plane
+    # YCbCr spectrograms), exactly as with the reference's -c option
+    assert motion_tool.main(["-Q", "-c", "pixel_format=yuv444p",
+                             "--spectrogram=shift", src, spec]) == 0
+    assert motion_tool.main(["-Q", "--ispectrogram=shift", spec, back]) == 0
+    a, b = read_clip(src), read_clip(back)
+    # 8-bit log-spectrum quantisation bounds accuracy
+    assert np.sqrt(((a - b) ** 2).mean()) < 0.06
