@@ -27,7 +27,9 @@ def _sync(x):
 
 
 def _time(fn, iters=5):
-    fn()  # warmup/compile
+    r = fn()  # warmup/compile
+    if r is not None:
+        _sync(r)  # absorb first-sync / compile latency outside the timing
     t0 = time.perf_counter()
     last = None
     for _ in range(iters):

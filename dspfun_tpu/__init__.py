@@ -32,6 +32,17 @@ Toolsets (mirroring the reference's five; reference README.md:12-18):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("DSPFUN_PLATFORM"):
+    # Select the JAX backend before first device use (the env-var form
+    # JAX_PLATFORMS can be overridden by force-registered plugins;
+    # this programmatic form wins).  E.g. DSPFUN_PLATFORM=cpu for fast
+    # host-side runs of small images.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["DSPFUN_PLATFORM"])
+
 from dspfun_tpu.core.precision import Precision, get_precision, set_precision
 
 __all__ = ["Precision", "get_precision", "set_precision", "__version__"]

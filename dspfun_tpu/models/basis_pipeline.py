@@ -96,12 +96,11 @@ def apply_basis(
     ow, oh = offset
 
     use_complex = function.lower() in _COMPLEX_FAMILIES or np.iscomplexobj(pixels)
-    if p.coeff_dtype == jnp.float32 and jax.default_backend() != "cpu":
-        cdtype = jnp.complex64
-        rdtype = jnp.float32
+    if jax.config.jax_enable_x64:
+        cdtype, rdtype = jnp.complex128, jnp.float64
     else:
-        cdtype = jnp.complex128
-        rdtype = jnp.float64
+        cdtype, rdtype = jnp.complex64, jnp.float32
+    del p
 
     if inverse:
         t_h, t_w = th // ph, tw // pw
@@ -123,10 +122,14 @@ def apply_basis(
     if use_complex:
         out = ein(jnp.asarray(mh, cdtype), jnp.asarray(pr, cdtype),
                   jnp.asarray(mw, cdtype))
-        return np.asarray(out, dtype=np.complex128)
-    out = ein(jnp.asarray(mh.real, rdtype), jnp.asarray(pr.real, rdtype),
-              jnp.asarray(mw.real, rdtype))
-    return np.asarray(out, dtype=np.float64).astype(np.complex128)
+    else:
+        out = ein(jnp.asarray(mh.real, rdtype), jnp.asarray(pr.real, rdtype),
+                  jnp.asarray(mw.real, rdtype))
+    # sync before the buffer-protocol conversion: converting an array
+    # whose CPU buffer is still pending aborts in PJRT (raw_buffer.h
+    # IsConcrete check)
+    out = jax.block_until_ready(out)
+    return np.array(jax.device_get(out)).astype(np.complex128)
 
 
 def gen_basis_grid(

@@ -267,4 +267,6 @@ def math_env():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    from dspfun_tpu.tools import run_main
+
+    run_main(main)
