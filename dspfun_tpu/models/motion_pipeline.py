@@ -289,8 +289,11 @@ def filter_blocks(
         tmin = p.threshold_min * 255.0 / norm2 if p.threshold_max else 0.0
         tmax = p.threshold_max * 255.0 / norm2 if p.threshold_max else 0.0
         flat = blocks.reshape(nb, -1)
+        # VMEM budget: both [V, V] matrices + an input/output tile must
+        # fit in ~16 MB, so the Pallas path caps at V=1024 (2x4 MB
+        # matrices); larger blocks use the XLA kron path.
         use_pallas = (
-            _pk.has_pallas() and vol % 128 == 0
+            _pk.has_pallas() and vol % 128 == 0 and vol <= 1024
             and jax.default_backend() not in ("cpu",)
         )
         if use_pallas:

@@ -261,6 +261,8 @@ def scan_chunks(
     h, w, c = plan.height, plan.width, plan.channels
     dc = np.asarray(coeffs[0, 0, :])
     coeffs_nodc = jnp.asarray(coeffs).at[0, 0, :].set(0.0)
+    # keep the inverse plans device-resident across chunks
+    plans_inv = jax.device_put(plan.plans_inv)
 
     # running sum starts as the DC everywhere (scan/scan.c:381-383)
     carry = jnp.broadcast_to(jnp.asarray(dc, dtype=coeffs.dtype), (h, w, c))
@@ -272,7 +274,7 @@ def scan_chunks(
         grid = grid.at[plan.fill_ys, plan.fill_xs, :].set(
             coeffs_nodc[plan.fill_ys, plan.fill_xs, :]
         )
-        carry = carry + apply_plan_nd(grid[None], plan.plans_inv, (1, 2))[0]
+        carry = carry + apply_plan_nd(grid[None], plans_inv, (1, 2))[0]
 
     measure_parity = orig is not None
     orig_dev = jnp.asarray(orig) if measure_parity else jnp.zeros((), coeffs.dtype)
@@ -284,7 +286,7 @@ def scan_chunks(
             carry, coeffs_nodc,
             jnp.asarray(plan.ys[start:end]), jnp.asarray(plan.xs[start:end]),
             jnp.asarray(plan.valid[start:end]),
-            plan.plans_inv, orig_dev, parity_scale=scale,
+            plans_inv, orig_dev, parity_scale=scale,
             use_pruned=plan.use_pruned, want_deltas=want_deltas,
             measure_parity=measure_parity,
         )

@@ -303,7 +303,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         for i in range(proc_fmt.ncomp)
     ]
-    plans = [mp.make_plans(g) for g in geoms]
+    import jax  # noqa: PLC0415
+
+    # device-resident transform plans (re-uploading basis matrices per
+    # slab would dominate the tunnel bandwidth)
+    plans = jax.device_put([mp.make_plans(g) for g in geoms])
     bcoords = []
     for g in geoms:
         nb = g.nblocks.w * g.nblocks.h
