@@ -19,6 +19,8 @@ zooms with varying scale keep a single compiled program (ncomponents
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +33,7 @@ __all__ = [
     "forward_spectrum",
     "padded_zoom_basis",
     "zoom_frame",
+    "zoom_frame_device",
     "clamp_scale",
     "showsamples_coords",
 ]
@@ -76,6 +79,66 @@ def _synthesize(spectrum, plan_y, plan_x):
     out = apply_plan_nd(spectrum, (plan_y, plan_x), (0, 1))
     h, w = spectrum.shape[:2]
     return out / (h * w)
+
+
+_SCALING_IDS = {"interpolated": 0, "centered": 1, "native": 2}
+
+
+def _device_basis(scaling_id, num, den, offset, nvectors, sampling_len, dtype):
+    """Basis matrix computed in-graph from traced scalars — the device
+    counterpart of :func:`padded_zoom_basis` (animation runs one
+    compiled program; only 4 scalars change per frame)."""
+    l = sampling_len
+    # clamp_scale (zoom.c:37-40, 277-284)
+    too_small = l * num / den < 1.0
+    num = jnp.where(too_small, 1.0, num)
+    den = jnp.where(too_small, float(l), den)
+    ncomp = jnp.minimum(float(l), jnp.round(l * num / den))
+    b = jnp.arange(nvectors, dtype=dtype)[:, None]
+    j = jnp.arange(l, dtype=dtype)[None, :]
+    scale = den / num
+    k_interp = (b + offset) * scale
+    k_native = b + offset
+    k_center = (b + offset) * (l - 1) * den / (l * num - den)
+    k = jnp.where(scaling_id == 0, k_interp,
+                  jnp.where(scaling_id == 1, k_center, k_native))
+    big_n = jnp.where(scaling_id == 2, l * num / den, float(l))
+    m = jnp.cos(jnp.pi * (k + 0.5) * j / big_n)
+    m = jnp.where(j == 0, 0.5, m)
+    return jnp.where(j < ncomp, m, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("vw", "vh"))
+def _zoom_frame_device(spectrum, scaling_id, xnum, xden, ynum, yden,
+                       vx, vy, vw: int, vh: int):
+    h, w = spectrum.shape[:2]
+    dtype = spectrum.dtype
+    xb = _device_basis(scaling_id, xnum, xden, vx, vw, w, dtype)
+    yb = _device_basis(scaling_id, ynum, yden, vy, vh, h, dtype)
+    out = jnp.einsum("jv,vuc,iu->jic", yb, spectrum, xb, optimize=True,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out / (h * w)
+
+
+def zoom_frame_device(
+    spectrum: jax.Array,
+    scaling_type: str,
+    xscale: tuple[float, float],
+    yscale: tuple[float, float],
+    vx: float,
+    vy: float,
+    vw: int,
+    vh: int,
+) -> jax.Array:
+    """Fully device-side zoom frame: the basis matrices are generated
+    in-graph, so an animation re-dispatches one compiled program with
+    four scalars per frame (no host basis generation or upload)."""
+    return _zoom_frame_device(
+        spectrum, jnp.asarray(_SCALING_IDS[scaling_type]),
+        jnp.asarray(float(xscale[0])), jnp.asarray(float(xscale[1])),
+        jnp.asarray(float(yscale[0])), jnp.asarray(float(yscale[1])),
+        jnp.asarray(float(vx)), jnp.asarray(float(vy)), vw, vh,
+    )
 
 
 def zoom_frame(

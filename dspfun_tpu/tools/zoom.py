@@ -243,8 +243,8 @@ def main(argv: list[str] | None = None) -> int:
                 continue
 
             frame = np.asarray(
-                zp.zoom_frame(spectrum, scaling_type, xscale, yscale,
-                              vx, vy, vw, vh),
+                zp.zoom_frame_device(spectrum, scaling_type, xscale, yscale,
+                                     vx, vy, vw, vh),
                 dtype=np.float64,
             )
             frame = zp.overlay_showsamples(

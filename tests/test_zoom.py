@@ -134,3 +134,20 @@ def test_cli_showsamples_grid(tmp_path):
 def test_cli_rational_scale_parse():
     (xn, xd), (yn, yd) = zoom_tool._parse_scale("30000/1001x2")
     assert (xn, xd, yn, yd) == (30000.0, 1001.0, 2.0, 1.0)
+
+
+def test_device_path_matches_host_path():
+    img = make_image(8, 12)
+    spec = zp.forward_spectrum(img)
+    for st in ("interpolated", "native", "centered"):
+        host = np.asarray(zp.zoom_frame(spec, st, (2, 1), (3, 2),
+                                        1.5, -0.25, 20, 11))
+        dev = np.asarray(zp.zoom_frame_device(spec, st, (2, 1), (3, 2),
+                                              1.5, -0.25, 20, 11))
+        np.testing.assert_allclose(dev, host, atol=1e-5, err_msg=st)
+    # downscale truncation (dynamic ncomp mask)
+    host = np.asarray(zp.zoom_frame(spec, "interpolated", (1, 2), (1, 2),
+                                    0, 0, 6, 4))
+    dev = np.asarray(zp.zoom_frame_device(spec, "interpolated", (1, 2),
+                                          (1, 2), 0, 0, 6, 4))
+    np.testing.assert_allclose(dev, host, atol=1e-5)
