@@ -82,7 +82,8 @@ def bench_zoom(quick):
     spec = zp.forward_spectrum(srgb_decode(img))
 
     def run():
-        f = zp.zoom_frame(spec, "interpolated", (4, 1), (4, 1), 0, 0, w * 2, h * 2)
+        f = zp.zoom_frame_device(spec, "interpolated", (4, 1), (4, 1),
+                                 0, 0, w * 2, h * 2)
         return srgb_encode(f, jax.numpy)
 
     dt = _time(run, iters=3)
