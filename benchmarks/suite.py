@@ -175,12 +175,20 @@ def bench_motion(quick):
     plans = jax.device_put(plans)
     bz = jnp.asarray(0)
 
-    def run():
-        out, _ = mp.filter_blocks(blocks, plans, bc, bz, geom=g,
+    # chain slabs (output feeds input) so each step depends on the
+    # previous; a single scalar fetch syncs the chain — per-dispatch
+    # sync round-trips would otherwise dominate on remote devices
+    out, _ = mp.filter_blocks(blocks, plans, bc, bz, geom=g,
+                              params=params, plane_index=0, nplanes=1)
+    _sync(out)
+    iters = 10
+    t0 = time.perf_counter()
+    cur = blocks
+    for _ in range(iters):
+        cur, _ = mp.filter_blocks(cur, plans, bc, bz, geom=g,
                                   params=params, plane_index=0, nplanes=1)
-        return out
-
-    dt = _time(run)
+    _sync(cur)
+    dt = (time.perf_counter() - t0) / iters
     fps = d / dt
     return {
         "metric": f"motion 3-D lowpass {w}x{h} {d}-frame cubes (16x16x{d} blocks)",

@@ -119,3 +119,45 @@ def fused_filter_3d_sharded(
         check_vma=False,
     )
     return fn(cube, mask)
+
+
+def shard_blocks_filter(
+    blocks,
+    plans,
+    block_coords,
+    bz,
+    mesh: Mesh,
+    *,
+    geom,
+    params,
+    plane_index: int,
+    nplanes: int,
+):
+    """motion's per-slab block batch distributed over the mesh's
+    'space' axis — pure data parallelism over the block grid
+    (SURVEY.md section 2.8: blocks are independent).
+
+    The batch axis must divide the number of space shards; the caller
+    pads the block batch if needed.  Plans/scalars replicate.
+    """
+    import jax
+    from dspfun_tpu.models.motion_pipeline import filter_blocks
+
+    n_space = mesh.shape["space"]
+    nb = blocks.shape[0]
+    if nb % n_space:
+        raise ValueError(f"block batch {nb} not divisible by space={n_space}")
+    bspec = NamedSharding(mesh, P("space"))
+    rep = NamedSharding(mesh, P())
+    blocks = jax.device_put(blocks, bspec)
+    bx = jax.device_put(block_coords[0], bspec)
+    by = jax.device_put(block_coords[1], bspec)
+    fn = jax.jit(
+        lambda b, x, y, z, pl: filter_blocks(
+            b, pl, (x, y), z, geom=geom, params=params,
+            plane_index=plane_index, nplanes=nplanes,
+        ),
+        in_shardings=(bspec, bspec, bspec, rep, None),
+        out_shardings=(bspec, rep),
+    )
+    return fn(blocks, bx, by, jax.device_put(bz, rep), plans)

@@ -48,3 +48,32 @@ def test_sharded_identity_roundtrip(mesh):
     ones_s = jax.device_put(ones, sharded.mask_sharding(mesh))
     out = sharded.fused_filter_3d_sharded(cube_s, ones_s, mesh, PREC)
     np.testing.assert_allclose(np.asarray(out), cube, atol=1e-4)
+
+
+def test_motion_blocks_sharded_over_space(mesh):
+    import jax.numpy as jnp
+
+    from dspfun_tpu.models import motion_pipeline as mp
+
+    g = mp.plan_geometry(32, 32, 2, 1, block=mp.Dims(8, 8, 2),
+                         bp_end=mp.Dims(4, 4, 1))[0]
+    params = mp.MotionParams(boost=1.5, damp=0.0, preserve_dc="dc")
+    plans = mp.make_plans(g)
+    rng = np.random.default_rng(3)
+    frames = rng.random((2, 32, 32)).astype(np.float32) * 255
+    blocks = mp.frames_to_blocks(frames, g)
+    nb = blocks.shape[0]
+    bc = (np.arange(nb, dtype=np.int32) % g.nblocks.w,
+          np.arange(nb, dtype=np.int32) // g.nblocks.w)
+
+    out_s, _ = sharded.shard_blocks_filter(
+        jnp.asarray(blocks), plans, bc, jnp.asarray(0), mesh,
+        geom=g, params=params, plane_index=0, nplanes=1,
+    )
+    ref, _ = mp.filter_blocks(
+        jnp.asarray(blocks), plans,
+        (jnp.asarray(bc[0]), jnp.asarray(bc[1])), jnp.asarray(0),
+        geom=g, params=params, plane_index=0, nplanes=1,
+    )
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
