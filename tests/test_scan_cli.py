@@ -119,3 +119,32 @@ def test_scan_y4m_output(small_png, tmp_path):
     assert rc == 0
     head = open(out, "rb").readline().decode()
     assert head.startswith("YUV4MPEG2 W16 H12 F30:1")
+
+
+def test_scan_radial_rounding_option(small_png, tmp_path):
+    path, _ = small_png
+    sfile1 = str(tmp_path / "a.txt")
+    sfile2 = str(tmp_path / "b.txt")
+    assert scan_tool.main(["-m", "radial", "-o", "ceil", "-f", sfile1, path]) == 0
+    assert scan_tool.main(["-m", "radial", "-o", "floor", "-f", sfile2, path]) == 0
+    assert open(sfile1).read() != open(sfile2).read()
+
+
+def test_scan_evalxy_cli(small_png, tmp_path):
+    path, _ = small_png
+    out = str(tmp_path / "o.fvid")
+    rc = scan_tool.main(["-m", "evalxy", "-o", "x+y", "-q", "-n", "2",
+                         path, out])
+    assert rc == 0
+    with video.open_input(out) as r:
+        assert r.frames == 2
+
+
+def test_scan_file_method_cli(small_png, tmp_path):
+    path, _ = small_png
+    sfile = str(tmp_path / "s.txt")
+    assert scan_tool.main(["-m", "zig", "-f", sfile, path]) == 0
+    out = str(tmp_path / "o.fvid")
+    rc = scan_tool.main(["-m", "file", "-o", sfile, "-q", "-n", "2",
+                         path, out])
+    assert rc == 0
