@@ -149,10 +149,12 @@ def plan_scan(
 
     if use_pruned is None:
         # crossover: pruned batched matmul is O(h*K*w) per frame vs
-        # O((h+w)*h*w) dense — favour pruned while K << h+w.  (The
-        # reference's log2(w*h) threshold, scan.c:349-350, reflects its
-        # scalar pruned loop; the TPU constant is re-measured.)
-        use_pruned = kmax <= (height + width) // 2
+        # O((h+w)*h*w) dense.  Measured on TPU v5e at 256^2 the pruned
+        # path wins for K in ~4..32 and the dense batched IDCT from
+        # K ~64 up (the gather+outer product loses MXU efficiency as K
+        # grows).  (The reference's log2(w*h) threshold, scan.c:349-350,
+        # reflects its scalar pruned loop.)
+        use_pruned = kmax * 4 <= min(height, width)
 
     p = precision or get_precision()
     plans_inv = (
