@@ -282,8 +282,9 @@ def scan_chunks(
     orig_dev = jnp.asarray(orig) if measure_parity else jnp.zeros((), coeffs.dtype)
     scale = float((1 << parity_depth) - 1) if parity_depth < 32 else 0.0
 
-    for start in range(0, plan.nframes, plan.chunk):
+    def dispatch(start):
         end = start + plan.chunk
+        nonlocal carry
         sums, carry, deltas, parity = _scan_chunk(
             carry, coeffs_nodc,
             jnp.asarray(plan.ys[start:end]), jnp.asarray(plan.xs[start:end]),
@@ -292,9 +293,31 @@ def scan_chunks(
             use_pruned=plan.use_pruned, want_deltas=want_deltas,
             measure_parity=measure_parity,
         )
+        # start the device->host copies early so the next chunk's
+        # compute overlaps this chunk's download (the tunnel/D2H path
+        # is the bottleneck for the frame-emitting tools)
+        for arr in (sums, deltas, parity):
+            if arr is not None:
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:
+                    pass
+        return sums, deltas, parity
+
+    def materialise(start, bufs):
+        sums, deltas, parity = bufs
         nvalid = min(plan.chunk, plan.nframes - start)
-        yield start, ScanChunkResult(
+        return start, ScanChunkResult(
             sums=np.asarray(sums[:nvalid]),
             deltas=np.asarray(deltas[:nvalid]) if deltas is not None else None,
             parity=np.asarray(parity[:nvalid]) if parity is not None else None,
         )
+
+    pending = None
+    for start in range(0, plan.nframes, plan.chunk):
+        bufs = dispatch(start)
+        if pending is not None:
+            yield materialise(*pending)
+        pending = (start, bufs)
+    if pending is not None:
+        yield materialise(*pending)
