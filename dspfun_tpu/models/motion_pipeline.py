@@ -320,7 +320,7 @@ def filter_blocks(
         pel = out.reshape(nb, g.scaled.d, g.scaled.h, g.scaled.w).astype(dtype)
         if p.float_pixels:
             return pel, jnp.zeros((), jnp.int32)
-        return jnp.clip(jnp.round(pel), 0.0, 255.0), jnp.zeros((), jnp.int32)
+        return jnp.clip(jnp.floor(pel + 0.5), 0.0, 255.0), jnp.zeros((), jnp.int32)
 
     fwd_plans, inv_plans = plans
 
@@ -450,7 +450,9 @@ def filter_blocks(
     elif p.dither:
         out = _dither_blocks(pel, scalefactor * norm2)
     else:
-        out = jnp.clip(jnp.round(pel), 0.0, 255.0)
+        # C lround after 0/255 clamp (motion.c:776); pel >= 0 after the
+        # clamp so floor(x+0.5) == lround
+        out = jnp.clip(jnp.floor(pel + 0.5), 0.0, 255.0)
 
     return out, coded
 
