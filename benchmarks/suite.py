@@ -20,10 +20,18 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+_PROBE = None
+
+
 def _sync(x):
+    """Fetch one scalar to synchronise; the probe jit is cached (a fresh
+    lambda per call would re-trace and pay a remote compile each time)."""
+    global _PROBE
     import jax
 
-    return float(jax.device_get(jax.jit(lambda a: a.reshape(-1)[0])(x)))
+    if _PROBE is None:
+        _PROBE = jax.jit(lambda a: a.reshape(-1)[0])
+    return float(jax.device_get(_PROBE(x)))
 
 
 def _time(fn, iters=5):
@@ -190,10 +198,25 @@ def bench_motion(quick):
     _sync(cur)
     dt = (time.perf_counter() - t0) / iters
     fps = d / dt
+
+    # single-core FFTW-proxy baseline: the same 3-D DCT+filter+IDCT per
+    # block with pocketfft (BASELINE.md: ">10x single-core FFTW" target)
+    import scipy.fft  # noqa: PLC0415
+
+    nb_blocks = np.asarray(blocks)
+    mask = np.ones((g.block.d, g.block.h, g.block.w))
+    mask[4:, :, :] = 0
+    t0 = time.perf_counter()
+    F = scipy.fft.dctn(nb_blocks.astype(np.float64), type=2, axes=(1, 2, 3),
+                       workers=1) * mask[None]
+    _ = scipy.fft.dctn(F, type=3, axes=(1, 2, 3), workers=1)
+    base_dt = time.perf_counter() - t0
+    base_fps = d / base_dt
     return {
         "metric": f"motion 3-D lowpass {w}x{h} {d}-frame cubes (16x16x{d} blocks)",
         "value": round(fps, 1), "unit": "frames/s",
         "Mpel/s": round(w * h * fps / 1e6, 1),
+        "vs_fftw_1core": round(fps / base_fps, 1),
     }
 
 

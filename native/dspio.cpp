@@ -189,6 +189,11 @@ int dspio_read_frame(DspioReader* r, uint8_t* buf) {
     size_t got = fread(marker, 1, 6, r->f);
     if (got == 0) return 0;
     if (got != 6 || strncmp(marker, "FRAME", 5)) return -1;
+    // tolerate y4m per-frame parameters ("FRAME Xfoo\n"): consume to EOL
+    if (marker[5] != '\n') {
+        int ch;
+        while ((ch = fgetc(r->f)) != EOF && ch != '\n') {}
+    }
     if ((int64_t)fread(buf, 1, r->frame_bytes, r->f) != r->frame_bytes)
         return 0;
     r->next_frame++;
