@@ -107,3 +107,19 @@ def test_prefetch_threading_stress(tmp_path):
                 )
                 count += 1
             assert count == 64
+
+
+def test_native_reader_frame_params(tmp_path):
+    """y4m per-frame parameter lines ("FRAME Xfoo") are tolerated."""
+    path = str(tmp_path / "p.y4m")
+    w, h = 4, 2
+    data = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C444\n"
+    frame = bytes(range(w * h)) * 3
+    data += b"FRAME Xparam=1\n" + frame
+    data += b"FRAME\n" + frame
+    open(path, "wb").write(data)
+    with native.NativeVideoReader(path) as nr:
+        a = nr.read_frame()
+        b = nr.read_frame()
+        assert a is not None and b is not None
+        np.testing.assert_array_equal(a[0], b[0])
