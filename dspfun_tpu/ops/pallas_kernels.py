@@ -41,13 +41,15 @@ def has_pallas() -> bool:
 
 def _kernel(x_ref, k2m_ref, k3_ref, out_ref, *, quant: float,
             tmin: float, tmax: float):
-    f = jnp.dot(x_ref[:], k2m_ref[:], preferred_element_type=jnp.float32)
+    f = jnp.dot(x_ref[:], k2m_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     if tmax:
         a = jnp.abs(f)
         f = jnp.where((a < tmin) | (a > tmax), 0.0, f)
     if quant:
         f = jnp.round(f * (1.0 / quant)) * quant
-    out_ref[:] = jnp.dot(f, k3_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.dot(f, k3_ref[:], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(
