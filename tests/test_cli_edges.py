@@ -84,3 +84,25 @@ def test_motion_image_sequence_input(tmp_path):
         assert r.frames == 2
         got = r.read_frame_rgb()
     np.testing.assert_allclose(got, smooth_image(8, 8), atol=0.02)
+
+
+def test_spec_grayscale_channel(tmp_path):
+    src = str(tmp_path / "g.png")
+    images.write_image(src, smooth_image(12, 12))
+    mid = str(tmp_path / "m.png")
+    back = str(tmp_path / "b.png")
+    assert spec_tool.main(["-c", "I", "-t", "shift", src, mid]) == 0
+    assert ispec_tool.main(["-c", "I", "-t", "shift", mid, back]) == 0
+    a = images.read_image(src, channels="I").pixels
+    b = images.read_image(back, channels="I").pixels
+    assert np.sqrt(((a - b) ** 2).mean()) < 0.03
+
+
+def test_zoom_fractional_logical_resolution(tmp_path):
+    src = str(tmp_path / "in.png")
+    images.write_image(src, smooth_image(8, 8))
+    out = str(tmp_path / "o.fvid")
+    assert zoom_tool.main(["-r", "12.5x10.5", "-q", src, out]) == 0
+    with video.open_input(out) as r:
+        # default view = floor(scaled size)
+        assert (r.width, r.height) == (12, 10)
