@@ -9,15 +9,20 @@ import sys
 
 
 def run_main(main) -> None:
-    """CLI entry wrapper: flush and exit without interpreter teardown.
+    """CLI entry wrapper: profiling hook + flush + exit without
+    interpreter teardown.
 
-    The force-registered TPU plugin in some environments crashes
-    intermittently in its atexit teardown after the backend has been
-    switched (e.g. DSPFUN_PLATFORM=cpu).  Outputs are already flushed
-    to disk by ``main``; skipping teardown makes the CLIs reliable in
-    pipelines.
+    DSPFUN_PROFILE=<dir> captures a jax.profiler trace around the run;
+    DSPFUN_TIMINGS=1 prints the total wall time.  The force-registered
+    TPU plugin in some environments crashes intermittently in its
+    atexit teardown after the backend has been switched (e.g.
+    DSPFUN_PLATFORM=cpu); outputs are already flushed to disk by
+    ``main``, so skipping teardown makes the CLIs reliable in pipelines.
     """
-    code = main()
+    from dspfun_tpu.utils.profiling import maybe_profile, stage
+
+    with maybe_profile(), stage("total"):
+        code = main()
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(code)
