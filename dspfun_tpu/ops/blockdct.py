@@ -78,15 +78,15 @@ def apply_block_operator(
 ) -> jax.Array:
     """[NB, V] @ op^T with the precision policy's accumulation mode."""
     p = precision or get_precision()
-    x = blocks
+    acc = jnp.float64 if p.intermediate == "f64" else jnp.float32
+    x = blocks.astype(acc)
 
     def mm(mat):
         return jax.lax.dot_general(
-            x.astype(jnp.asarray(mat).dtype) if p.intermediate != "f64" else x.astype(jnp.float64),
-            jnp.asarray(mat),
+            x, jnp.asarray(mat, acc),
             (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float64 if p.intermediate == "f64" else jnp.float32,
+            preferred_element_type=acc,
         )
 
     y = mm(op.hi)
