@@ -138,7 +138,13 @@ class NativeVideoReader:
         self._frame_bytes = lib.dspio_frame_bytes(self._h)
         self._pf = None
         if prefetch:
-            self._pf = lib.dspio_prefetch_start(self._h, prefetch)
+            self.start_prefetch(prefetch)
+
+    def start_prefetch(self, depth: int = 4) -> None:
+        """Start the background reader thread from the current
+        position; seeking is no longer possible afterwards."""
+        if not self._pf:
+            self._pf = self._lib.dspio_prefetch_start(self._h, depth)
 
     def seek(self, frame: int) -> None:
         if self._pf:

@@ -664,8 +664,55 @@ def _sniff_format(path: str, fmt: str | None, for_output: bool) -> str:
     return "pipe"
 
 
-def open_input(spec: str, format: str | None = None) -> VideoReader:
-    """Open a video input (path, ``-`` pipe, or printf image pattern)."""
+class NativeBackedReader(VideoReader):
+    """Demux through the native C++ runtime (libdspio) with lazy
+    background prefetch; header metadata comes from the Python parser
+    so color semantics match the pure-Python readers exactly."""
+
+    def __init__(self, meta: VideoReader, spec: str, prefetch: int = 4):
+        from dspfun_tpu.io import native as _native  # noqa: PLC0415
+
+        super().__init__(None, spec, meta.format)
+        self.width, self.height = meta.width, meta.height
+        self.rate, self.pix_fmt, self.props = meta.rate, meta.pix_fmt, meta.props
+        self.frames = meta.frames
+        meta.close()
+        self._nr = _native.NativeVideoReader(spec, prefetch=0)
+        self._prefetch = prefetch
+
+    def seek_frame(self, n: int) -> None:
+        self._nr.seek(n)
+        self.frame_index = n
+
+    def read_frame(self, raw: bool = False):
+        if self._prefetch:
+            # first read pins the position; start read-ahead from here
+            self._nr.start_prefetch(self._prefetch)
+            self._prefetch = 0
+        planes = self._nr.read_frame()
+        if planes is None:
+            return None
+        self.frame_index += 1
+        if raw:
+            return [np.asarray(p, dtype=np.float64) for p in planes]
+        return [
+            _dequantize_plane(p, self.pix_fmt, i, self.props.color_range)
+            for i, p in enumerate(planes)
+        ]
+
+    def close(self) -> None:
+        if getattr(self, "_nr", None) is not None:
+            self._nr.close()
+            self._nr = None
+
+
+def open_input(spec: str, format: str | None = None,
+               native: bool = True) -> VideoReader:
+    """Open a video input (path, ``-`` pipe, or printf image pattern).
+
+    Seekable y4m/fvid files demux through the native C++ runtime with
+    background read-ahead when available (``native=False`` forces the
+    pure-Python reader)."""
     fmt = _sniff_format(spec, format, for_output=False)
     if fmt == "image2":
         return ImageSeqReader(spec, spec)
@@ -677,10 +724,22 @@ def open_input(spec: str, format: str | None = None) -> VideoReader:
         else:
             fmt = "y4m"
     if fmt == "y4m":
-        return Y4MReader(stream, spec)
-    if fmt == "fvid":
-        return FvidReader(stream, spec)
-    raise ValueError(f"cannot determine input format for {spec!r}")
+        reader: VideoReader = Y4MReader(stream, spec)
+    elif fmt == "fvid":
+        reader = FvidReader(stream, spec)
+    else:
+        raise ValueError(f"cannot determine input format for {spec!r}")
+    if (native and reader.frames is not None
+            and spec not in ("-", "pipe:", "pipe:0")
+            and "16" not in reader.pix_fmt.name):
+        try:
+            from dspfun_tpu.io import native as _native  # noqa: PLC0415
+
+            if _native.available():
+                return NativeBackedReader(reader, spec)
+        except Exception:  # noqa: BLE001 — fall back to pure Python
+            pass
+    return reader
 
 
 def open_output(

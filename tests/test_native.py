@@ -123,3 +123,16 @@ def test_native_reader_frame_params(tmp_path):
         b = nr.read_frame()
         assert a is not None and b is not None
         np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_open_input_uses_native_backend(tmp_path):
+    path, frames = make_fvid(tmp_path, n=3)
+    with video.open_input(path) as r:
+        assert isinstance(r, video.NativeBackedReader)
+        r.seek_frame(1)
+        got = r.read_frame_rgb()
+        np.testing.assert_allclose(got, frames[1], atol=1e-7)
+    with video.open_input(path, native=False) as r:
+        assert not isinstance(r, video.NativeBackedReader)
+        got2 = r.read_frame_rgb()
+        np.testing.assert_allclose(got2, frames[0], atol=1e-7)
