@@ -251,7 +251,9 @@ def filter_blocks(
 ):
     """The full per-plane chain over all blocks of a slab.
 
-    Returns (out_blocks [NB, sd, sh, sw] pel 0..255, coded_count).
+    Returns (out_blocks [NB, sd, sh, sw] pel 0..255, coded[NB] per-block
+    coded-coefficient counts — per block so batch padding/sharding can
+    slice them exactly).
     """
     g = geom
     p = params
@@ -318,9 +320,10 @@ def filter_blocks(
                           precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
         pel = out.reshape(nb, g.scaled.d, g.scaled.h, g.scaled.w).astype(dtype)
+        zero_coded = jnp.zeros((nb,), jnp.int32)
         if p.float_pixels:
-            return pel, jnp.zeros((), jnp.int32)
-        return jnp.clip(jnp.floor(pel + 0.5), 0.0, 255.0), jnp.zeros((), jnp.int32)
+            return pel, zero_coded
+        return jnp.clip(jnp.floor(pel + 0.5), 0.0, 255.0), zero_coded
 
     fwd_plans, inv_plans = plans
 
@@ -412,12 +415,12 @@ def filter_blocks(
                 )
 
     # --- quantize (motion.c:740-744) -----------------------------------
-    coded = jnp.zeros((), jnp.int32)
+    coded = jnp.zeros((nb,), jnp.int32)
     if p.quant:
         quantizer = p.quant * 8.0 * math.sqrt(svol)
         Mq = jnp.round(M / quantizer) * quantizer
         M = jnp.where(act[None], Mq, M)
-        coded = jnp.sum((M != 0) & act[None], dtype=jnp.int32)
+        coded = jnp.sum((M != 0) & act[None], axis=(1, 2, 3), dtype=jnp.int32)
 
     # --- inverse / spectrogram output (motion.c:746-771) ---------------
     if not p.spec:

@@ -137,27 +137,42 @@ def shard_blocks_filter(
     'space' axis — pure data parallelism over the block grid
     (SURVEY.md section 2.8: blocks are independent).
 
-    The batch axis must divide the number of space shards; the caller
-    pads the block batch if needed.  Plans/scalars replicate.
+    The batch is zero-padded internally up to a multiple of the space
+    axis (zero blocks transform to zero and their per-block coded
+    counts are sliced off, so padding never changes the result).
+    Plans/scalars replicate.
     """
     import jax
+    import jax.numpy as jnp
+    import numpy as np
     from dspfun_tpu.models.motion_pipeline import filter_blocks
 
     n_space = mesh.shape["space"]
     nb = blocks.shape[0]
-    if nb % n_space:
-        raise ValueError(f"block batch {nb} not divisible by space={n_space}")
+    npad = (-nb) % n_space
+    bx, by = block_coords
+    if npad:
+        blocks = jnp.concatenate(
+            [jnp.asarray(blocks),
+             jnp.zeros((npad,) + tuple(blocks.shape[1:]), blocks.dtype)]
+        )
+        pad_ix = np.zeros(npad, dtype=np.asarray(bx).dtype)
+        bx = jnp.concatenate([jnp.asarray(bx), jnp.asarray(pad_ix)])
+        by = jnp.concatenate([jnp.asarray(by), jnp.asarray(pad_ix)])
     bspec = NamedSharding(mesh, P("space"))
     rep = NamedSharding(mesh, P())
     blocks = jax.device_put(blocks, bspec)
-    bx = jax.device_put(block_coords[0], bspec)
-    by = jax.device_put(block_coords[1], bspec)
+    bx = jax.device_put(bx, bspec)
+    by = jax.device_put(by, bspec)
     fn = jax.jit(
         lambda b, x, y, z, pl: filter_blocks(
             b, pl, (x, y), z, geom=geom, params=params,
             plane_index=plane_index, nplanes=nplanes,
         ),
         in_shardings=(bspec, bspec, bspec, rep, None),
-        out_shardings=(bspec, rep),
+        out_shardings=(bspec, bspec),
     )
-    return fn(blocks, bx, by, jax.device_put(bz, rep), plans)
+    out, coded = fn(blocks, bx, by, jax.device_put(bz, rep), plans)
+    if npad:
+        out, coded = out[:nb], coded[:nb]
+    return out, coded

@@ -359,7 +359,7 @@ def main(argv: list[str] | None = None) -> int:
                     bcoords[i], jnp.asarray(bz), geom=g, params=params[i],
                     plane_index=i, nplanes=proc_fmt.ncomp,
                 )
-                coded += int(c)
+                coded += int(np.asarray(c).sum())
                 out_planes.append(mp.blocks_to_frames(np.asarray(out), g))
             for z in range(g0.scaled.d):
                 frame = []

@@ -26,7 +26,7 @@ def run_plane(frames, geom, params, plans=None):
             jnp.asarray(bz), geom=geom, params=params, plane_index=0, nplanes=1,
         )
         outs.append(mp.blocks_to_frames(np.asarray(out), geom))
-        coded += int(c)
+        coded += int(np.asarray(c).sum())
     return np.concatenate(outs), coded
 
 

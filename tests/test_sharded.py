@@ -77,3 +77,38 @@ def test_motion_blocks_sharded_over_space(mesh):
     )
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
                                atol=1e-3, rtol=1e-4)
+
+
+def test_shard_blocks_pads_ragged_batch(mesh):
+    """Block batches that don't divide the space axis are zero-padded
+    internally; outputs and per-block coded counts match single-device
+    exactly (the padding blocks stay zero and are sliced off)."""
+    import jax.numpy as jnp
+
+    from dspfun_tpu.models import motion_pipeline as mp
+
+    # 24x16 image with 8x8 blocks -> 6 blocks, not divisible by space=4
+    g = mp.plan_geometry(24, 16, 1, 1, block=mp.Dims(8, 8, 1))[0]
+    params = mp.MotionParams(quant=2.0, preserve_dc="grey", boost=1.2)
+    plans = mp.make_plans(g)
+    rng = np.random.default_rng(7)
+    frames = rng.random((1, 16, 24)).astype(np.float32) * 255
+    blocks = mp.frames_to_blocks(frames, g)
+    nb = blocks.shape[0]
+    assert nb % mesh.shape["space"] != 0
+    bc = (np.arange(nb, dtype=np.int32) % g.nblocks.w,
+          np.arange(nb, dtype=np.int32) // g.nblocks.w)
+
+    out_s, coded_s = sharded.shard_blocks_filter(
+        jnp.asarray(blocks), plans, bc, jnp.asarray(0), mesh,
+        geom=g, params=params, plane_index=0, nplanes=1,
+    )
+    ref, coded_ref = mp.filter_blocks(
+        jnp.asarray(blocks), plans,
+        (jnp.asarray(bc[0]), jnp.asarray(bc[1])), jnp.asarray(0),
+        geom=g, params=params, plane_index=0, nplanes=1,
+    )
+    assert out_s.shape[0] == nb
+    np.testing.assert_array_equal(np.asarray(coded_s), np.asarray(coded_ref))
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
