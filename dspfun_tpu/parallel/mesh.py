@@ -18,7 +18,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "P", "NamedSharding"]
+__all__ = ["make_mesh", "mesh_from_spec", "P", "NamedSharding"]
 
 
 def make_mesh(
@@ -44,3 +44,50 @@ def make_mesh(
         raise ValueError(f"space*time ({space}*{time}) != n_devices ({n})")
     arr = np.array(devs).reshape(space, time)
     return Mesh(arr, axis_names=("space", "time"))
+
+
+def mesh_from_spec(spec: str | None) -> Mesh | None:
+    """Parse a CLI/env mesh request into a Mesh (None = single device).
+
+    Grammar (the ``--mesh`` option shared by the tools; also honoured
+    via the ``DSPFUN_MESH`` env var):
+
+    * ``none`` / ``1``  — single device (no mesh)
+    * ``auto``          — all visible devices on the space axis
+    * ``N``             — N devices on the space axis
+    * ``space=N[,time=M]`` / ``time=M[,space=N]`` — explicit axes
+
+    The reference is single-process (SURVEY.md section 2.8); this is the
+    rebuild's scaling surface, so it has no reference counterpart.
+    """
+    import os
+
+    if spec is None:
+        spec = os.environ.get("DSPFUN_MESH", "")
+    spec = (spec or "").strip().lower()
+    if spec in ("", "none", "1", "0"):
+        return None
+    ndev = len(jax.devices())
+    if spec == "auto":
+        if ndev <= 1:
+            return None
+        return make_mesh(ndev, space=ndev, time=1)
+    space = time = None
+    if "=" in spec:
+        for part in spec.split(","):
+            k, _, v = part.partition("=")
+            k, v = k.strip(), int(v)
+            if k == "space":
+                space = v
+            elif k == "time":
+                time = v
+            else:
+                raise ValueError(f"unknown mesh axis {k!r}")
+    else:
+        space, time = int(spec), 1
+    n = (space or 1) * (time or 1)
+    if n > ndev:
+        raise ValueError(f"mesh needs {n} devices, only {ndev} visible")
+    if n <= 1:
+        return None
+    return make_mesh(n, space=space, time=time)

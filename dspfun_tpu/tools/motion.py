@@ -28,7 +28,7 @@ LONG = [
     "damp=", "quant=", "dither", "csp=", "format=", "codec=", "encopts=",
     "iformat=", "decopts=", "loglevel=", "preserve-dc=", "eval=",
     "fftw-planning-method=", "fftw-wisdom-file=", "fftw-threads=", "quiet",
-    "help", "threshold=", "coeff-limit=", "linear", "resume-file=",
+    "help", "threshold=", "coeff-limit=", "linear", "resume-file=", "mesh=",
 ]
 
 # getopt has no optional-argument long options; bare forms of these are
@@ -39,7 +39,7 @@ USAGE = """Usage: motion [options] <infile> [outfile]
 [-s|--size WxHxD] [-b|--blocksize WxHxD] [-p|--bandpass X1xY1xZ1-X2xY2xZ2]
 [-B|--boost float] [-D|--damp float]  [--spectrogram=type] [--ispectrogram=type] [-q|--quant quant] [--threshold] [--coeff-limit limit] [-d|--dither] [--preserve-dc=type] [--eval expression]
 [-r|--framerate] [--keep-rate] [--samesize-chroma] [--frames lim] [--offset pos] [--csp|c colorspace options] [--iformat|--format fmt] [--codec codec] [--encopts|--decopts opts] [--loglevel int]
-[-Q|--quiet]"""
+[--mesh auto|N|space=N[,time=M]] [-Q|--quiet]"""
 
 EXPR_NAMES = ("c", "x", "y", "z", "i", "width", "height", "depth",
               "components", "bx", "by", "bz", "bwidth", "bheight", "bdepth")
@@ -96,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
     out_rate = None
     csp = iformat = oformat = None
     resume_file = None
+    mesh_spec = None
     for flag, arg in flags:
         if flag in ("-h", "--help"):
             print(USAGE)
@@ -167,6 +168,8 @@ def main(argv: list[str] | None = None) -> int:
             enable_compilation_cache(arg)
         elif flag == "--resume-file":
             resume_file = arg
+        elif flag == "--mesh":
+            mesh_spec = arg
         elif flag in ("--codec", "--encopts", "--decopts", "--loglevel",
                       "--fftw-planning-method", "--fftw-threads"):
             pass  # CLI parity; XLA handles planning/threading
@@ -305,6 +308,42 @@ def main(argv: list[str] | None = None) -> int:
     ]
     import jax  # noqa: PLC0415
 
+    # --mesh / DSPFUN_MESH: distribute the work over a (space, time)
+    # device mesh — block batches data-parallel over 'space'; the
+    # whole-clip single-block case (-b ..x..x0 with full-frame blocks)
+    # Ulysses-sharded over both axes (SURVEY.md sections 2.8/5).
+    mesh = None
+    use_volume = [False] * proc_fmt.ncomp
+    try:
+        from dspfun_tpu.parallel.mesh import mesh_from_spec  # noqa: PLC0415
+
+        mesh = mesh_from_spec(mesh_spec)
+    except ValueError as e:
+        print(f"Bad --mesh: {e}", file=sys.stderr)
+        writer.close()
+        reader.close()
+        return 1
+    if mesh is not None:
+        from dspfun_tpu.parallel import motion_sharded as msh  # noqa: PLC0415
+        from dspfun_tpu.parallel import sharded as psh  # noqa: PLC0415
+
+        for i, g in enumerate(geoms):
+            use_volume[i] = (
+                g.nblocks == mp.Dims(1, 1, 1)
+                and g.block == g.scaled
+                and msh.supports_volume_params(params[i])
+                and msh.volume_mesh_compatible(
+                    (g.block.d, g.block.h, g.block.w), mesh
+                )
+            )
+        if not quiet:
+            strategies = ", ".join(
+                f"plane {i}: {'volume' if v else 'blocks'}"
+                for i, v in enumerate(use_volume)
+            )
+            print(f"mesh: space={mesh.shape['space']} "
+                  f"time={mesh.shape['time']} ({strategies})", file=sys.stderr)
+
     # device-resident transform plans (re-uploading basis matrices per
     # slab would dominate the tunnel bandwidth)
     plans = jax.device_put([mp.make_plans(g) for g in geoms])
@@ -353,12 +392,33 @@ def main(argv: list[str] | None = None) -> int:
             out_planes = []
             for i, g in enumerate(geoms):
                 frames = np.stack([slab[z][i] for z in range(g.block.d)])
+                if mesh is not None and use_volume[i]:
+                    vol = jnp.asarray(
+                        frames[: g.block.d, : g.truncated.h, : g.truncated.w],
+                        dtype=jnp.float32,
+                    )
+                    vol = jax.device_put(vol, msh.volume_sharding(mesh))
+                    out, c = msh.motion_filter_volume_sharded(
+                        vol, mesh, geom=g, params=params[i],
+                        plane_index=i, nplanes=proc_fmt.ncomp, bz=bz,
+                    )
+                    coded += int(np.asarray(c))
+                    out_planes.append(np.asarray(out))
+                    continue
                 blocks = mp.frames_to_blocks(frames, g)
-                out, c = mp.filter_blocks(
-                    jnp.asarray(blocks, dtype=jnp.float32), plans[i],
-                    bcoords[i], jnp.asarray(bz), geom=g, params=params[i],
-                    plane_index=i, nplanes=proc_fmt.ncomp,
-                )
+                if mesh is not None:
+                    out, c = psh.shard_blocks_filter(
+                        jnp.asarray(blocks, dtype=jnp.float32), plans[i],
+                        bcoords[i], jnp.asarray(bz), mesh,
+                        geom=g, params=params[i],
+                        plane_index=i, nplanes=proc_fmt.ncomp,
+                    )
+                else:
+                    out, c = mp.filter_blocks(
+                        jnp.asarray(blocks, dtype=jnp.float32), plans[i],
+                        bcoords[i], jnp.asarray(bz), geom=g, params=params[i],
+                        plane_index=i, nplanes=proc_fmt.ncomp,
+                    )
                 coded += int(np.asarray(c).sum())
                 out_planes.append(mp.blocks_to_frames(np.asarray(out), g))
             for z in range(g0.scaled.d):

@@ -1,0 +1,213 @@
+"""Multi-chip execution through the motion tool surface.
+
+VERDICT round-1 item 1: the sharded paths must be reachable from the
+CLI.  Block batches go data-parallel over 'space'
+(parallel.sharded.shard_blocks_filter); the whole-clip single-block
+mode goes through the Ulysses-style volume chain
+(parallel.motion_sharded).  Outputs must match the single-device tool
+run on the 8-way virtual CPU mesh.
+"""
+
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dspfun_tpu.io import video
+from dspfun_tpu.models import motion_pipeline as mp
+from dspfun_tpu.parallel import motion_sharded as msh
+from dspfun_tpu.parallel.mesh import make_mesh, mesh_from_spec
+from dspfun_tpu.tools import motion as motion_tool
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def write_clip(path, frames, fmt="fvid", pix="gbrpf32le", rate=Fraction(25)):
+    t, h, w = frames.shape[:3]
+    props = video.parse_color_props(f"pixel_format={pix}")
+    with video.open_output(path, w, h, rate, props, format=fmt) as wr:
+        for f in frames:
+            wr.write_frame_rgb(f)
+
+
+def read_clip(path):
+    with video.open_input(path) as r:
+        out = []
+        while True:
+            f = r.read_frame_rgb()
+            if f is None:
+                break
+            out.append(f)
+    return np.stack(out)
+
+
+def test_mesh_from_spec():
+    assert mesh_from_spec("none") is None
+    assert mesh_from_spec("1") is None
+    assert mesh_from_spec("") is None
+    m = mesh_from_spec("auto")
+    assert m.shape["space"] == len(jax.devices())
+    m = mesh_from_spec("space=4,time=2")
+    assert m.shape == {"space": 4, "time": 2}
+    m = mesh_from_spec("4")
+    assert m.shape == {"space": 4, "time": 1}
+    with pytest.raises(ValueError):
+        mesh_from_spec("space=999")
+    with pytest.raises(ValueError):
+        mesh_from_spec("rows=2")
+
+
+@pytest.fixture(scope="module")
+def mesh42():
+    return make_mesh(8, space=4, time=2)
+
+
+def _volume_vs_blocks(g, params, frames, mesh, bz=0, atol=2e-3):
+    # atol in pel units (0..255): the single-device reference may take
+    # filter_blocks' folded-kron fast path, whose contraction order
+    # differs from the sharded per-axis chain at the ~1e-4 level.
+    """motion_filter_volume_sharded must match filter_blocks on the
+    equivalent [1, T, H, W] batch."""
+    vol = jax.device_put(jnp.asarray(frames, jnp.float32),
+                         msh.volume_sharding(mesh))
+    out_s, coded_s = msh.motion_filter_volume_sharded(
+        vol, mesh, geom=g, params=params, plane_index=0, nplanes=1, bz=bz,
+    )
+    plans = mp.make_plans(g)
+    ref, coded_ref = mp.filter_blocks(
+        jnp.asarray(frames[None], jnp.float32), plans,
+        (jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32)),
+        jnp.asarray(bz), geom=g, params=params, plane_index=0, nplanes=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(ref)[0], atol=atol, rtol=1e-6
+    )
+    assert int(np.asarray(coded_s)) == int(np.asarray(coded_ref).sum())
+
+
+@pytest.fixture(scope="module")
+def whole_clip_geom():
+    # 16x8x4 volume as one block (the -b 0x0x0 whole-clip mode)
+    return mp.plan_geometry(16, 8, 4, 1, block=mp.Dims(0, 0, 0))[0]
+
+
+@pytest.fixture(scope="module")
+def vol_frames():
+    rng = np.random.default_rng(5)
+    return (rng.random((4, 8, 16)) * 255).astype(np.float32)
+
+
+@pytest.mark.parametrize("params", [
+    mp.MotionParams(),
+    mp.MotionParams(quant=1.0, preserve_dc="dc", boost=1.3, damp=0.5),
+    mp.MotionParams(threshold_min=0.001, threshold_max=0.5),
+    mp.MotionParams(coeff_limit=10),
+    mp.MotionParams(coeff_limit=64, quant=0.5),
+    mp.MotionParams(spec="shift"),
+    mp.MotionParams(spec="abs"),
+    mp.MotionParams(linear=True),
+    mp.MotionParams(float_pixels=False, boost=0.8),
+], ids=["plain", "quant-dc", "threshold", "top10", "top64-quant",
+        "spec-shift", "spec-abs", "linear", "int-pel"])
+def test_volume_sharded_matches_filter_blocks(
+    whole_clip_geom, vol_frames, mesh42, params
+):
+    _volume_vs_blocks(whole_clip_geom, params, vol_frames, mesh42)
+
+
+def test_volume_sharded_expr(whole_clip_geom, vol_frames, mesh42):
+    from dspfun_tpu.core.expr import parse_expr
+
+    expr = parse_expr("c*gte(x+y+z,2)", motion_tool.EXPR_NAMES)
+    _volume_vs_blocks(
+        whole_clip_geom, mp.MotionParams(expr=expr), vol_frames, mesh42
+    )
+
+
+def test_volume_sharded_ispec_roundtrip(whole_clip_geom, vol_frames, mesh42):
+    spec_p = mp.MotionParams(spec="shift")
+    plans = mp.make_plans(whole_clip_geom)
+    coeff_img, _ = mp.filter_blocks(
+        jnp.asarray(vol_frames[None], jnp.float32), plans,
+        (jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32)),
+        jnp.asarray(0), geom=whole_clip_geom, params=spec_p,
+        plane_index=0, nplanes=1,
+    )
+    _volume_vs_blocks(
+        whole_clip_geom, mp.MotionParams(ispec="shift"),
+        np.asarray(coeff_img)[0].astype(np.float32), mesh42, atol=2e-4,
+    )
+
+
+def test_volume_rejects_dither(whole_clip_geom, vol_frames, mesh42):
+    with pytest.raises(ValueError):
+        msh.motion_filter_volume_sharded(
+            jnp.asarray(vol_frames), mesh42, geom=whole_clip_geom,
+            params=mp.MotionParams(dither=True, float_pixels=False),
+            plane_index=0, nplanes=1,
+        )
+
+
+# ---------------------------------------------------------------------------
+# CLI-level: --mesh must not change tool output
+# ---------------------------------------------------------------------------
+
+def test_motion_cli_mesh_blocks_bit_identical(tmp_path):
+    """With >=2 blocks per shard the sharded tool output is bitwise
+    equal to the single-device run (XLA lowers a per-shard batch of 1
+    to a different matmul shape, which differs at the last ulp — the
+    realistic many-blocks-per-chip regime is exact)."""
+    rng = np.random.default_rng(21)
+    frames = rng.random((4, 16, 24, 3)).astype(np.float32)
+    src = str(tmp_path / "in.fvid")
+    write_clip(src, frames)
+    args = ["-Q", "-b", "8x8x2", "-p", "4x4x1", "-B", "1.5", "-D", "0.25",
+            "-q", "0.5", "--preserve-dc"]
+    out1 = str(tmp_path / "single.fvid")
+    out2 = str(tmp_path / "meshed.fvid")
+    assert motion_tool.main([*args, src, out1]) == 0
+    # 6 blocks over space=3 -> 2 per shard
+    assert motion_tool.main([*args, "--mesh", "space=3", src, out2]) == 0
+    a, b = read_clip(out1), read_clip(out2)
+    np.testing.assert_array_equal(a, b)
+
+    # auto mesh (8 devices, 1 block/shard): equivalent to f32 rounding
+    out3 = str(tmp_path / "auto.fvid")
+    assert motion_tool.main([*args, "--mesh", "auto", src, out3]) == 0
+    np.testing.assert_allclose(read_clip(out3), a, atol=1e-6, rtol=1e-6)
+
+
+def test_motion_cli_mesh_volume_path(tmp_path, capsys):
+    rng = np.random.default_rng(22)
+    frames = rng.random((4, 8, 16, 3)).astype(np.float32)
+    src = str(tmp_path / "in.fvid")
+    write_clip(src, frames)
+    args = ["-b", "0x0x0", "-p", "4x4x2", "-D", "0.5"]
+    out1 = str(tmp_path / "single.fvid")
+    out2 = str(tmp_path / "meshed.fvid")
+    assert motion_tool.main(["-Q", *args, src, out1]) == 0
+    assert motion_tool.main([*args, "--mesh", "space=4,time=2", src, out2]) == 0
+    err = capsys.readouterr().err
+    assert "volume" in err  # the tool reports the volume strategy
+    a, b = read_clip(out1), read_clip(out2)
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-6)
+
+
+def test_motion_cli_mesh_ragged_blocks(tmp_path):
+    """24x16 at 8x8 -> 6 blocks over space=4: exercises internal padding
+    through the tool."""
+    rng = np.random.default_rng(23)
+    frames = rng.random((2, 16, 24, 3)).astype(np.float32)
+    src = str(tmp_path / "in.fvid")
+    write_clip(src, frames)
+    args = ["-Q", "-b", "8x8x1", "-q", "2"]
+    out1 = str(tmp_path / "single.fvid")
+    out2 = str(tmp_path / "meshed.fvid")
+    assert motion_tool.main([*args, src, out1]) == 0
+    assert motion_tool.main([*args, "--mesh", "4", src, out2]) == 0
+    np.testing.assert_allclose(read_clip(out1), read_clip(out2),
+                               atol=1e-6, rtol=1e-6)
