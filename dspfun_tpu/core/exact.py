@@ -1,0 +1,144 @@
+"""Correctly-rounded f32 matrix contraction on the MXU (Ozaki-style).
+
+The TPU has no native float64, and even `Precision.HIGHEST` f32 matmuls
+(6-pass bfloat16 decomposition) carry ~1.8e-7 error relative to the
+*largest* operand magnitudes.  Whole-image DCT chains amplify that: a
+512x512 spec round trip floors at ~1e-2 absolute, far above the
+BASELINE.md 1e-5 target (reference convention: the intermediate
+precision is *higher* than storage precision — include/precision.h:50,
+default INTERMEDIATE=long double).
+
+This module recovers f64-class contraction accuracy using only exact
+MXU arithmetic — the classic error-free splitting ("Ozaki scheme")
+mapped to the TPU:
+
+1. scale both operands by powers of two so entries lie in (-1, 1];
+2. split each into B-bit integer digits: ``a = sum_i m_i 2^{-B(i+1)}``
+   with ``|m_i| <= 2^B``; digits are stored as bfloat16 (integers up to
+   256 are exact in bf16) and every split step is error-free
+   (Sterbenz subtraction);
+3. every digit-pair product ``M_i @ X_j`` is then EXACT: bf16 products
+   of B-bit integers fit f32, and the f32 MXU accumulator is exact
+   because ``2B + log2(K) <= 24`` (B is chosen per contraction
+   length K);
+4. the ~18 exact partial products are combined largest-first with
+   TwoSum compensation (error O(eps^2)) and the only rounding in the
+   whole pipeline is the final f32 store.
+
+Cost: ~18 single-pass bf16 matmuls per contraction vs 6 passes for one
+HIGHEST f32 matmul — ~3x, paid only on the accuracy-critical
+whole-image paths.  Everything is jittable jnp; no Pallas needed
+because the MXU is already doing the exact work.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["digit_width", "split_matrix_digits", "exact_contract"]
+
+
+def digit_width(k: int) -> int:
+    """Largest digit width B with 2B + ceil(log2 k) <= 24 (exact f32
+    accumulation over a K-length contraction), capped at bf16's 8
+    mantissa bits."""
+    k = max(int(k), 2)
+    return max(1, min(8, (24 - math.ceil(math.log2(k))) // 2))
+
+
+def split_matrix_digits(m: np.ndarray, pmax: int | None = None):
+    """Split a float64 [M, K] matrix into integer digit slices.
+
+    Returns (digits [D, M, K] bfloat16 with integer values, scale) such
+    that ``m ~= scale * sum_i digits[i] * 2**(-B*(i+1))`` with error
+    below ``scale * 2**(-B*D)``; B = digit_width(K).
+    """
+    m = np.asarray(m, dtype=np.float64)
+    B = digit_width(m.shape[1])
+    # power-of-two scale with |m'| <= 1 (frexp: m = mant * 2^e, mant < 1)
+    mx = float(np.max(np.abs(m)))
+    e = math.frexp(mx)[1] if mx > 0 else 0
+    scale = float(2.0**e)
+    r = m / scale
+    nd = -(-53 // B)  # all of an f64 mantissa
+    if pmax is not None:
+        nd = min(nd, pmax + 1)
+    digits = []
+    for i in range(nd):
+        sc = 2.0 ** (B * (i + 1))
+        d = np.round(r * sc)
+        r = r - d / sc
+        digits.append(d)
+    return (
+        np.stack(digits).astype(jnp.bfloat16),
+        np.float32(scale),
+    )
+
+
+_X_BITS = 36  # digit depth below each slice max (> f32's 24: elements
+#               much smaller than their slice max keep relative accuracy
+#               through chained transforms)
+
+
+def _split_operand_digits(x: jnp.ndarray, B: int, axis: int):
+    """Runtime digit split of an f32 operand.  Scales are per
+    contraction *slice* (max along ``axis``, the Ozaki blocking), so
+    dynamic range across output elements costs nothing; returns
+    (digit list, log2-scale array with ``axis`` kept as size 1)."""
+    x = jnp.asarray(x, jnp.float32)
+    m = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    e = jnp.where(m > 0, jnp.floor(jnp.log2(m)) + 1.0, 0.0)
+    r = x * jnp.exp2(-e)
+    nd = -(-_X_BITS // B)
+    out = []
+    for j in range(nd):
+        sc = float(2.0 ** (B * (j + 1)))
+        d = jnp.round(r * sc)
+        r = r - d / sc
+        out.append(d.astype(jnp.bfloat16))
+    return out, e
+
+
+def exact_contract(
+    x: jax.Array,
+    digits_a: jax.Array,       # [DA, M, K] from split_matrix_digits
+    scale_a,                   # matrix power-of-two scale
+    axis: int,
+) -> jax.Array:
+    """Contract the digit-split [M, K] matrix against ``axis`` of ``x``
+    with one f32 rounding total.  Returns f32, shaped like ``x`` with
+    ``axis`` replaced by M."""
+    axis = axis % x.ndim
+    k = digits_a.shape[2]
+    B = digit_width(k)
+    xd, ex = _split_operand_digits(x, B, axis)
+    da = digits_a.shape[0]
+    # keep digit pairs down to 2^(-B*(pmax+2)) ~ 2^-60 relative
+    pmax = max(0, -(-60 // B) - 2)
+    pairs = sorted(
+        ((i, j) for i in range(da) for j in range(len(xd)) if i + j <= pmax),
+        key=lambda ij: ij[0] + ij[1],
+    )
+    s = err = None
+    for i, j in pairs:
+        prod = jnp.tensordot(
+            digits_a[i], xd[j], axes=[[1], [axis]],
+            preferred_element_type=jnp.float32,
+        )
+        t = prod * float(2.0 ** (-B * (i + j + 2)))
+        if s is None:
+            s, err = t, jnp.zeros_like(t)
+        else:
+            # TwoSum: z + (s - (z - b)) + (t - b) == s + t exactly
+            z = s + t
+            b = z - s
+            err = err + ((s - (z - b)) + (t - b))
+            s = z
+    # per-slice power-of-two scales: ex has size 1 at ``axis``; move it
+    # to the front to broadcast over the M output axis
+    y = (s + err) * (jnp.float32(scale_a) * jnp.exp2(jnp.moveaxis(ex, axis, 0)))
+    return jnp.moveaxis(y, 0, axis)

@@ -13,12 +13,19 @@ On TPU this becomes a *runtime* policy object:
   (f32 default; bf16 for bandwidth-bound paths; f64 on CPU oracles).
 * ``intermediate``: how matmul contractions accumulate:
     - "f32"   : plain f32 MXU matmuls (preferred_element_type=f32)
-    - "hilo"  : double-float compensated matmuls — the basis matrix and
-      operand are split into hi+lo f32 parts and three MXU matmuls are
-      summed, recovering ~2x f32 mantissa accuracy at ~3x FLOPs.  This
-      is the TPU analogue of the reference's "intermediate = long
-      double" convention and is what lets f32 TPU outputs match
-      double-precision FFTW to <=1e-5 (BASELINE.md targets).
+    - "hilo"  : double-float compensated matmuls — the basis matrix is
+      split into hi+lo f32 parts and two HIGHEST MXU matmuls are
+      summed, bounding the basis representation error at ~2^-48.
+      Accumulation still rounds per pass, so whole-image (K >= ~256)
+      chains drift; small-block paths (motion) are exact enough.
+    - "exact" : correctly-rounded f32 contraction via error-free bf16
+      digit splitting (core/exact.py, Ozaki scheme): every partial
+      product and MXU accumulation is exact; the only rounding is the
+      final f32 store.  ~3x hilo's FLOPs; this is the TPU analogue of
+      the reference's "intermediate = long double" convention
+      (include/precision.h:50-57) and what lets whole-image TPU
+      transforms match double-precision FFTW to <=1e-5 (BASELINE.md).
+      Whole-image spec/ispec auto-upgrade hilo->exact at >=256 px.
     - "f64"   : true float64 (CPU / x64-enabled only).
 
 Tools take an optional Precision; the module-level default matches the
@@ -32,7 +39,7 @@ from typing import Any
 
 import jax.numpy as jnp
 
-_VALID_INTERMEDIATE = ("f32", "hilo", "f64")
+_VALID_INTERMEDIATE = ("f32", "hilo", "exact", "f64")
 
 # Mapping of the reference's single-letter precision flags (F/D/L,
 # reference include/precision.h:26-35) onto TPU-native policies.

@@ -63,11 +63,15 @@ class AxisPlan(NamedTuple):
     Held as *host* numpy arrays so a cached plan is safe to use both as
     a jit argument (lives in HBM, not inlined) and inside jit/shard_map
     traces (becomes a compile-time constant).  ``lo`` is the
-    double-float compensation term (None outside hilo mode).
+    double-float compensation term (None outside hilo mode);
+    ``digits``/``scale`` are the error-free bf16 digit split (None
+    outside exact mode — see core/exact.py).
     """
 
     hi: jax.Array | np.ndarray
     lo: jax.Array | np.ndarray | None
+    digits: jax.Array | np.ndarray | None = None
+    scale: jax.Array | np.ndarray | None = None
 
 
 def plan_matrix(m: np.ndarray, precision: Precision | None = None) -> AxisPlan:
@@ -76,6 +80,11 @@ def plan_matrix(m: np.ndarray, precision: Precision | None = None) -> AxisPlan:
     m = np.asarray(m, dtype=np.float64)
     if p.intermediate == "f64":
         return AxisPlan(m, None)
+    if p.intermediate == "exact":
+        from dspfun_tpu.core.exact import split_matrix_digits  # noqa: PLC0415
+
+        digits, scale = split_matrix_digits(m)
+        return AxisPlan(m.astype(np.float32), None, digits, scale)
     if p.intermediate == "hilo":
         hi, lo = split_hilo(m)
         return AxisPlan(hi, lo)
@@ -118,7 +127,11 @@ def apply_plan(
         )
         return jnp.moveaxis(y, 0, axis)
 
-    if p.intermediate == "f64":
+    if plan.digits is not None:
+        from dspfun_tpu.core.exact import exact_contract  # noqa: PLC0415
+
+        y = exact_contract(x.astype(jnp.float32), plan.digits, plan.scale, axis)
+    elif p.intermediate == "f64":
         y = tdot(plan.hi, x.astype(jnp.float64))
     elif p.intermediate == "hilo" and plan.lo is not None:
         xf = x.astype(jnp.float32)

@@ -62,6 +62,19 @@ class SpecChainParams:
         return cls(*t, gain=gain)
 
 
+def _whole_image_precision(precision: Precision | None, shape) -> Precision:
+    """Whole-image transforms upgrade hilo -> exact at >=256 px: hilo
+    only bounds the *basis* representation error, and per-pass
+    accumulation rounding dominates for long contractions (the round-1
+    1e-2 TPU floor at 512^2).  The exact mode's error-free contraction
+    (core/exact.py) restores the <=1e-5 BASELINE target at ~3x FLOPs —
+    negligible for one whole-image transform per tool run."""
+    p = precision or get_precision()
+    if p.intermediate == "hilo" and min(int(shape[0]), int(shape[1])) >= 256:
+        p = dataclasses.replace(p, intermediate="exact")
+    return p
+
+
 def compute_gain(params: SpecChainParams, w: int, h: int) -> float:
     """reference spec/spec.c:81-90."""
     if params.gaintype == "native":
@@ -93,7 +106,7 @@ def spec_forward(
     DC is the per-channel image mean (what spec embeds as the "DC"
     property, reference spec/spec.c:66-68,145-148).
     """
-    p = precision or get_precision()
+    p = _whole_image_precision(precision, x.shape)
     h, w, d = x.shape
     gain = compute_gain(params, w, h)
 
@@ -142,7 +155,7 @@ def spec_inverse(
     array of a ``spec -t sign`` image in [0,1]; its first texel provides
     DC and its sign bit restores coefficient signs (ispec.c:87-98).
     """
-    p = precision or get_precision()
+    p = _whole_image_precision(precision, f.shape)
     h, w, d = f.shape
     gain = compute_gain(params, w, h)
 
