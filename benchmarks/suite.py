@@ -1,8 +1,12 @@
 #!/usr/bin/env python
-"""Benchmark suite: the five BASELINE.md configurations.
+"""Benchmark suite: the BASELINE.md configurations, each with a locally
+measured single-core pocketfft/numpy f64 baseline (the reference
+publishes no numbers — BASELINE.md:1-11).
 
-Each config prints one JSON line.  The headline driver metric stays in
-bench.py (config 0 here); this suite is for tracking the rest.
+Config 1 is the 8x8-blockwise spec round trip BASELINE.md:31 names;
+config 6 adds the whole-image 512^2 spec round trip on the exact
+contraction path (the round-1 precision gap).  Each config prints one
+JSON line with value/unit/vs_baseline/max_abs_err where applicable.
 
 Usage: python benchmarks/suite.py [--quick] [--configs 1,2,...]
 """
@@ -11,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -47,39 +52,107 @@ def _time(fn, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_spec_roundtrip(quick):
-    """Config 1: spec->ispec round trip of a 512x512 RGB image."""
+def _time_chained(step, x0, iters=10):
+    """Time a self-feeding chain (output -> input) with one final scalar
+    fetch: per-dispatch sync round trips through the device tunnel would
+    otherwise dominate (see CLAUDE.md timing notes)."""
+    cur = step(x0)
+    _sync(cur)
+    t0 = time.perf_counter()
+    cur = x0
+    for _ in range(iters):
+        cur = step(cur)
+    _sync(cur)
+    return (time.perf_counter() - t0) / iters
+
+
+# ---------------------------------------------------------------------------
+# config 1: 8x8-blockwise spec round trip of a 512x512 RGB image
+# ---------------------------------------------------------------------------
+
+def _block_spec_chain_np(img, n=8):
+    """f64 oracle: blockwise DCT-II + flat-template spec encode/decode +
+    IDCT, all in float64 pocketfft (reference chain spec/spec.c:63-139
+    applied per 8x8 block)."""
+    import scipy.fft
+
+    h, w, c = img.shape
+    gain = 127.5 * math.sqrt(4 * n * n)
+    grid = np.sqrt(2.0) ** (
+        (np.arange(n) != 0)[:, None] + (np.arange(n) != 0)[None, :]
+    )
+    b = img.reshape(h // n, n, w // n, n, c).astype(np.float64)
+    F = scipy.fft.dctn(b, type=2, axes=(1, 3), workers=1)
+    f = F * (grid * (gain / (4.0 * n * n)))[None, :, None, :, None]
+    stored = (f / (2 * gain) + 0.5) * 254 / 255          # flat encode
+    f2 = (stored * 255 / 254 - 0.5) * (2 * gain)         # decode
+    f2 = f2 / (grid * gain)[None, :, None, :, None]
+    y = scipy.fft.dctn(f2, type=3, axes=(1, 3), workers=1) / (4.0 * n * n)
+    return y.reshape(h, w, c)
+
+
+def bench_spec_blockwise(quick):
+    """Config 1 (BASELINE.md:31): 8x8 blockwise 2-D DCT-II spectrum of a
+    512x512 RGB image, flat-encode, invert; error vs the f64 pocketfft
+    chain; throughput vs the same chain single-core."""
     import jax
+    import jax.numpy as jnp
 
     from dspfun_tpu.core.precision import Precision
-    from dspfun_tpu.models.spec_pipeline import SpecChainParams, spec_forward, spec_inverse
+    from dspfun_tpu.core.transforms import apply_plan, plan_axis, uniform_grid
 
-    n = 128 if quick else 512
+    n = 8
+    size = 128 if quick else 512
     rng = np.random.default_rng(0)
-    img = jax.device_put(rng.random((n, n, 3)).astype(np.float32))
-    params = SpecChainParams.template("flat")
+    img = rng.random((size, size, 3)).astype(np.float32)
     prec = Precision(coeff="float32", intermediate="hilo")
+    p2 = jax.device_put(plan_axis(n, "dct2", prec))
+    p3 = jax.device_put(plan_axis(n, "dct3", prec))
+    gain = 127.5 * math.sqrt(4 * n * n)
+    grid = uniform_grid((n, n))
 
-    fwd = jax.jit(lambda x: spec_forward(x, params, prec))
-    inv = jax.jit(lambda f, dc: spec_inverse(f, params, dc=dc, precision=prec))
+    fwd_mul = jnp.asarray((grid * (gain / (4.0 * n * n)))[None, :, None, :, None],
+                          jnp.float32)
+    inv_mul = jnp.asarray((1.0 / (grid * gain))[None, :, None, :, None],
+                          jnp.float32)
 
-    def run():
-        f, dc = fwd(img)
-        return inv(f, dc)
+    @jax.jit
+    def roundtrip(x):
+        b = x.reshape(size // n, n, size // n, n, 3)
+        F = apply_plan(apply_plan(b, p2, 1, prec), p2, 3, prec)
+        f = F * fwd_mul
+        stored = (f / (2 * gain) + 0.5) * 254 / 255
+        f2 = (stored * 255 / 254 - 0.5) * (2 * gain) * inv_mul
+        y = apply_plan(apply_plan(f2, p3, 1, prec), p3, 3, prec) / (4.0 * n * n)
+        return y.reshape(size, size, 3)
 
-    dt = _time(run)
-    y = run()
-    err = float(np.max(np.abs(np.asarray(y) - np.asarray(img))))
+    x = jax.device_put(img)
+    dt = _time_chained(roundtrip, x)
+    got = np.asarray(roundtrip(x))
+    oracle = _block_spec_chain_np(img, n)
+    err = float(np.max(np.abs(got - oracle)))
+
+    t0 = time.perf_counter()
+    _block_spec_chain_np(img, n)
+    base_dt = time.perf_counter() - t0
+    mps = size * size / dt / 1e6
     return {
-        "metric": f"spec+ispec round-trip {n}x{n} RGB",
-        "value": round(n * n / dt / 1e6, 2), "unit": "MP/s",
-        "max_abs_err": err,
+        "metric": f"spec+ispec 8x8-blockwise round trip {size}x{size} RGB",
+        "value": round(mps, 2), "unit": "MP/s",
+        "max_abs_err_vs_f64": err,
+        "baseline_MP/s": round(size * size / base_dt / 1e6, 2),
+        "vs_baseline": round(base_dt / dt, 1),
+        "baseline": "pocketfft f64 1-core, same chain",
     }
 
 
+# ---------------------------------------------------------------------------
+# config 2: zoom 4x of 1080p, linear light
+# ---------------------------------------------------------------------------
+
 def bench_zoom(quick):
-    """Config 2: 4x DCT-basis upscale of a 1080p image, linear light."""
     import jax
+    import scipy.fft
 
     from dspfun_tpu.io.color import srgb_decode, srgb_encode
     from dspfun_tpu.models import zoom_pipeline as zp
@@ -95,14 +168,43 @@ def bench_zoom(quick):
         return srgb_encode(f, jax.numpy)
 
     dt = _time(run, iters=3)
+
+    # single-core pocketfft proxy baseline: cosine upsampling to the
+    # same output pixels = IDCT of the zero-padded spectrum (+ the
+    # linear-light transfer stages in f64)
+    lin = srgb_decode(img)
+    F = scipy.fft.dctn(lin, type=2, axes=(0, 1), workers=1)
+    Fp = np.zeros((2 * h, 2 * w, 3))
+    Fp[:h, :w] = F
+    t0 = time.perf_counter()
+    up = scipy.fft.dctn(Fp, type=3, axes=(0, 1), workers=1) / (4.0 * w * h)
+    _ = np.where(up <= 0.0031308, up * 12.92,
+                 1.055 * np.cbrt(np.abs(up)) ** (1 / 0.4) - 0.055)
+    base_dt = time.perf_counter() - t0
+    out_mp = (2 * w) * (2 * h) / 1e6
     return {
         "metric": f"zoom 4x of {w}x{h} linear-light (per {w*2}x{h*2} frame)",
-        "value": round((2 * w) * (2 * h) / dt / 1e6, 2), "unit": "out MP/s",
+        "value": round(out_mp / dt, 2), "unit": "out MP/s",
+        "baseline_MP/s": round(out_mp / base_dt, 2),
+        "vs_baseline": round(base_dt / dt, 1),
+        "baseline": "pocketfft f64 1-core zero-pad cosine upsample + trc",
     }
 
 
+# ---------------------------------------------------------------------------
+# config 3: applybasis / genbasis
+# ---------------------------------------------------------------------------
+
 def bench_applybasis(quick):
-    """Config 3: render 8x8 and 16x16 DCT basis grids + apply to image."""
+    """Config 3: render 8x8/16x16 DCT basis grids + full 64^2 DCT apply.
+
+    The apply step is a three-operand einsum; the baseline is the same
+    contraction in f64 numpy (optimize=False: single-threaded C loops —
+    generous to the reference, whose per-element long-double scalar
+    loops are slower still, applybasis.c:409-448)."""
+    import jax
+    import jax.numpy as jnp
+
     from dspfun_tpu.models import basis_pipeline as bp
 
     t0 = time.perf_counter()
@@ -115,22 +217,55 @@ def bench_applybasis(quick):
     rng = np.random.default_rng(2)
     img = rng.random((n, n, 3))
 
+    # tool-level (includes host->device->host transfer per call)
     def run():
         return bp.apply_basis(img, "dct2", terms=(n, n), partsum=(n, n))
 
     run()
     t0 = time.perf_counter()
     run()
-    ap_dt = time.perf_counter() - t0
+    percall = time.perf_counter() - t0
+
+    # device-resident throughput (chained)
+    from dspfun_tpu.models.basis_pipeline import (
+        _axis_matrix_forward, _einsum_forward,
+    )
+
+    mh = _axis_matrix_forward("dct2", n, 1, n, 0, n, False).real
+    mw = mh
+    pr = img.reshape(1, n, 1, n, 3)
+    mhj = jax.device_put(jnp.asarray(mh, jnp.float32))
+    mwj = jax.device_put(jnp.asarray(mw, jnp.float32))
+
+    def step(x):
+        out = _einsum_forward(mhj, x, mwj)  # [n, n, 1, 1, 3]
+        return out.reshape(1, n, 1, n, 3) * 1e-3  # feed back, keep finite
+
+    dt = _time_chained(step, jnp.asarray(pr, jnp.float32), iters=20)
+
+    # baseline: same contraction, f64 numpy single-core loops
+    t0 = time.perf_counter()
+    np.einsum("ais,isjtz,bjt->abijz", mh, pr, mw, optimize=False)
+    base_dt = time.perf_counter() - t0
+
     return {
         "metric": f"applybasis full {n}x{n} DCT + genbasis 8/16 grids",
-        "value": round(1.0 / ap_dt, 2), "unit": "transforms/s",
+        "value": round(1.0 / dt, 1), "unit": "transforms/s",
+        "percall_s": round(percall, 4),
         "genbasis_ms": round(gen_dt * 1e3, 1),
+        "baseline_transforms/s": round(1.0 / base_dt, 1),
+        "vs_baseline": round(base_dt / dt, 1),
+        "baseline": "numpy f64 1-core einsum (same contraction)",
     }
 
 
+# ---------------------------------------------------------------------------
+# config 4: scan progressive reconstruction
+# ---------------------------------------------------------------------------
+
 def bench_scan(quick):
-    """Config 4: progressive zigzag reconstruction of a 256x256 image."""
+    import scipy.fft
+
     from dspfun_tpu.core.precision import Precision
     from dspfun_tpu.models import scan_pipeline as sp
     from dspfun_tpu.ops import scan_methods as sm
@@ -155,15 +290,30 @@ def bench_scan(quick):
     t0 = time.perf_counter()
     run()
     dt = time.perf_counter() - t0
+
+    # baseline: the reference emits one full IDCT per output frame
+    # (scan.c:446-449); time pocketfft IDCTs and scale to nframes
+    F = scipy.fft.dctn(img.astype(np.float64), type=2, axes=(0, 1), workers=1)
+    reps = 8
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        scipy.fft.dctn(F, type=3, axes=(0, 1), workers=1)
+    base_dt = (time.perf_counter() - t0) / reps * plan.nframes
     return {
         "metric": f"scan zigzag {n}x{n}, {plan.nframes} frames step=4",
         "value": round(plan.nframes / dt, 1), "unit": "frames/s",
         "pruned": plan.use_pruned,
+        "baseline_frames/s": round(plan.nframes / base_dt, 1),
+        "vs_baseline": round(base_dt / dt, 1),
+        "baseline": "pocketfft f64 1-core full IDCT per frame",
     }
 
 
+# ---------------------------------------------------------------------------
+# config 5: motion 3-D lowpass
+# ---------------------------------------------------------------------------
+
 def bench_motion(quick):
-    """Config 5: 3-D lowpass+scale of 640x360 video over 16-frame cubes."""
     import jax
     import jax.numpy as jnp
 
@@ -183,20 +333,12 @@ def bench_motion(quick):
     plans = jax.device_put(plans)
     bz = jnp.asarray(0)
 
-    # chain slabs (output feeds input) so each step depends on the
-    # previous; a single scalar fetch syncs the chain — per-dispatch
-    # sync round-trips would otherwise dominate on remote devices
-    out, _ = mp.filter_blocks(blocks, plans, bc, bz, geom=g,
-                              params=params, plane_index=0, nplanes=1)
-    _sync(out)
-    iters = 10
-    t0 = time.perf_counter()
-    cur = blocks
-    for _ in range(iters):
-        cur, _ = mp.filter_blocks(cur, plans, bc, bz, geom=g,
+    def step(cur):
+        out, _ = mp.filter_blocks(cur, plans, bc, bz, geom=g,
                                   params=params, plane_index=0, nplanes=1)
-    _sync(cur)
-    dt = (time.perf_counter() - t0) / iters
+        return out
+
+    dt = _time_chained(step, blocks, iters=10)
     fps = d / dt
 
     # single-core FFTW-proxy baseline: the same 3-D DCT+filter+IDCT per
@@ -216,28 +358,90 @@ def bench_motion(quick):
         "metric": f"motion 3-D lowpass {w}x{h} {d}-frame cubes (16x16x{d} blocks)",
         "value": round(fps, 1), "unit": "frames/s",
         "Mpel/s": round(w * h * fps / 1e6, 1),
-        "vs_fftw_1core": round(fps / base_fps, 1),
+        "baseline_frames/s": round(base_fps, 1),
+        "vs_baseline": round(fps / base_fps, 1),
+        "baseline": "pocketfft f64 1-core, same blockwise chain",
+    }
+
+
+# ---------------------------------------------------------------------------
+# config 6: whole-image 512^2 spec round trip (exact contraction path)
+# ---------------------------------------------------------------------------
+
+def bench_spec_wholeimage(quick):
+    """The round-1 precision gap config: whole-image spec round trip on
+    the error-free contraction path (core/exact.py).  Must be <=1e-5 vs
+    f64 FFTW on the TPU device at >=10x the 1-core baseline."""
+    import jax
+    import scipy.fft
+
+    from dspfun_tpu.core.precision import Precision
+    from dspfun_tpu.models.spec_pipeline import (
+        SpecChainParams, spec_forward, spec_inverse,
+    )
+
+    n = 128 if quick else 512
+    rng = np.random.default_rng(0)
+    img = rng.random((n, n, 3)).astype(np.float32)
+    # raw-spectrum template: measures the transform, not the +-0.5
+    # display encoding (see tests/test_exact.py)
+    params = SpecChainParams.template("copy")
+    # hilo auto-upgrades to exact at >=256 px; force exact in quick mode
+    prec = Precision(coeff="float32",
+                     intermediate="hilo" if n >= 256 else "exact")
+
+    fwd = jax.jit(lambda x: spec_forward(x, params, prec))
+    inv = jax.jit(lambda f, dc: spec_inverse(f, params, dc=dc, precision=prec))
+
+    x = jax.device_put(img)
+
+    def run():
+        f, dc = fwd(x)
+        return inv(f, dc)
+
+    dt = _time(run)
+    got = np.asarray(run())
+
+    # f64 pocketfft oracle of the same chain
+    gain = params.gain
+    grid = np.sqrt(2.0) ** ((np.arange(n) != 0)[:, None]
+                            + (np.arange(n) != 0)[None, :])
+    t0 = time.perf_counter()
+    F = scipy.fft.dctn(img.astype(np.float64), type=2, axes=(0, 1), workers=1)
+    f = F * (grid * (gain / (4.0 * n * n)))[:, :, None]
+    f2 = f / (grid * gain)[:, :, None]       # == F / (4wh)
+    oracle = scipy.fft.dctn(f2, type=3, axes=(0, 1), workers=1)
+    base_dt = time.perf_counter() - t0
+    err = float(np.max(np.abs(got - oracle)))
+    return {
+        "metric": f"spec+ispec whole-image round trip {n}x{n} RGB (exact path)",
+        "value": round(n * n / dt / 1e6, 2), "unit": "MP/s",
+        "max_abs_err_vs_f64": err,
+        "baseline_MP/s": round(n * n / base_dt / 1e6, 2),
+        "vs_baseline": round(base_dt / dt, 1),
+        "baseline": "pocketfft f64 1-core, same chain",
     }
 
 
 CONFIGS = {
-    1: bench_spec_roundtrip,
+    1: bench_spec_blockwise,
     2: bench_zoom,
     3: bench_applybasis,
     4: bench_scan,
     5: bench_motion,
+    6: bench_spec_wholeimage,
 }
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     args = ap.parse_args()
     for idx in (int(t) for t in args.configs.split(",")):
         try:
             res = CONFIGS[idx](args.quick)
-            print(json.dumps(res), flush=True)
+            print(json.dumps({"config": idx, **res}), flush=True)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"config": idx, "error": str(e)}), flush=True)
     return 0
