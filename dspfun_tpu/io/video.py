@@ -641,22 +641,27 @@ def _open_stream_out(path: str):
     return open(path, "wb")
 
 
+_FFMPEG_EXTS = ("nut", "avi", "mkv", "mp4", "mov", "m4v", "webm", "mpg",
+                "mpeg", "ts", "gif", "flv", "wmv", "ogv")
+
+
 def _sniff_format(path: str, fmt: str | None, for_output: bool) -> str:
     if fmt:
         aliases = {"yuv4mpegpipe": "y4m", "y4m": "y4m", "fvid": "fvid",
-                   "image2": "image2", "nut": "fvid"}
-        if fmt not in aliases:
-            raise ValueError(f"unsupported container format {fmt!r}")
-        return aliases[fmt]
+                   "image2": "image2"}
+        # any other format name is an ffmpeg container/demuxer request,
+        # served by the ffmpeg-binary bridge (reference --format passes
+        # straight to libavformat)
+        return aliases.get(fmt, "ffmpeg")
     if _PATTERN_RE.search(path):
         return "image2"
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
     if ext == "y4m":
         return "y4m"
-    if ext in ("fvid", "nut", "avi", "mkv"):
-        # container formats we cannot encode land on fvid, our lossless
-        # default (the reference's FFV1 analogue)
+    if ext == "fvid":
         return "fvid"
+    if ext in _FFMPEG_EXTS:
+        return "ffmpeg"
     if ext in ("png", "jpg", "ppm"):
         return "image2"
     # pipes default to y4m for output (reference ffapi.c:396-397) and
@@ -710,19 +715,35 @@ def open_input(spec: str, format: str | None = None,
                native: bool = True) -> VideoReader:
     """Open a video input (path, ``-`` pipe, or printf image pattern).
 
-    Seekable y4m/fvid files demux through the native C++ runtime with
-    background read-ahead when available (``native=False`` forces the
-    pure-Python reader)."""
+    Native containers (y4m/fvid/image2) are recognised by magic bytes
+    first (so e.g. fvid content under a foreign extension still opens
+    natively); anything else goes through the ffmpeg-binary bridge when
+    one is on PATH.  Seekable y4m/fvid files demux through the native
+    C++ runtime with background read-ahead when available
+    (``native=False`` forces the pure-Python reader)."""
     fmt = _sniff_format(spec, format, for_output=False)
     if fmt == "image2":
         return ImageSeqReader(spec, spec)
+    if fmt == "ffmpeg" and format is not None:
+        from dspfun_tpu.io import ffmpeg_bridge  # noqa: PLC0415
+
+        return ffmpeg_bridge.open_ffmpeg_input(spec, format)
+    if fmt == "ffmpeg":
+        fmt = "pipe"  # extension suggests ffmpeg, but trust magic first
     stream = _open_stream_in(spec)
     if fmt == "pipe":
-        magic = stream.peek(8)[:8] if hasattr(stream, "peek") else b""
+        magic = stream.peek(9)[:9] if hasattr(stream, "peek") else b""
         if magic.startswith(b"DSPFVID"):
             fmt = "fvid"
-        else:
+        elif magic.startswith(b"YUV4MPEG"):
             fmt = "y4m"
+        elif spec in ("-", "pipe:", "pipe:0"):
+            fmt = "y4m"  # pipes default to y4m (reference ffapi.c:177)
+        else:
+            stream.close()
+            from dspfun_tpu.io import ffmpeg_bridge  # noqa: PLC0415
+
+            return ffmpeg_bridge.open_ffmpeg_input(spec)
     if fmt == "y4m":
         reader: VideoReader = Y4MReader(stream, spec)
     elif fmt == "fvid":
@@ -750,6 +771,7 @@ def open_output(
     props: ColorProps | None = None,
     format: str | None = None,
     options: str | None = None,
+    codec: str | None = None,
     append: bool = False,
 ) -> VideoWriter:
     """Open a video output.
@@ -767,13 +789,46 @@ def open_output(
             raise RuntimeError("ffplay: outputs require an ffplay binary on PATH")
         import subprocess  # noqa: PLC0415
 
-        sub = subprocess.Popen(["ffplay", "-f", "yuv4mpegpipe", "-i", "-"],
-                               stdin=subprocess.PIPE)
+        # full color-property handoff, mirroring the reference's ffplay
+        # command line (ffapi.c:455-465)
         pf = PIXEL_FORMATS[_negotiate_pix_fmt("y4m", props)]
-        w = Y4MWriter(sub.stdin, spec, "yuv4mpegpipe", width, height, rate, pf, props)
+        pprops = props.copy()
+        _default_props("y4m", pprops)
+        cmd = [
+            "ffplay", "-loglevel", "quiet", "-f", "yuv4mpegpipe",
+            "-video_size", f"{width}x{height}",
+            "-framerate", f"{rate.numerator}/{rate.denominator}",
+            "-pixel_format", pf.name,
+            "-color_range", "pc" if pprops.color_range == "jpeg" else "tv",
+        ]
+        for val, flag in ((pprops.color_primaries, "-color_primaries"),
+                          (pprops.color_trc, "-color_trc"),
+                          (pprops.color_space, "-colorspace"),
+                          (pprops.chroma_location, "-chroma_sample_location")):
+            if val:
+                cmd += [flag, val]
+        cmd += ["-"]
+        sub = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+        w = Y4MWriter(sub.stdin, spec, "yuv4mpegpipe", width, height, rate,
+                      pf, pprops)
+        orig_close = w.close
+
+        def close():  # pclose semantics: wait for the player to exit
+            orig_close()
+            sub.wait()
+
+        w.close = close
         return w
 
     fmt = _sniff_format(spec, format, for_output=True)
+    if fmt == "ffmpeg":
+        from dspfun_tpu.io import ffmpeg_bridge  # noqa: PLC0415
+
+        return ffmpeg_bridge.open_ffmpeg_output(
+            spec, width, height, rate, props,
+            format=None if format in (None, "") else format,
+            codec=codec, options=options,
+        )
     if fmt == "pipe":
         fmt = "y4m"
     if fmt == "image2":

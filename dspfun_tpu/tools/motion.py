@@ -95,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
     maxframes = 0
     out_rate = None
     csp = iformat = oformat = None
+    codec = encopts = None
     resume_file = None
     mesh_spec = None
     for flag, arg in flags:
@@ -170,7 +171,11 @@ def main(argv: list[str] | None = None) -> int:
             resume_file = arg
         elif flag == "--mesh":
             mesh_spec = arg
-        elif flag in ("--codec", "--encopts", "--decopts", "--loglevel",
+        elif flag == "--codec":
+            codec = arg  # passed to the ffmpeg bridge for real containers
+        elif flag == "--encopts":
+            encopts = arg
+        elif flag in ("--decopts", "--loglevel",
                       "--fftw-planning-method", "--fftw-threads"):
             pass  # CLI parity; XLA handles planning/threading
         elif flag in ("-Q", "--quiet"):
@@ -274,7 +279,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         writer = video.open_output(
             outfile, g0.newres.w, g0.newres.h, rate, props, format=oformat,
-            append=start_slab > 0,
+            codec=codec, options=encopts, append=start_slab > 0,
         )
     except Exception as e:  # noqa: BLE001
         print(f"Output setup failed for '{outfile}': {e}", file=sys.stderr)

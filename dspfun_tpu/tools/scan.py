@@ -108,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
     rate = Fraction(20, 1)
     ofmt = None
     oopt = None
+    codec = None
 
     for flag, arg in flags:
         if flag in ("-h", "--help"):
@@ -159,7 +160,9 @@ def main(argv: list[str] | None = None) -> int:
             oopt = arg
         elif flag == "--ff-format":
             ofmt = arg
-        elif flag in ("--ff-encoder", "--ff-loglevel", "--fftw-threads"):
+        elif flag == "--ff-encoder":
+            codec = arg  # ffmpeg-bridge containers
+        elif flag in ("--ff-loglevel", "--fftw-threads"):
             pass  # CLI parity only
         elif flag == "--ff-rate":
             rate = video.parse_rate(arg)
@@ -230,7 +233,8 @@ def main(argv: list[str] | None = None) -> int:
         props.color_space = props.color_space or "rgb"
         props.color_primaries = props.color_primaries or "bt709"
     try:
-        writer = video.open_output(args[1], out_w, out_h, rate, props, format=ofmt)
+        writer = video.open_output(args[1], out_w, out_h, rate, props,
+                                   format=ofmt, codec=codec)
     except Exception as e:  # noqa: BLE001
         print(f"Error opening output context: {e}", file=sys.stderr)
         return 1

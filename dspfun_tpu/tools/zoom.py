@@ -96,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
     scaling_type = "interpolated"
     nframes = 1
     rate = Fraction(60, 1)
-    oopt = ofmt = None
+    oopt = ofmt = codec = None
     exprstrs: list[str | None] = [None] * 5
 
     for flag, arg in flags:
@@ -156,7 +156,9 @@ def main(argv: list[str] | None = None) -> int:
             ofmt = arg
         elif flag == "--ff-rate":
             rate = video.parse_rate(arg)
-        elif flag in ("--ff-encoder", "--ff-loglevel"):
+        elif flag == "--ff-encoder":
+            codec = arg  # ffmpeg-bridge containers
+        elif flag == "--ff-loglevel":
             pass
 
     quiet |= nframes == 1
@@ -209,7 +211,8 @@ def main(argv: list[str] | None = None) -> int:
         props.color_space = props.color_space or "rgb"
         props.color_primaries = props.color_primaries or "bt709"
     try:
-        writer = video.open_output(args[1], vw, vh, rate, props, format=ofmt)
+        writer = video.open_output(args[1], vw, vh, rate, props, format=ofmt,
+                                   codec=codec)
     except Exception as e:  # noqa: BLE001
         print(f"Error opening output context: {e}", file=sys.stderr)
         return 1

@@ -1,0 +1,204 @@
+"""ffmpeg-binary bridge: real-media containers via ffmpeg/ffprobe on
+PATH (reference links libav directly; we shell out — io/ffmpeg_bridge).
+
+No real ffmpeg exists in CI, so these tests install *shim* binaries
+that speak just enough of the CLI: input mode copies the source file to
+stdout (as if demuxed to y4m), output mode copies stdin into the target
+and records its argv.  This exercises the spawn/pipe/metadata plumbing
+end-to-end; a real ffmpeg drops in transparently.
+"""
+
+import json
+import os
+import stat
+import subprocess
+import sys
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from dspfun_tpu.io import ffmpeg_bridge, video
+
+
+def _write_fake_mp4(path, frames=4, w=16, h=8):
+    """A "container" the shim understands: an 8-byte fake header over
+    y4m bytes.  The header keeps open_input's magic sniffing from
+    treating the file as native y4m, so the bridge path is exercised."""
+    props = video.parse_color_props("pixel_format=yuv420p")
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 255, (frames, h, w)).astype(np.float64)
+    tmp = path + ".y4mtmp"
+    with video.open_output(tmp, w, h, Fraction(25), props, format="y4m") as wr:
+        for f in data:
+            wr.write_frame([f, np.full((h // 2, w // 2), 128.0),
+                            np.full((h // 2, w // 2), 128.0)], raw=True)
+    with open(path, "wb") as f:
+        f.write(b"FAKEMP4\n" + open(tmp, "rb").read())
+    os.unlink(tmp)
+    return data
+
+
+FFMPEG_SHIM = """#!/usr/bin/env python3
+import json, os, sys
+args = sys.argv[1:]
+log = os.environ.get("SHIM_LOG")
+if log:
+    with open(log, "a") as f:
+        f.write(json.dumps(args) + "\\n")
+i = args.index("-i")
+src = args[i + 1]
+out = args[-1]
+if src == "-":      # encode mode: y4m stdin -> container file
+    data = sys.stdin.buffer.read()
+    with open(out, "wb") as f:
+        f.write(data)
+else:               # demux mode: container file -> y4m stdout
+    with open(src, "rb") as f:
+        data = f.read()
+    if data.startswith(b"FAKEMP4\\n"):
+        data = data[8:]
+    sys.stdout.buffer.write(data)
+"""
+
+FFPROBE_SHIM = """#!/usr/bin/env python3
+import json, sys
+print(json.dumps({"streams": [{
+    "codec_type": "video", "pix_fmt": "yuv420p", "nb_frames": "4",
+    "avg_frame_rate": "25/1", "color_range": "tv",
+    "color_space": "bt709", "color_primaries": "bt709",
+    "color_transfer": "bt709",
+}], "format": {}}))
+"""
+
+FFPLAY_SHIM = """#!/usr/bin/env python3
+import json, os, sys
+log = os.environ.get("SHIM_LOG")
+if log:
+    with open(log, "a") as f:
+        f.write(json.dumps(sys.argv[1:]) + "\\n")
+sys.stdin.buffer.read()
+"""
+
+
+@pytest.fixture
+def shims(tmp_path, monkeypatch):
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    for name, src in (("ffmpeg", FFMPEG_SHIM), ("ffprobe", FFPROBE_SHIM),
+                      ("ffplay", FFPLAY_SHIM)):
+        p = bindir / name
+        p.write_text(src)
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    log = tmp_path / "shim.log"
+    monkeypatch.setenv("SHIM_LOG", str(log))
+    ffmpeg_bridge.have_ffmpeg.cache_clear()
+    ffmpeg_bridge.have_ffprobe.cache_clear()
+    yield log
+    ffmpeg_bridge.have_ffmpeg.cache_clear()
+    ffmpeg_bridge.have_ffprobe.cache_clear()
+
+
+@pytest.fixture
+def no_ffmpeg(tmp_path, monkeypatch):
+    bindir = tmp_path / "emptybin"
+    bindir.mkdir()
+    monkeypatch.setenv("PATH", str(bindir))
+    ffmpeg_bridge.have_ffmpeg.cache_clear()
+    ffmpeg_bridge.have_ffprobe.cache_clear()
+    yield
+    ffmpeg_bridge.have_ffmpeg.cache_clear()
+    ffmpeg_bridge.have_ffprobe.cache_clear()
+
+
+def test_clear_error_without_ffmpeg(tmp_path, no_ffmpeg):
+    src = tmp_path / "clip.mp4"
+    src.write_bytes(b"\\x00\\x00\\x00 ftypisom not a real mp4")
+    with pytest.raises(RuntimeError, match="ffmpeg binary"):
+        video.open_input(str(src))
+    with pytest.raises(RuntimeError, match="ffmpeg binary"):
+        video.open_output(str(tmp_path / "out.mkv"), 16, 8)
+
+
+def test_bridge_input_metadata_and_frames(tmp_path, shims):
+    # an "mp4" whose bytes our shim demuxes (it is y4m underneath)
+    src = str(tmp_path / "clip.mp4")
+    data = _write_fake_mp4(src)
+    r = video.open_input(src)
+    assert r.format == "ffmpeg"
+    assert r.frames == 4                     # from ffprobe nb_frames
+    assert r.props.color_space == "bt709"    # probe beats y4m defaults
+    assert r.props.color_range == "mpeg"
+    got = []
+    while True:
+        f = r.read_frame(raw=True)
+        if f is None:
+            break
+        got.append(f[0])
+    r.close()
+    assert len(got) == 4
+    np.testing.assert_array_equal(np.stack(got), data)
+
+
+def test_bridge_output_ffv1_default(tmp_path, shims):
+    out = str(tmp_path / "out.mkv")
+    props = video.parse_color_props("pixel_format=yuv420p")
+    w = video.open_output(out, 16, 8, Fraction(25), props)
+    w.write_frame([np.zeros((8, 16)), np.full((4, 8), 0.5),
+                   np.full((4, 8), 0.5)])
+    w.close()
+    argvs = [json.loads(line) for line in open(shims)]
+    enc = argvs[-1]
+    assert "-c:v" in enc and enc[enc.index("-c:v") + 1] == "ffv1"
+    # the shim wrote the y4m transport bytes into the target
+    data = open(out, "rb").read()
+    assert data.startswith(b"YUV4MPEG2")
+
+
+def test_fvid_magic_under_foreign_extension(tmp_path, no_ffmpeg):
+    """Round-1 regression: fvid bytes under .mkv used to be written and
+    must still *read* natively (magic beats extension) — no ffmpeg
+    needed."""
+    path = str(tmp_path / "old.mkv")
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    rng = np.random.default_rng(1)
+    frames = rng.random((2, 8, 16, 3)).astype(np.float32)
+    with video.open_output(path, 16, 8, Fraction(25), props, format="fvid") as w:
+        for f in frames:
+            w.write_frame_rgb(f)
+    r = video.open_input(path)
+    assert r.format == "fvid"
+    got = [r.read_frame_rgb() for _ in range(2)]
+    r.close()
+    np.testing.assert_allclose(np.stack(got), frames, atol=1e-7)
+
+
+def test_motion_roundtrip_mp4_to_mkv(tmp_path, shims):
+    """VERDICT item 3 done-criterion: motion round-trips an mp4 when
+    ffmpeg is present."""
+    from dspfun_tpu.tools import motion as motion_tool
+
+    src = str(tmp_path / "in.mp4")
+    _write_fake_mp4(src, frames=4, w=16, h=8)
+    out = str(tmp_path / "out.mkv")
+    rc = motion_tool.main(["-Q", "-b", "8x8x2", src, out])
+    assert rc == 0
+    assert open(out, "rb").read().startswith(b"YUV4MPEG2")
+
+
+def test_ffplay_gets_color_properties(tmp_path, shims):
+    """reference ffapi.c:455-465 passes the full color-property set to
+    ffplay; the rebuild must too (round-1 gap)."""
+    props = video.parse_color_props(
+        "pixel_format=yuv420p:color_range=jpeg:color_trc=linear")
+    w = video.open_output("ffplay:", 16, 8, Fraction(25), props)
+    w.write_frame([np.zeros((8, 16)), np.full((4, 8), 0.5),
+                   np.full((4, 8), 0.5)])
+    w.close()
+    argvs = [json.loads(line) for line in open(shims)]
+    play = argvs[-1]
+    assert play[play.index("-color_range") + 1] == "pc"
+    assert play[play.index("-color_trc") + 1] == "linear"
+    assert play[play.index("-pixel_format") + 1] == "yuv420p"
+    assert play[play.index("-video_size") + 1] == "16x8"
