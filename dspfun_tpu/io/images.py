@@ -142,22 +142,42 @@ def read_image(spec: str, channels: str = "RGB", linear: bool = False) -> ImageD
     """
     from PIL import Image  # noqa: PLC0415
 
+    from dspfun_tpu.io import png16 as _png16  # noqa: PLC0415
+
     _, path = _split_spec(spec)
     if path == "-":
-        img = Image.open(_io.BytesIO(sys.stdin.buffer.read()))
+        data = sys.stdin.buffer.read()
     else:
-        img = Image.open(path)
+        with open(path, "rb") as f:
+            data = f.read()
 
-    properties = dict(getattr(img, "text", {}) or {})
-    mode = img.mode
-    if mode in ("I;16", "I;16B", "I"):
+    if _png16.sniff_png16(data):
+        # PIL truncates 16-bit color PNGs to 8 bits; decode natively
+        arr16, properties = _png16.read_png16(data)
         depth = 16
-        arr = np.asarray(img.convert("I"), dtype=np.float64) / 65535.0
-        rgba = np.stack([arr, arr, arr, np.ones_like(arr)], axis=-1)
+        fa = arr16.astype(np.float64) / 65535.0
+        h, w, nch = fa.shape
+        rgba = np.zeros((h, w, 4), dtype=np.float64)
+        rgba[..., 3] = 1.0
+        if nch == 1:
+            rgba[..., 0] = rgba[..., 1] = rgba[..., 2] = fa[..., 0]
+        elif nch == 2:
+            rgba[..., 0] = rgba[..., 1] = rgba[..., 2] = fa[..., 0]
+            rgba[..., 3] = fa[..., 1]
+        else:
+            rgba[..., :nch] = fa
     else:
-        depth = 16 if mode.startswith("I;16") else 8
-        rgba_img = img.convert("RGBA")
-        rgba = np.asarray(rgba_img, dtype=np.float64) / 255.0
+        img = Image.open(_io.BytesIO(data))
+        properties = dict(getattr(img, "text", {}) or {})
+        mode = img.mode
+        if mode in ("I;16", "I;16B", "I"):
+            depth = 16
+            arr = np.asarray(img.convert("I"), dtype=np.float64) / 65535.0
+            rgba = np.stack([arr, arr, arr, np.ones_like(arr)], axis=-1)
+        else:
+            depth = 16 if mode.startswith("I;16") else 8
+            rgba_img = img.convert("RGBA")
+            rgba = np.asarray(rgba_img, dtype=np.float64) / 255.0
 
     was_linear = properties.get("colorspace") == "RGB"
     if linear and not was_linear:
@@ -216,9 +236,27 @@ def write_image(
         return
 
     if depth == 16:
-        if len(channels) != 1:
-            raise ValueError("16-bit output currently supports single-channel only")
-        img = Image.fromarray(quant[..., 0].astype(np.uint16), mode="I;16")
+        fmt16 = (fmt or (path.rsplit(".", 1)[-1] if "." in path else "png")).lower()
+        if len(channels) == 1:
+            img = Image.fromarray(quant[..., 0].astype(np.uint16), mode="I;16")
+        elif fmt16 == "png":
+            # PIL cannot write 16-bit color PNGs; use the raw encoder
+            # (reference depth semantics: MagickWand Q16 stores spectra
+            # at 16 bits, spec/spec.c:141-155)
+            from dspfun_tpu.io import png16 as _png16  # noqa: PLC0415
+
+            nch = 4 if "A" in channels.upper() else 3
+            arr16 = quant[..., :nch].astype(np.uint16)
+            if arr16.shape[2] < 3:  # replicate gray to RGB
+                arr16 = np.repeat(arr16[..., :1], 3, axis=-1)
+            if path == "-":
+                _png16.write_png16(sys.stdout.buffer, arr16, properties)
+                sys.stdout.buffer.flush()
+            else:
+                _png16.write_png16(path, arr16, properties)
+            return
+        else:
+            raise ValueError(f"16-bit output requires PNG (got {fmt16!r})")
     else:
         has_alpha = "A" in channels.upper()
         arr8 = quant.astype(np.uint8)

@@ -52,12 +52,29 @@ def main(argv: list[str] | None = None) -> int:
     dc = np.asarray(jax.device_get(dc), dtype=np.float64)
 
     props = {"DC": images.encode_dc_property(dc)}
+    # PNG spectra are written at 16 bits like the reference's MagickWand
+    # Q16 default (spec/spec.c:141-155) — the depth that makes
+    # `spec -t flat | edit | ispec` editing workflows invertible
+    depth = 16 if _png_target(opts.output) else 8
     try:
-        images.write_image(opts.output, f, channels=opts.csp, properties=props)
+        images.write_image(opts.output, f, channels=opts.csp,
+                           properties=props, depth=depth)
     except Exception as e:  # noqa: BLE001
         print(e, file=sys.stderr)
         return 1
     return 0
+
+
+def _png_target(spec: str | None) -> bool:
+    if spec is None:
+        return not sys.stdout.isatty()
+    fmt, path = images._split_spec(spec)
+    if fmt:
+        return fmt == "png"
+    if path == "-":
+        return True
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else "png"
+    return ext == "png"
 
 
 if __name__ == "__main__":
