@@ -236,6 +236,22 @@ def planes_to_rgb(planes: list[np.ndarray], pf: PixelFormat, props: ColorProps,
     return ycc @ minv.T
 
 
+def plane_to_pel(p: np.ndarray, pf: PixelFormat, plane_idx: int,
+                 crange: str | None) -> np.ndarray:
+    """Float [0,1] plane -> stored pel units as float (no rounding):
+    what raw (getpel_direct-style) processing paths operate on.  mpeg
+    range maps to 16-235/16-240 like :func:`_quantize_plane`."""
+    p = np.asarray(p, dtype=np.float64)
+    if pf.is_float:
+        return p
+    scale8 = 1 << (pf.depth - 8)
+    if crange == "mpeg" and not pf.is_rgb:
+        if plane_idx in (1, 2) and pf.ncomp > 1:
+            return (p * 224.0 + 16.0) * scale8
+        return (p * 219.0 + 16.0) * scale8
+    return p * ((1 << pf.depth) - 1)
+
+
 def _quantize_plane(p: np.ndarray, pf: PixelFormat, plane_idx: int,
                     crange: str | None) -> np.ndarray:
     """Float [0,1] -> stored integers; mpeg range maps Y to 16-235 and

@@ -210,7 +210,20 @@ def main(argv: list[str] | None = None) -> int:
         # spectrogram / linear processing wants RGB or gray
         # (reference motion.c:313-325)
         proc_fmt = video.PIXEL_FORMATS["gbrpf32le"]
-    convert = proc_fmt.name != reader.pix_fmt.name
+    # --csp overrides every color property for processing/output, not
+    # just pixel_format (reference ffapi.c:94-114 applied at open);
+    # range/matrix changes require conversion through RGB like the
+    # reference's swscale setup (ffapi.c:283-326)
+    proc_props = reader.props.copy()
+    csp_override = False
+    for field in ("color_range", "color_primaries", "color_trc",
+                  "color_space", "chroma_location"):
+        want = getattr(csp_props, field)
+        if want is not None:
+            if want != getattr(reader.props, field):
+                csp_override = True
+            setattr(proc_props, field, want)
+    convert = proc_fmt.name != reader.pix_fmt.name or csp_override
     float_pixels = proc_fmt.is_float
 
     if reader.frames is None and not maxframes:
@@ -272,7 +285,7 @@ def main(argv: list[str] | None = None) -> int:
             if not quiet and start_slab:
                 print(f"resuming at slab {start_slab}", file=sys.stderr)
 
-    props = reader.props.copy()
+    props = proc_props.copy()
     props.pix_fmt = proc_fmt.name
     if spec:
         props.color_range = "jpeg"
@@ -360,13 +373,17 @@ def main(argv: list[str] | None = None) -> int:
                         jnp.asarray(bidx // g.nblocks.w)))
 
     def read_proc_planes():
-        """One frame in processing format, pel units 0..255."""
+        """One frame in processing format, stored pel units (8-bit:
+        0..255 in the *processing* color range; float formats: x255)."""
         if convert:
             rgb = reader.read_frame_rgb()
             if rgb is None:
                 return None
             planes = video.rgb_to_planes(rgb, proc_fmt, props)
-            return [p * 255.0 for p in planes]
+            if float_pixels:
+                return [p * 255.0 for p in planes]
+            return [video.plane_to_pel(p, proc_fmt, i, props.color_range)
+                    for i, p in enumerate(planes)]
         planes = reader.read_frame(raw=not float_pixels)
         if planes is None:
             return None

@@ -132,8 +132,16 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error opening input file {args[1]}: {e}", file=sys.stderr)
         return 1
     # rotation needs non-subsampled pixels (reference rotate.c:14-16);
-    # subsampled input is converted to full-res planes via RGB
-    subsampled = reader.pix_fmt.chroma_shift != (0, 0)
+    # subsampled input — or a --csp pixel-format/matrix override
+    # (reference ffapi.c:94-114 applies the full request) — is
+    # converted through RGB
+    req_props = video.parse_color_props(cprops)
+    needs_rgb = reader.pix_fmt.chroma_shift != (0, 0)
+    if req_props.pix_fmt and req_props.pix_fmt != reader.pix_fmt.name:
+        needs_rgb = True
+    if req_props.color_space and \
+            req_props.color_space != reader.props.color_space:
+        needs_rgb = True
 
     reader.seek_frame(offset)
     nframes = reader.frames or 0
@@ -147,9 +155,9 @@ def main(argv: list[str] | None = None) -> int:
     vol_frames = []
     z = 0
     while nframes == 0 or z < nframes:
-        if subsampled:
+        if needs_rgb:
             f = reader.read_frame_rgb()
-            planes = None if f is None else [f[..., 1], f[..., 2], f[..., 0]]
+            planes = None if f is None else [f[..., 0], f[..., 1], f[..., 2]]
         else:
             planes = reader.read_frame()
         if planes is None:
@@ -180,10 +188,10 @@ def main(argv: list[str] | None = None) -> int:
         else:
             rate = r
 
-    props = video.parse_color_props(cprops)
+    props = req_props.copy()
     if not props.pix_fmt:
         pf = reader.pix_fmt.name
-        if subsampled:
+        if needs_rgb:
             pf = "gbrpf32le" if reader.pix_fmt.is_float else "yuv444p"
         props.pix_fmt = pf
     for field in ("color_range", "color_primaries", "color_trc",
@@ -197,10 +205,15 @@ def main(argv: list[str] | None = None) -> int:
     except Exception as e:  # noqa: BLE001
         print(f"error opening output file {args[2]}: {e}", file=sys.stderr)
         return 1
+    out_pf = video.PIXEL_FORMATS[props.pix_fmt]
     try:
         for t in range(out_t):
             frame = out_vol[t]
-            writer.write_frame([frame[..., c] for c in range(frame.shape[-1])])
+            if needs_rgb:  # volume is RGB; encode for the target format
+                writer.write_frame(video.rgb_to_planes(frame, out_pf, props))
+            else:
+                writer.write_frame([frame[..., c]
+                                    for c in range(frame.shape[-1])])
             if not quiet:
                 print(f"\r{t}", end="", file=sys.stderr)
         if not quiet:

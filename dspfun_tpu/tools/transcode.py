@@ -76,6 +76,11 @@ def main(argv: list[str] | None = None) -> int:
 
     props = video.parse_color_props(cprops)
     convert = bool(props.pix_fmt) and props.pix_fmt != reader.pix_fmt.name
+    # a matrix change needs re-encoding through RGB; range changes are
+    # handled by the normalized [0,1] pass-through itself (reference
+    # applies the full --csp request via swscale, ffapi.c:283-326)
+    if props.color_space and props.color_space != reader.props.color_space:
+        convert = True
     if not props.pix_fmt:
         props.pix_fmt = reader.pix_fmt.name
     for field in ("color_range", "color_primaries", "color_trc",

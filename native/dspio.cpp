@@ -49,6 +49,10 @@ struct DspioReader {
     int64_t data_start = 0;    // offset of first FRAME marker
     int64_t nframes = -1;      // -1 = unknown (pipe)
     int64_t next_frame = 0;
+    // marker offset of every frame, built at open for seekable files:
+    // y4m FRAME lines may carry parameters ("FRAME Xfoo\n"), so frame
+    // positions are NOT a fixed stride apart in general
+    std::vector<int64_t> offsets;
     // plane geometry
     int nplanes = 0;
     int64_t plane_w[4] = {0}, plane_h[4] = {0};
@@ -152,19 +156,28 @@ DspioReader* dspio_open(const char* path) {
     r->f = fopen(path, "rb");
     if (!r->f) { delete r; return nullptr; }
     if (parse_header(r) != 0) { fclose(r->f); delete r; return nullptr; }
-    // count frames by seeking (seekable files only)
+    // Index frame offsets (seekable files only).  Each marker line is
+    // "FRAME[ params]\n" — parameters make positions irregular, so the
+    // index is the only correct basis for counting and seeking.
     if (fseek(r->f, 0, SEEK_END) == 0) {
         int64_t end = ftell(r->f);
         fseek(r->f, r->data_start, SEEK_SET);
-        // frame marker is "FRAME\n" (6 bytes) in both containers
-        char marker[8];
-        if (fread(marker, 1, 6, r->f) == 6 && !strncmp(marker, "FRAME", 5)) {
-            // assume plain FRAME\n markers (we never write parameters)
-            int64_t stride = 6 + r->frame_bytes;
-            r->nframes = (end - r->data_start) / stride;
-        } else {
-            r->nframes = 0;
+        for (;;) {
+            int64_t pos = ftell(r->f);
+            char marker[8];
+            size_t got = fread(marker, 1, 6, r->f);
+            if (got == 0) break;                       // clean EOF
+            if (got != 6 || strncmp(marker, "FRAME", 5)) break;  // garbage tail
+            if (marker[5] != '\n') {
+                int ch;
+                while ((ch = fgetc(r->f)) != EOF && ch != '\n') {}
+            }
+            int64_t payload = ftell(r->f);
+            if (payload + r->frame_bytes > end) break; // truncated tail
+            if (fseek(r->f, payload + r->frame_bytes, SEEK_SET) != 0) break;
+            r->offsets.push_back(pos);
         }
+        r->nframes = (int64_t)r->offsets.size();
         fseek(r->f, r->data_start, SEEK_SET);
     }
     return r;
@@ -202,8 +215,18 @@ int dspio_read_frame(DspioReader* r, uint8_t* buf) {
 
 int dspio_seek(DspioReader* r, int64_t frame) {
     if (r->nframes < 0) return -1;
-    int64_t stride = 6 + r->frame_bytes;
-    if (fseek(r->f, r->data_start + frame * stride, SEEK_SET) != 0) return -1;
+    int64_t off;
+    if (frame >= (int64_t)r->offsets.size()) {
+        if (r->offsets.empty()) return -1;
+        off = -1;  // past-the-end: park at EOF so reads return 0
+    } else {
+        off = r->offsets[(size_t)frame];
+    }
+    if (off < 0) {
+        if (fseek(r->f, 0, SEEK_END) != 0) return -1;
+    } else if (fseek(r->f, off, SEEK_SET) != 0) {
+        return -1;
+    }
     r->next_frame = frame;
     return 0;
 }
