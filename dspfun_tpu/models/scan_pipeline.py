@@ -171,9 +171,12 @@ def plan_scan(
 
 @dataclasses.dataclass
 class ScanChunkResult:
-    sums: np.ndarray          # [F, H, W, C] running reconstruction
+    sums: np.ndarray           # [F, H, W, C] running reconstruction
     deltas: np.ndarray | None  # [F, H, W, C] per-frame contribution
     parity: np.ndarray | None  # [F] bool
+    inter: np.ndarray | None = None  # [F, H, W, C] display-ready
+    #                                  intermediates pane (device-side
+    #                                  normalised/encoded)
 
 
 def _lround(x):
@@ -183,7 +186,8 @@ def _lround(x):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_pruned", "want_deltas", "measure_parity", "parity_scale"),
+    static_argnames=("use_pruned", "want_deltas", "measure_parity",
+                     "parity_scale", "encode_trc", "inter_mode"),
 )
 def _scan_chunk(
     carry,          # [H, W, C] running sum
@@ -191,10 +195,13 @@ def _scan_chunk(
     ys, xs, valid,  # [F, K]
     plans_inv,      # (AxisPlan_h, AxisPlan_w)
     orig,           # [H, W, C] or scalar 0
+    dc,             # [C] DC per channel (intermediates pane offset)
     parity_scale,   # float: (1<<depth)-1, or 0 for float compare
     use_pruned: bool,
     want_deltas: bool,
     measure_parity: bool,
+    encode_trc: bool = False,
+    inter_mode: str | None = None,   # None | "unit" | "minmax"
 ):
     h, w, c = carry.shape
     f = ys.shape[0]
@@ -245,7 +252,30 @@ def _scan_chunk(
             eq = orig[None].astype(jnp.float32) == sums.astype(jnp.float32)
         parity = jnp.all(eq.reshape(f, -1), axis=1)
 
-    return sums, sums[-1], (delta if want_deltas else None), parity
+    # display-side work stays on device (the host emission loop only
+    # assembles panes and writes bytes — reference scan.c:461-491 does
+    # this per pixel on the host)
+    def _enc(x):
+        if not encode_trc:
+            return x
+        from dspfun_tpu.io.color import srgb_encode  # noqa: PLC0415
+
+        return srgb_encode(x, jnp)
+
+    inter = None
+    if inter_mode is not None:
+        base = delta + dc[None, None, None, :]
+        if inter_mode == "minmax":
+            mn = jnp.min(base.reshape(f, -1, base.shape[-1]), axis=1)
+            mx = jnp.max(base.reshape(f, -1, base.shape[-1]), axis=1)
+            rng = jnp.where(mx - mn == 0, 1.0, mx - mn)
+            inter = (base - mn[:, None, None, :]) / rng[:, None, None, :]
+        else:  # "unit": fixed 0..1 window
+            inter = base
+        inter = _enc(inter)
+
+    return sums[-1], _enc(sums), (delta if want_deltas else None), \
+        inter, parity
 
 
 def scan_chunks(
@@ -254,11 +284,16 @@ def scan_chunks(
     orig: np.ndarray | None = None,
     parity_depth: int = 8,
     want_deltas: bool = False,
+    encode_trc: bool = False,
+    inter_mode: str | None = None,
 ):
     """Generator over chunks of frames.
 
     Yields ``(frame_start, ScanChunkResult)``.  ``coeffs`` is the
-    [H,W,C] output of :func:`forward_coeffs`.
+    [H,W,C] output of :func:`forward_coeffs`.  ``encode_trc`` applies
+    the sRGB OETF to the emitted panes on device; ``inter_mode``
+    ("unit" | "minmax") produces the display-ready intermediates pane
+    on device (``ScanChunkResult.inter``).
     """
     h, w, c = plan.height, plan.width, plan.channels
     dc = np.asarray(coeffs[0, 0, :])
@@ -282,35 +317,39 @@ def scan_chunks(
     orig_dev = jnp.asarray(orig) if measure_parity else jnp.zeros((), coeffs.dtype)
     scale = float((1 << parity_depth) - 1) if parity_depth < 32 else 0.0
 
+    dc_dev = jnp.asarray(dc, dtype=coeffs.dtype)
+
     def dispatch(start):
         end = start + plan.chunk
         nonlocal carry
-        sums, carry, deltas, parity = _scan_chunk(
+        carry, disp, deltas, inter, parity = _scan_chunk(
             carry, coeffs_nodc,
             jnp.asarray(plan.ys[start:end]), jnp.asarray(plan.xs[start:end]),
             jnp.asarray(plan.valid[start:end]),
-            plans_inv, orig_dev, parity_scale=scale,
+            plans_inv, orig_dev, dc_dev, parity_scale=scale,
             use_pruned=plan.use_pruned, want_deltas=want_deltas,
-            measure_parity=measure_parity,
+            measure_parity=measure_parity, encode_trc=encode_trc,
+            inter_mode=inter_mode,
         )
         # start the device->host copies early so the next chunk's
         # compute overlaps this chunk's download (the tunnel/D2H path
         # is the bottleneck for the frame-emitting tools)
-        for arr in (sums, deltas, parity):
+        for arr in (disp, deltas, inter, parity):
             if arr is not None:
                 try:
                     arr.copy_to_host_async()
                 except AttributeError:
                     pass
-        return sums, deltas, parity
+        return disp, deltas, inter, parity
 
     def materialise(start, bufs):
-        sums, deltas, parity = bufs
+        disp, deltas, inter, parity = bufs
         nvalid = min(plan.chunk, plan.nframes - start)
         return start, ScanChunkResult(
-            sums=np.asarray(sums[:nvalid]),
+            sums=np.asarray(disp[:nvalid]),
             deltas=np.asarray(deltas[:nvalid]) if deltas is not None else None,
             parity=np.asarray(parity[:nvalid]) if parity is not None else None,
+            inter=np.asarray(inter[:nvalid]) if inter is not None else None,
         )
 
     pending = None

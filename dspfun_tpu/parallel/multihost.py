@@ -34,16 +34,33 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
 
 
 def global_mesh(space: int | None = None, time: int | None = None) -> Mesh:
-    """(space, time) mesh over *all* devices across processes."""
+    """(space, time) mesh over *all* devices across processes.
+
+    The **time** axis is laid out across processes (each host owns a
+    contiguous run of time indices): frame cubes stream host-by-host as
+    time-contiguous slabs (:func:`stage_global_cube`), so the process
+    boundary must fall on the slab axis.  Space-axis collectives then
+    stay intra-host (ICI); time-axis all_to_alls cross hosts (DCN).
+    """
     devs = np.array(jax.devices())
     n = devs.size
     if space is None and time is None:
-        space, time = n, 1
+        space, time = 1, n
     elif space is None:
         space = n // time
     elif time is None:
         time = n // space
-    return Mesh(devs.reshape(space, time), axis_names=("space", "time"))
+    if space * time != n:
+        raise ValueError(f"space*time ({space}*{time}) != n_devices ({n})")
+    nproc = jax.process_count()
+    if time % nproc:
+        raise ValueError(
+            f"time axis ({time}) must be a multiple of the process "
+            f"count ({nproc}) so each host owns whole time slabs"
+        )
+    # jax.devices() orders by process; reshape (time, space) puts
+    # consecutive processes on consecutive time rows
+    return Mesh(devs.reshape(time, space), axis_names=("time", "space"))
 
 
 def stage_global_cube(local_frames: np.ndarray, mesh: Mesh) -> jax.Array:

@@ -13,7 +13,6 @@ from fractions import Fraction
 
 import numpy as np
 
-from dspfun_tpu.io import color as _color
 from dspfun_tpu.io import images, video
 from dspfun_tpu.models import scan_pipeline as sp
 from dspfun_tpu.ops import scan_methods as sm
@@ -259,22 +258,26 @@ def main(argv: list[str] | None = None) -> int:
             scaler.scale(coeffs_np[ys, xs, :] * norm[:, None], xp=np)
         )
 
-    canvas = np.zeros((out_h, out_w, channels))
+    canvas = np.zeros((out_h, out_w, channels), dtype=np.float32)
     if len(plan.fill_ys) and visualize:
         canvas[plan.fill_ys, plan.fill_xs + width] = paint_values(
             plan.fill_ys, plan.fill_xs
         )
 
-    dc = coeffs_np[0, 0, :]
     pad = int(math.log10(max(plan.nframes, 1))) + 1
     parity_index = plan.nframes
     frame_count = 0
     try:
+        # the reconstruction panes come back display-ready: sRGB
+        # encoding and intermediates normalisation run on device per
+        # chunk (the host loop only assembles panes and writes bytes)
         for start, res in sp.scan_chunks(
             plan, coeffs,
             orig=img.pixels if measure_parity else None,
             parity_depth=original_depth,
-            want_deltas=intermediates,
+            encode_trc=trc_encode,
+            inter_mode=(("minmax" if max_intermediates else "unit")
+                        if intermediates else None),
         ):
             for k in range(res.sums.shape[0]):
                 f = start + k
@@ -284,23 +287,12 @@ def main(argv: list[str] | None = None) -> int:
                     canvas[ys, xs + width] = paint_values(ys, xs)
                     if intermediates:
                         canvas[ys + height, xs + width] = canvas[ys, xs + width]
-                s = res.sums[k]
-                canvas[:height, :width] = _color.srgb_encode(s) if trc_encode else s
+                canvas[:height, :width] = res.sums[k]
                 if intermediates:
-                    delta = res.deltas[k]
-                    if max_intermediates:
-                        mn = delta.reshape(-1, channels).min(axis=0) + dc
-                        mx = delta.reshape(-1, channels).max(axis=0) + dc
-                    else:
-                        mn = np.zeros(channels)
-                        mx = np.ones(channels)
-                    inter = (delta + dc - mn) / np.where(mx - mn == 0, 1, mx - mn)
-                    canvas[height:, :width] = (
-                        _color.srgb_encode(inter) if trc_encode else inter
-                    )
+                    canvas[height:, :width] = res.inter[k]
                 # float containers keep raw values; int formats clip at
                 # quantisation (as ffapi_setpelf does for 8-bit)
-                writer.write_frame_rgb(canvas.copy())
+                writer.write_frame_rgb(canvas)
                 frame_count += 1
                 if not quiet:
                     print(f"\r{frame_count:>{pad}} / {plan.nframes}",
