@@ -115,12 +115,13 @@ def apply_plan(
     p = precision or get_precision()
     axis = axis % x.ndim
 
-    def tdot(mat: jax.Array, operand: jax.Array) -> jax.Array:
+    def tdot(mat: jax.Array, operand: jax.Array,
+             prec=jax.lax.Precision.HIGHEST) -> jax.Array:
         y = jnp.tensordot(
             mat,
             operand,
             axes=[[1], [axis]],
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
             preferred_element_type=jnp.float32
             if p.intermediate != "f64"
             else jnp.float64,
@@ -135,7 +136,13 @@ def apply_plan(
         y = tdot(plan.hi, x.astype(jnp.float64))
     elif p.intermediate == "hilo" and plan.lo is not None:
         xf = x.astype(jnp.float32)
-        y = tdot(plan.hi, xf) + tdot(plan.lo, xf)
+        # the lo compensation term is ~2^-24 of the main term, so one
+        # DEFAULT (single-pass bf16) matmul suffices: its ~4e-3 relative
+        # error lands near 2^-32 of the result, far below the HIGHEST
+        # accumulation floor (~1.8e-7) — and saves 5 of hilo's 12 bf16
+        # MXU passes
+        y = tdot(plan.hi, xf) + tdot(plan.lo, xf,
+                                     prec=jax.lax.Precision.DEFAULT)
     else:
         y = tdot(plan.hi, x.astype(plan.hi.dtype))
     return y.astype(p.coeff_dtype)

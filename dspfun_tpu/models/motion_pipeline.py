@@ -54,6 +54,12 @@ PRESERVE_DCTYPES = ("dc", "grey")
 
 _SQRT2 = math.sqrt(2.0)
 
+# Which fused fast-path implementation the most recent filter_blocks
+# *trace* selected ("pallas-kron" | "pallas-sep" | "xla-kron") — set at
+# trace time, so it reflects the first call per (geometry, params)
+# config.  Used by benchmarks/tests to assert the kernel engages.
+LAST_FAST_PATH: str | None = None
+
 
 @dataclasses.dataclass(frozen=True)
 class Dims:
@@ -280,10 +286,25 @@ def filter_blocks(
         and not p.coeff_limit and not p.preserve_dc and not p.dither
         and not p.quant and not p.linear
         and g.block == g.scaled == g.minbuf
-        and vol <= 4096
     )
     if fast:
         from dspfun_tpu.ops import pallas_kernels as _pk  # noqa: PLC0415
+
+        # Kernel selection by VMEM budget: the Kronecker kernel holds
+        # both [V, V] matrices in VMEM and caps at V=1024 (2x4 MB); up
+        # to SEP_VOL_MAX the separable per-axis kernel runs the whole
+        # 3-D chain on one VMEM row tile; the XLA kron path covers
+        # small blocks on host backends (its [V, V] constants get
+        # prohibitive past 4096).
+        on_acc = _pk.has_pallas() and jax.default_backend() not in ("cpu",)
+        use_pallas = on_acc and vol % 128 == 0 and vol <= 1024
+        use_pallas_sep = (on_acc and not use_pallas
+                          and (g.block.h * g.block.w) % 128 == 0
+                          and vol <= _pk.SEP_VOL_MAX)
+        if not (use_pallas or use_pallas_sep) and vol > 4096:
+            fast = False
+    if fast:
+        global LAST_FAST_PATH
 
         dims3 = (g.block.d, g.block.h, g.block.w)
         uf = _uniform_factor(*dims3).reshape(-1)
@@ -291,21 +312,22 @@ def filter_blocks(
         tmin = p.threshold_min * 255.0 / norm2 if p.threshold_max else 0.0
         tmax = p.threshold_max * 255.0 / norm2 if p.threshold_max else 0.0
         flat = blocks.reshape(nb, -1)
-        # VMEM budget: both [V, V] matrices + an input/output tile must
-        # fit in ~16 MB, so the Pallas path caps at V=1024 (2x4 MB
-        # matrices); larger blocks use the XLA kron path.
-        use_pallas = (
-            _pk.has_pallas() and vol % 128 == 0 and vol <= 1024
-            and jax.default_backend() not in ("cpu",)
-        )
         if use_pallas:
+            LAST_FAST_PATH = "pallas-kron"
             out = _pk.fused_block_filter(
+                flat, dims3, uf * bpm, threshold=(tmin, tmax),
+                post_filter=1.0 / uf,
+            )
+        elif use_pallas_sep:
+            LAST_FAST_PATH = "pallas-sep"
+            out = _pk.fused_block_filter_sep(
                 flat, dims3, uf * bpm, threshold=(tmin, tmax),
                 post_filter=1.0 / uf,
             )
         else:
             from dspfun_tpu.ops.blockdct import kron_dct_matrix  # noqa: PLC0415
 
+            LAST_FAST_PATH = "xla-kron"
             k2 = kron_dct_matrix(dims3, "dct2") * (uf * bpm)[:, None]
             k3 = (kron_dct_matrix(dims3, "dct3") / (8.0 * vol)) \
                 * (1.0 / uf)[None, :]

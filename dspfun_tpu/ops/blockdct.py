@@ -81,17 +81,19 @@ def apply_block_operator(
     acc = jnp.float64 if p.intermediate == "f64" else jnp.float32
     x = blocks.astype(acc)
 
-    def mm(mat):
+    def mm(mat, prec=jax.lax.Precision.HIGHEST):
         return jax.lax.dot_general(
             x, jnp.asarray(mat, acc),
             (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
             preferred_element_type=acc,
         )
 
     y = mm(op.hi)
     if op.lo is not None and p.intermediate == "hilo":
-        y = y + mm(op.lo)
+        # compensation term at ~2^-24 of the main term: one bf16 pass
+        # is plenty (see core.transforms.apply_plan)
+        y = y + mm(op.lo, jax.lax.Precision.DEFAULT)
     return y.astype(p.coeff_dtype)
 
 

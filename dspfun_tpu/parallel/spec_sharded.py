@@ -1,0 +1,187 @@
+"""Sharded whole-image spec/ispec: the huge-image scaling path.
+
+The spec tools transform the *entire* image in one 2-D DCT
+(reference spec/spec.c:63); a wall-sized image on one chip is bound by
+HBM and single-chip FLOPs.  Here the image rows are sharded over the
+mesh 'space' axis, the separable transform runs Ulysses-style (DCT the
+locally-complete W axis, all_to_all to re-localise H, DCT H), and the
+spec scalar chain (reference spec.c:66-139) runs elementwise over
+global coefficient coordinates — the DC / range maxima are psum'd.
+
+Single-device parity: the same AxisPlan matmuls apply per shard, and
+the chain mirrors models.spec_pipeline exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dspfun_tpu.core.precision import Precision, get_precision
+from dspfun_tpu.core.transforms import apply_plan, plan_axis
+from dspfun_tpu.models.spec_pipeline import (
+    SpecChainParams, _whole_image_precision, compute_gain,
+)
+
+__all__ = ["image_sharding", "spectrum_sharding",
+           "spec_forward_sharded", "spec_inverse_sharded"]
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """[H, W, C] pel layout: rows over 'space'."""
+    return NamedSharding(mesh, P("space", None, None))
+
+
+def spectrum_sharding(mesh: Mesh) -> NamedSharding:
+    """[H, W, C] coefficient layout: columns over 'space' (after the
+    forward all_to_all)."""
+    return NamedSharding(mesh, P(None, "space", None))
+
+
+def _swap(x, split_axis, concat_axis):
+    return jax.lax.all_to_all(x, "space", split_axis=split_axis,
+                              concat_axis=concat_axis, tiled=True)
+
+
+def _psum(x):
+    return jax.lax.psum(x, "space")
+
+
+def _grid_factors(h, w, xg):
+    """uniform-range sqrt(2)^(#nonzero) factors for a [H, W/s] shard."""
+    gy = jnp.where(jnp.arange(h) > 0, math.sqrt(2.0), 1.0)[:, None]
+    gx = jnp.where(xg > 0, math.sqrt(2.0), 1.0)[None, :]
+    return (gy * gx)[:, :, None]
+
+
+def spec_forward_sharded(
+    x: jax.Array,                    # [H, W, C] image_sharding
+    params: SpecChainParams,
+    mesh: Mesh,
+    precision: Precision | None = None,
+):
+    """Sharded spec_forward.  Returns (spectrum [H, W, C] with
+    spectrum_sharding, dc [C] replicated)."""
+    p = _whole_image_precision(precision, x.shape)
+    h, w, c = (int(s) for s in x.shape)
+    gain = compute_gain(params, w, h)
+    plan_h = plan_axis(h, "dct2", p)
+    plan_w = plan_axis(w, "dct2", p)
+
+    def local(shard):
+        F = apply_plan(shard, plan_w, 1, p)      # W local
+        F = _swap(F, 1, 0)                       # -> [H, W/s, C]
+        F = apply_plan(F, plan_h, 0, p)
+
+        si = jax.lax.axis_index("space")
+        lw = F.shape[1]
+        xg = si * lw + jnp.arange(lw)
+        f = F * (_grid_factors(h, w, xg) * (gain / (4.0 * w * h))).astype(F.dtype)
+
+        origin = ((jnp.arange(h) == 0)[:, None] & (xg == 0)[None, :])[..., None]
+        dc_gained = _psum(jnp.sum(jnp.where(origin, f, 0.0), axis=(0, 1)))
+        dc = dc_gained / gain
+
+        if params.rangetype == "one":
+            maxv = jnp.full((c,), gain, dtype=f.dtype)
+        elif params.rangetype == "dc":
+            maxv = jnp.full((c,), jnp.max(dc_gained), dtype=f.dtype)
+        else:  # dcs
+            maxv = dc_gained
+
+        if params.scaletype == "log":
+            f = jnp.sign(f) * jnp.log1p(jnp.abs(f)) / jnp.log1p(maxv)
+        else:
+            f = f / maxv
+
+        s = params.signtype
+        if s == "abs":
+            f = jnp.abs(f)
+        elif s == "shift":
+            f = (f / 2 + 0.5) * 254 / 255
+        elif s == "saturate":
+            sat = (f >= 0).astype(f.dtype)
+            f = jnp.where(origin, f, sat)  # DC texel keeps its value
+        elif s != "retain":
+            raise ValueError(params.signtype)
+        return f, dc
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=P("space", None, None),
+        out_specs=(P(None, "space", None), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(x)
+
+
+def spec_inverse_sharded(
+    f: jax.Array,                    # [H, W, C] spectrum_sharding
+    params: SpecChainParams,
+    mesh: Mesh,
+    dc=None,
+    preserve_dc: bool = False,
+    precision: Precision | None = None,
+):
+    """Sharded spec_inverse (signmap handling stays host-side — it is a
+    one-shot elementwise pre-pass the caller applies before sharding).
+    Returns the image [H, W, C] with image_sharding."""
+    p = _whole_image_precision(precision, f.shape)
+    h, w, c = (int(s) for s in f.shape)
+    gain = compute_gain(params, w, h)
+    plan_h = plan_axis(h, "dct3", p)
+    plan_w = plan_axis(w, "dct3", p)
+    dc_arr = None if dc is None else jnp.asarray(dc)
+
+    def local(shard):
+        si = jax.lax.axis_index("space")
+        lw = shard.shape[1]
+        xg = si * lw + jnp.arange(lw)
+        origin = ((jnp.arange(h) == 0)[:, None] & (xg == 0)[None, :])[..., None]
+
+        g = shard
+        s = params.signtype
+        if s == "shift":
+            g = (g * 255 / 254 - 0.5) * 2
+        elif s == "saturate":
+            g = jnp.where(origin, g, g * 2 - 1)
+        elif s not in ("abs", "retain"):
+            raise ValueError(params.signtype)
+
+        if params.rangetype == "one":
+            maxv = jnp.full((c,), gain, dtype=g.dtype)
+        else:
+            if dc_arr is None:
+                raise ValueError("DC required for dc/dcs range types")
+            dcg = dc_arr.astype(g.dtype) * gain
+            maxv = (jnp.full((c,), jnp.max(dcg), dtype=g.dtype)
+                    if params.rangetype == "dc" else dcg)
+
+        if params.scaletype == "log":
+            gm = g * jnp.log1p(maxv)
+            g = jnp.sign(g) * jnp.expm1(jnp.abs(gm))
+        else:
+            g = g * maxv
+
+        g = g / gain
+        g = g / _grid_factors(h, w, xg).astype(g.dtype)
+        if preserve_dc:
+            if dc_arr is None:
+                raise ValueError("DC required for preserve_dc")
+            g = jnp.where(origin, dc_arr.astype(g.dtype), g)
+
+        y = apply_plan(g, plan_h, 0, p)          # H local
+        y = _swap(y, 0, 1)                       # -> [H/s, W, C]
+        return apply_plan(y, plan_w, 1, p)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=P(None, "space", None),
+        out_specs=P("space", None, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)(f)

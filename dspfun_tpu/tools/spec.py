@@ -22,17 +22,20 @@ USAGE = "Usage: spec -h -g -c csp -t (abs|shift|flat|sign|copy) -R (one|dc|dcs) 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     opts = SpecOpts()
+    mesh_spec = None
     try:
-        flags, args = getopt.getopt(argv, "hgc:t:s:T:S:G:R:")
+        flags, args = getopt.getopt(argv, "hgc:t:s:T:S:G:R:M:")
     except getopt.GetoptError as e:
         print(USAGE, file=sys.stderr)
         return 1
     for flag, arg in flags:
         if flag == "-h":
-            print("Usage: spec [options] <infile> <outfile>\noptions:\n  -h  This help text.\n")
+            print("Usage: spec [options] <infile> <outfile>\noptions:\n  -h  This help text.\n  -M  Device mesh for huge images (auto|N|space=N).\n")
             print(SPEC_HELP)
             return 0
-        if not spec_opt_proc(opts, flag, arg):
+        if flag == "-M":
+            mesh_spec = arg
+        elif not spec_opt_proc(opts, flag, arg):
             print(USAGE, file=sys.stderr)
             return 1
     if not resolve_io(args, opts):
@@ -46,8 +49,15 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     x = np.asarray(img.pixels)
-    fwd = jax.jit(spec_forward, static_argnums=(1,))
-    f, dc = fwd(x, opts.params)
+    mesh = _resolve_mesh(mesh_spec, x.shape)
+    if mesh is not None:
+        from dspfun_tpu.parallel import spec_sharded as ss  # noqa: PLC0415
+
+        xs = jax.device_put(np.asarray(x, np.float32), ss.image_sharding(mesh))
+        f, dc = ss.spec_forward_sharded(xs, opts.params, mesh)
+    else:
+        fwd = jax.jit(spec_forward, static_argnums=(1,))
+        f, dc = fwd(x, opts.params)
     f = np.asarray(f)
     dc = np.asarray(jax.device_get(dc), dtype=np.float64)
 
@@ -63,6 +73,32 @@ def main(argv: list[str] | None = None) -> int:
         print(e, file=sys.stderr)
         return 1
     return 0
+
+
+def _resolve_mesh(mesh_spec, shape):
+    """-M/--mesh (or DSPFUN_MESH when -M auto): shard the whole-image
+    transform over the mesh 'space' axis when the image divides it."""
+    if mesh_spec is None:
+        return None
+    from dspfun_tpu.parallel.mesh import mesh_from_spec  # noqa: PLC0415
+
+    try:
+        mesh = mesh_from_spec(mesh_spec)
+    except ValueError as e:
+        print(f"mesh unavailable ({e}); running single-device",
+              file=sys.stderr)
+        return None
+    if mesh is None:
+        return None
+    s = mesh.shape["space"] * mesh.shape.get("time", 1)
+    if mesh.shape.get("time", 1) != 1:
+        print("spec mesh uses the space axis only; pass -M N", file=sys.stderr)
+        return None
+    if shape[0] % s or shape[1] % s:
+        print(f"image {shape[1]}x{shape[0]} does not divide mesh "
+              f"space={s}; running single-device", file=sys.stderr)
+        return None
+    return mesh
 
 
 def _png_target(spec: str | None) -> bool:

@@ -64,3 +64,114 @@ def test_pad_to_row_tile():
                                          row_tile=8, interpret=True))
     assert y.shape == (3, 128)
     np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Separable kernel (V > 1024; lifts the round-1 VMEM cap)
+# ---------------------------------------------------------------------------
+
+
+def test_sep_identity_3d():
+    rng = np.random.default_rng(4)
+    dims = (16, 16, 16)  # V = 4096: beyond the Kronecker kernel's cap
+    x = rng.random((6, 4096)).astype(np.float32) * 255
+    y = np.asarray(pk.fused_block_filter_sep(x, dims, np.ones(dims),
+                                             interpret=True))
+    np.testing.assert_allclose(y, x, atol=2e-3)
+
+
+def test_sep_matches_oracle_full_middle():
+    rng = np.random.default_rng(5)
+    dims = (8, 16, 16)  # V = 2048
+    filt = np.ones(dims)
+    filt[4:, :, :] = 0.25
+    filt[:, 8:, :] *= 1.5
+    post = 1.0 / (1.0 + np.arange(np.prod(dims)).reshape(dims) % 3)
+    x = rng.random((5, 2048)).astype(np.float32) * 255
+    y = np.asarray(pk.fused_block_filter_sep(
+        x, dims, filt, quant=2.0, threshold=(1.0, 1e5), post_filter=post,
+        interpret=True))
+    # oracle with the same ordering: filter -> threshold -> quant -> post
+    nb = x.shape[0]
+    xb = x.reshape(nb, *dims).astype(np.float64)
+    F = scipy.fft.dctn(xb, axes=(1, 2, 3), type=2) * filt[None]
+    a = np.abs(F)
+    F = np.where((a < 1.0) | (a > 1e5), 0.0, F)
+    F = np.round(F / 2.0) * 2.0
+    F = F * post[None]
+    ref = scipy.fft.dctn(F, axes=(1, 2, 3), type=3) / (8 * 2048)
+    np.testing.assert_allclose(y, ref.reshape(nb, -1), atol=2e-3, rtol=1e-5)
+
+
+def test_sep_2d_dims():
+    rng = np.random.default_rng(6)
+    dims = (64, 32)  # V = 2048, 2-D blocks
+    x = rng.random((4, 2048)).astype(np.float32)
+    y = np.asarray(pk.fused_block_filter_sep(x, dims, np.ones(dims),
+                                             interpret=True))
+    np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+def test_filter_blocks_sep_fast_path_matches_slow():
+    """The 16x16x16 BASELINE motion config must produce the same result
+    through the fast path gate (XLA kron on CPU at V=4096) as through
+    the general chain."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dspfun_tpu.models import motion_pipeline as mp
+
+    g = mp.plan_geometry(32, 32, 16, 1, block=mp.Dims(16, 16, 16),
+                         bp_end=mp.Dims(8, 8, 4))[0]
+    fastp = mp.MotionParams(boost=1.25, damp=0.0)
+    slowp = dataclasses.replace(fastp, preserve_dc="dc")  # forces slow
+    plans = mp.make_plans(g)
+    rng = np.random.default_rng(7)
+    frames = (rng.random((16, 32, 32)) * 255).astype(np.float32)
+    blocks = jnp.asarray(mp.frames_to_blocks(frames, g))
+    nb = blocks.shape[0]
+    bc = (jnp.zeros(nb, jnp.int32), jnp.zeros(nb, jnp.int32))
+    fast_out, _ = mp.filter_blocks(blocks, plans, bc, jnp.asarray(0),
+                                   geom=g, params=fastp,
+                                   plane_index=0, nplanes=1)
+    # preserve_dc with no dc-stop/boost!=1... use bandpass-only slow
+    # comparison via expr identity instead
+    from dspfun_tpu.core.expr import parse_expr
+
+    expr = parse_expr("c", ("c", "x", "y", "z", "i", "width", "height",
+                            "depth", "components", "bx", "by", "bz",
+                            "bwidth", "bheight", "bdepth"))
+    slow_out, _ = mp.filter_blocks(blocks, plans, bc, jnp.asarray(0),
+                                   geom=g,
+                                   params=dataclasses.replace(fastp, expr=expr),
+                                   plane_index=0, nplanes=1)
+    np.testing.assert_allclose(np.asarray(fast_out), np.asarray(slow_out),
+                               atol=2e-2, rtol=1e-5)
+
+
+def test_baseline_motion_config_engages_pallas_on_tpu():
+    """VERDICT item 7 done-criterion: on a real TPU the BASELINE motion
+    config (16x16x16 blocks, V=4096) runs the fused Pallas path."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs a TPU backend")
+    import jax.numpy as jnp
+
+    from dspfun_tpu.models import motion_pipeline as mp
+
+    g = mp.plan_geometry(64, 48, 16, 1, block=mp.Dims(16, 16, 16),
+                         bp_end=mp.Dims(8, 8, 4))[0]
+    params = mp.MotionParams(boost=1.25, damp=0.0)
+    plans = mp.make_plans(g)
+    rng = np.random.default_rng(8)
+    frames = (rng.random((16, 48, 64)) * 255).astype(np.float32)
+    blocks = jnp.asarray(mp.frames_to_blocks(frames, g))
+    nb = blocks.shape[0]
+    bc = (jnp.zeros(nb, jnp.int32), jnp.zeros(nb, jnp.int32))
+    mp.LAST_FAST_PATH = None
+    out, _ = mp.filter_blocks(blocks, plans, bc, jnp.asarray(0), geom=g,
+                              params=params, plane_index=0, nplanes=1)
+    out.block_until_ready()
+    assert mp.LAST_FAST_PATH == "pallas-sep", mp.LAST_FAST_PATH

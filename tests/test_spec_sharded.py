@@ -1,0 +1,109 @@
+"""Sharded whole-image spec/ispec (the huge-image mesh path) vs the
+single-device pipeline, plus the spec/ispec CLI -M flag."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dspfun_tpu.core.precision import Precision
+from dspfun_tpu.models.spec_pipeline import (
+    SpecChainParams, spec_forward, spec_inverse,
+)
+from dspfun_tpu.parallel import spec_sharded as ss
+from dspfun_tpu.parallel.mesh import make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+PREC = Precision(coeff="float32", intermediate="f32")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8, space=8, time=1)
+
+
+@pytest.mark.parametrize("template", ["abs", "shift", "flat", "sign", "copy"])
+def test_forward_matches_single_device(mesh, template):
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 64, 3)).astype(np.float32)
+    params = SpecChainParams.template(template, gain=1000.0)
+
+    xs = jax.device_put(jnp.asarray(img), ss.image_sharding(mesh))
+    f_s, dc_s = ss.spec_forward_sharded(xs, params, mesh, PREC)
+    f_r, dc_r = spec_forward(jnp.asarray(img), params, PREC)
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_r),
+                               atol=3e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dc_s), np.asarray(dc_r), atol=1e-6)
+
+
+@pytest.mark.parametrize("template", ["shift", "flat", "copy"])
+def test_roundtrip_through_sharded_inverse(mesh, template):
+    rng = np.random.default_rng(1)
+    img = rng.random((32, 64, 3)).astype(np.float32)
+    params = SpecChainParams.template(template, gain=1000.0)
+
+    xs = jax.device_put(jnp.asarray(img), ss.image_sharding(mesh))
+    f_s, dc_s = ss.spec_forward_sharded(xs, params, mesh, PREC)
+    y = ss.spec_inverse_sharded(f_s, params, mesh, dc=dc_s, precision=PREC)
+    np.testing.assert_allclose(np.asarray(y), img, atol=5e-4)
+
+    # and the sharded inverse of the single-device forward
+    f_r, dc_r = spec_forward(jnp.asarray(img), params, PREC)
+    fs = jax.device_put(f_r, ss.spectrum_sharding(mesh))
+    y2 = ss.spec_inverse_sharded(fs, params, mesh, dc=dc_r, precision=PREC)
+    ref = spec_inverse(f_r, params, dc=dc_r, precision=PREC)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(ref), atol=1e-4)
+
+
+def test_inverse_preserve_dc(mesh):
+    rng = np.random.default_rng(2)
+    img = rng.random((16, 32, 3)).astype(np.float32)
+    params = SpecChainParams.template("shift")
+    f, dc = spec_forward(jnp.asarray(img), params, PREC)
+    fs = jax.device_put(f, ss.spectrum_sharding(mesh))
+    y_s = ss.spec_inverse_sharded(fs, params, mesh, dc=dc, preserve_dc=True,
+                                  precision=PREC)
+    ref = spec_inverse(f, params, dc=dc, preserve_dc=True, precision=PREC)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(ref), atol=1e-4)
+
+
+def test_spec_cli_mesh_roundtrip(tmp_path):
+    from PIL import Image
+
+    from dspfun_tpu.io import images
+    from dspfun_tpu.tools import ispec as ispec_tool
+    from dspfun_tpu.tools import spec as spec_tool
+
+    rng = np.random.default_rng(3)
+    src = str(tmp_path / "src.png")
+    orig = rng.integers(0, 256, (32, 64, 3)).astype(np.uint8)
+    Image.fromarray(orig).save(src)
+
+    one = str(tmp_path / "one.png")
+    meshed = str(tmp_path / "mesh.png")
+    back = str(tmp_path / "back.png")
+    assert spec_tool.main(["-t", "shift", src, one]) == 0
+    assert spec_tool.main(["-t", "shift", "-M", "8", src, meshed]) == 0
+    a = images.read_image(one).pixels
+    b = images.read_image(meshed).pixels
+    np.testing.assert_allclose(b, a, atol=2.0 / 65535)
+
+    assert ispec_tool.main(["-t", "shift", "-M", "8", meshed, back]) == 0
+    got = images.read_image(back).pixels
+    assert np.sqrt(np.mean((got - orig / 255.0) ** 2)) < 2e-3
+
+
+def test_spec_cli_mesh_indivisible_falls_back(tmp_path, capsys):
+    from PIL import Image
+
+    from dspfun_tpu.tools import spec as spec_tool
+
+    rng = np.random.default_rng(4)
+    src = str(tmp_path / "s.png")
+    Image.fromarray(rng.integers(0, 256, (30, 50, 3)).astype(np.uint8)).save(src)
+    out = str(tmp_path / "o.png")
+    assert spec_tool.main(["-t", "shift", "-M", "8", src, out]) == 0
+    assert "single-device" in capsys.readouterr().err
