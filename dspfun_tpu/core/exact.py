@@ -113,23 +113,28 @@ def exact_contract(
     with one f32 rounding total.  Returns f32, shaped like ``x`` with
     ``axis`` replaced by M."""
     axis = axis % x.ndim
-    k = digits_a.shape[2]
+    da, m, k = digits_a.shape
     B = digit_width(k)
     xd, ex = _split_operand_digits(x, B, axis)
-    da = digits_a.shape[0]
+    dx = len(xd)
+    # one batched MXU dispatch computes every digit-pair product at
+    # once — [DA*M, K] @ [K, DX*rest] — ~1.5x the FLOPs of the needed
+    # pairs but a far better MXU shape than ~30 small matmuls
+    prod_all = jnp.tensordot(
+        digits_a.reshape(da * m, k), jnp.stack(xd),
+        axes=[[1], [axis + 1]],
+        preferred_element_type=jnp.float32,
+    )  # [DA*M, DX, rest...]
+    prod_all = prod_all.reshape((da, m) + prod_all.shape[1:])
     # keep digit pairs down to 2^(-B*(pmax+2)) ~ 2^-60 relative
     pmax = max(0, -(-60 // B) - 2)
     pairs = sorted(
-        ((i, j) for i in range(da) for j in range(len(xd)) if i + j <= pmax),
+        ((i, j) for i in range(da) for j in range(dx) if i + j <= pmax),
         key=lambda ij: ij[0] + ij[1],
     )
     s = err = None
     for i, j in pairs:
-        prod = jnp.tensordot(
-            digits_a[i], xd[j], axes=[[1], [axis]],
-            preferred_element_type=jnp.float32,
-        )
-        t = prod * float(2.0 ** (-B * (i + j + 2)))
+        t = prod_all[i, :, j] * float(2.0 ** (-B * (i + j + 2)))
         if s is None:
             s, err = t, jnp.zeros_like(t)
         else:
