@@ -141,6 +141,59 @@ def zoom_frame_device(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("vw", "vh", "mesh"))
+def _zoom_frame_sharded(spectrum, scaling_id, xnum, xden, ynum, yden,
+                        vx, vy, vw: int, vh: int, mesh):
+    from jax import shard_map  # noqa: PLC0415
+    from jax.sharding import PartitionSpec as P  # noqa: PLC0415
+
+    h, w = spectrum.shape[:2]
+    ns = mesh.shape["space"]
+    vhl = vh // ns
+
+    def local(spec):
+        si = jax.lax.axis_index("space")
+        dtype = spec.dtype
+        xb = _device_basis(scaling_id, xnum, xden, vx, vw, w, dtype)
+        # this shard's output rows: offset advances by the local row
+        # count per shard (the basis is affine in b + offset)
+        yb = _device_basis(scaling_id, ynum, yden,
+                           vy + si.astype(dtype) * float(vhl), vhl, h, dtype)
+        out = jnp.einsum("jv,vuc,iu->jic", yb, spec, xb, optimize=True,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out / (h * w)
+
+    fn = shard_map(local, mesh=mesh, in_specs=P(),
+                   out_specs=P("space", None, None), check_vma=False)
+    return fn(spectrum)
+
+
+def zoom_frame_sharded(
+    spectrum: jax.Array,
+    scaling_type: str,
+    xscale: tuple[float, float],
+    yscale: tuple[float, float],
+    vx: float,
+    vy: float,
+    vw: int,
+    vh: int,
+    mesh,
+) -> jax.Array:
+    """Device-mesh zoom frame: output rows shard over 'space', the
+    spectrum replicates, each shard synthesises its own continuous
+    basis rows — pure data parallelism, no collectives (the scaling
+    analogue of the reference's per-column scalar loop,
+    zoom/zoom.c:361-375).  Requires vh % space == 0."""
+    if vh % mesh.shape["space"]:
+        raise ValueError(f"view height {vh} does not divide space axis")
+    return _zoom_frame_sharded(
+        spectrum, jnp.asarray(_SCALING_IDS[scaling_type]),
+        jnp.asarray(float(xscale[0])), jnp.asarray(float(xscale[1])),
+        jnp.asarray(float(yscale[0])), jnp.asarray(float(yscale[1])),
+        jnp.asarray(float(vx)), jnp.asarray(float(vy)), vw, vh, mesh,
+    )
+
+
 def zoom_frame(
     spectrum: jax.Array,
     scaling_type: str,

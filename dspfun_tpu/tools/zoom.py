@@ -21,7 +21,8 @@ from dspfun_tpu.models import zoom_pipeline as zp
 
 SHORT = "hs:v:p:cgaPr:%n:qx:y:S:X:Y:"
 LONG = ["help", "showsamples=", "basis=",
-        "ff-opts=", "ff-format=", "ff-encoder=", "ff-loglevel=", "ff-rate="]
+        "ff-opts=", "ff-format=", "ff-encoder=", "ff-loglevel=", "ff-rate=",
+        "mesh="]
 
 USAGE = ("Usage: zoom [(-s <scale> | -r <res>) -p <pos> -v <size> --basis <type> "
          "--showsamples[=<type>] -c -g -P -% -n -x -y -S -X -Y] <input> <output>")
@@ -97,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
     nframes = 1
     rate = Fraction(60, 1)
     oopt = ofmt = codec = None
+    mesh_spec = None
     exprstrs: list[str | None] = [None] * 5
 
     for flag, arg in flags:
@@ -158,6 +160,8 @@ def main(argv: list[str] | None = None) -> int:
             rate = video.parse_rate(arg)
         elif flag == "--ff-encoder":
             codec = arg  # ffmpeg-bridge containers
+        elif flag == "--mesh":
+            mesh_spec = arg
         elif flag == "--ff-loglevel":
             pass
 
@@ -218,6 +222,23 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     trc_encode = gamma and writer.props.color_trc == "iec61966-2-1"
 
+    # --mesh: shard the per-frame synthesis over output rows (pure data
+    # parallelism over the mesh 'space' axis; the spectrum replicates)
+    mesh = None
+    if mesh_spec:
+        from dspfun_tpu.parallel.mesh import mesh_from_spec  # noqa: PLC0415
+
+        try:
+            mesh = mesh_from_spec(mesh_spec)
+        except ValueError as e:
+            print(f"mesh unavailable ({e}); running single-device",
+                  file=sys.stderr)
+        if mesh is not None and (mesh.shape.get("time", 1) != 1
+                                 or vh % mesh.shape["space"]):
+            print(f"view height {vh} must divide --mesh N (space only); "
+                  "running single-device", file=sys.stderr)
+            mesh = None
+
     try:
         for d in range(nframes):
             env = {
@@ -245,11 +266,13 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 continue
 
-            frame = np.asarray(
-                zp.zoom_frame_device(spectrum, scaling_type, xscale, yscale,
-                                     vx, vy, vw, vh),
-                dtype=np.float64,
-            )
+            if mesh is not None:
+                dev = zp.zoom_frame_sharded(spectrum, scaling_type, xscale,
+                                            yscale, vx, vy, vw, vh, mesh)
+            else:
+                dev = zp.zoom_frame_device(spectrum, scaling_type, xscale,
+                                           yscale, vx, vy, vw, vh)
+            frame = np.asarray(dev, dtype=np.float64)
             frame = zp.overlay_showsamples(
                 frame, showsamples, env["xs"], env["ys"], vx, vy
             )

@@ -107,3 +107,32 @@ def test_spec_cli_mesh_indivisible_falls_back(tmp_path, capsys):
     out = str(tmp_path / "o.png")
     assert spec_tool.main(["-t", "shift", "-M", "8", src, out]) == 0
     assert "single-device" in capsys.readouterr().err
+
+
+def test_zoom_cli_mesh_matches_single(tmp_path):
+    from PIL import Image
+
+    from dspfun_tpu.io import video
+    from dspfun_tpu.tools import zoom as zoom_tool
+
+    rng = np.random.default_rng(5)
+    src = str(tmp_path / "src.png")
+    Image.fromarray(rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)).save(src)
+
+    def frames_of(path):
+        with video.open_input(path) as r:
+            out = []
+            while True:
+                f = r.read_frame_rgb()
+                if f is None:
+                    break
+                out.append(f)
+        return np.stack(out)
+
+    one = str(tmp_path / "one.fvid")
+    meshed = str(tmp_path / "mesh.fvid")
+    args = ["-s", "4", "-n", "3", "-S", "2+i", "-q", "--ff-format", "fvid"]
+    assert zoom_tool.main([*args, src, one]) == 0
+    assert zoom_tool.main([*args, "--mesh", "8", src, meshed]) == 0
+    np.testing.assert_allclose(frames_of(meshed), frames_of(one),
+                               atol=1e-5, rtol=1e-5)
