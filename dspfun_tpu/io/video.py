@@ -28,7 +28,6 @@ SMPTE170M; image2 implies full-range sRGB).
 from __future__ import annotations
 
 import dataclasses
-import io as _io
 import os
 import re
 import sys

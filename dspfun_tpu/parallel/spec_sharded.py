@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dspfun_tpu.core.precision import Precision, get_precision
+from dspfun_tpu.core.precision import Precision
 from dspfun_tpu.core.transforms import apply_plan, plan_axis
 from dspfun_tpu.models.spec_pipeline import (
     SpecChainParams, _whole_image_precision, compute_gain,
