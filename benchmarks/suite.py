@@ -278,7 +278,7 @@ def bench_scan(quick):
     order = sm.get_method("zigzag").build(n, n)
     coeffs = sp.forward_coeffs(img, prec)
     plan = sp.plan_scan(order, n, n, 3, step=4, nframes=nframes,
-                        chunk=32, precision=prec)
+                        chunk=64, precision=prec)
 
     def run():
         frames = 0

@@ -108,16 +108,21 @@ def _device_basis(scaling_id, num, den, offset, nvectors, sampling_len, dtype):
     return jnp.where(j < ncomp, m, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("vw", "vh"))
+@functools.partial(jax.jit, static_argnames=("vw", "vh", "encode_trc"))
 def _zoom_frame_device(spectrum, scaling_id, xnum, xden, ynum, yden,
-                       vx, vy, vw: int, vh: int):
+                       vx, vy, vw: int, vh: int, encode_trc: bool = False):
     h, w = spectrum.shape[:2]
     dtype = spectrum.dtype
     xb = _device_basis(scaling_id, xnum, xden, vx, vw, w, dtype)
     yb = _device_basis(scaling_id, ynum, yden, vy, vh, h, dtype)
     out = jnp.einsum("jv,vuc,iu->jic", yb, spectrum, xb, optimize=True,
                      precision=jax.lax.Precision.HIGHEST)
-    return out / (h * w)
+    out = out / (h * w)
+    if encode_trc:
+        from dspfun_tpu.io.color import srgb_encode  # noqa: PLC0415
+
+        out = srgb_encode(out, jnp)
+    return out
 
 
 def zoom_frame_device(
@@ -129,21 +134,25 @@ def zoom_frame_device(
     vy: float,
     vw: int,
     vh: int,
+    encode_trc: bool = False,
 ) -> jax.Array:
     """Fully device-side zoom frame: the basis matrices are generated
     in-graph, so an animation re-dispatches one compiled program with
-    four scalars per frame (no host basis generation or upload)."""
+    four scalars per frame (no host basis generation or upload).
+    ``encode_trc`` applies the sRGB OETF on device (the -g output
+    stage, reference zoom.c:396-399)."""
     return _zoom_frame_device(
         spectrum, jnp.asarray(_SCALING_IDS[scaling_type]),
         jnp.asarray(float(xscale[0])), jnp.asarray(float(xscale[1])),
         jnp.asarray(float(yscale[0])), jnp.asarray(float(yscale[1])),
-        jnp.asarray(float(vx)), jnp.asarray(float(vy)), vw, vh,
+        jnp.asarray(float(vx)), jnp.asarray(float(vy)), vw, vh, encode_trc,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("vw", "vh", "mesh"))
+@functools.partial(jax.jit, static_argnames=("vw", "vh", "mesh", "encode_trc"))
 def _zoom_frame_sharded(spectrum, scaling_id, xnum, xden, ynum, yden,
-                        vx, vy, vw: int, vh: int, mesh):
+                        vx, vy, vw: int, vh: int, mesh,
+                        encode_trc: bool = False):
     from jax import shard_map  # noqa: PLC0415
     from jax.sharding import PartitionSpec as P  # noqa: PLC0415
 
@@ -161,7 +170,12 @@ def _zoom_frame_sharded(spectrum, scaling_id, xnum, xden, ynum, yden,
                            vy + si.astype(dtype) * float(vhl), vhl, h, dtype)
         out = jnp.einsum("jv,vuc,iu->jic", yb, spec, xb, optimize=True,
                          precision=jax.lax.Precision.HIGHEST)
-        return out / (h * w)
+        out = out / (h * w)
+        if encode_trc:
+            from dspfun_tpu.io.color import srgb_encode  # noqa: PLC0415
+
+            out = srgb_encode(out, jnp)
+        return out
 
     fn = shard_map(local, mesh=mesh, in_specs=P(),
                    out_specs=P("space", None, None), check_vma=False)
@@ -178,6 +192,7 @@ def zoom_frame_sharded(
     vw: int,
     vh: int,
     mesh,
+    encode_trc: bool = False,
 ) -> jax.Array:
     """Device-mesh zoom frame: output rows shard over 'space', the
     spectrum replicates, each shard synthesises its own continuous
@@ -191,6 +206,7 @@ def zoom_frame_sharded(
         jnp.asarray(float(xscale[0])), jnp.asarray(float(xscale[1])),
         jnp.asarray(float(yscale[0])), jnp.asarray(float(yscale[1])),
         jnp.asarray(float(vx)), jnp.asarray(float(vy)), vw, vh, mesh,
+        encode_trc,
     )
 
 

@@ -214,9 +214,12 @@ def main(argv: list[str] | None = None) -> int:
     if len(args) <= 1:
         return 0
 
+    # chunk size: fewer dispatches amortise per-dispatch latency, capped
+    # so a chunk's [F, H, W, C] buffers stay ~256 MB
+    chunk = int(max(4, min(64, 16_000_000 // max(1, width * height * channels))))
     plan = sp.plan_scan(
         order, width, height, channels, step=step, nframes=nframes,
-        offset=offset, invert=invert, use_pruned=use_pruned,
+        offset=offset, invert=invert, use_pruned=use_pruned, chunk=chunk,
     )
     if not fill_offset:
         plan.fill_ys = np.empty(0, np.int32)

@@ -15,7 +15,6 @@ from fractions import Fraction
 import numpy as np
 
 from dspfun_tpu.core.expr import parse_expr
-from dspfun_tpu.io import color as _color
 from dspfun_tpu.io import images, video
 from dspfun_tpu.models import zoom_pipeline as zp
 
@@ -268,16 +267,16 @@ def main(argv: list[str] | None = None) -> int:
 
             if mesh is not None:
                 dev = zp.zoom_frame_sharded(spectrum, scaling_type, xscale,
-                                            yscale, vx, vy, vw, vh, mesh)
+                                            yscale, vx, vy, vw, vh, mesh,
+                                            encode_trc=trc_encode)
             else:
                 dev = zp.zoom_frame_device(spectrum, scaling_type, xscale,
-                                           yscale, vx, vy, vw, vh)
+                                           yscale, vx, vy, vw, vh,
+                                           encode_trc=trc_encode)
             frame = np.asarray(dev, dtype=np.float64)
             frame = zp.overlay_showsamples(
                 frame, showsamples, env["xs"], env["ys"], vx, vy
             )
-            if trc_encode:
-                frame = _color.srgb_encode(frame)
             writer.write_frame_rgb(frame)
             if not quiet:
                 print(f"\r{d}/{nframes}         ", end="", file=sys.stderr)
