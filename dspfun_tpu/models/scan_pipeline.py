@@ -187,13 +187,13 @@ def _lround(x):
 @functools.partial(
     jax.jit,
     static_argnames=("use_pruned", "want_deltas", "measure_parity",
-                     "parity_scale", "encode_trc", "inter_mode"),
+                     "parity_scale", "encode_trc", "inter_mode", "grid_h"),
 )
 def _scan_chunk(
-    carry,          # [H, W, C] running sum
-    coeffs_nodc,    # [H, W, C] DCT/4wh with DC zeroed
+    carry,          # [H, W, C] running sum (H may be a row shard)
+    coeffs_nodc,    # [grid_h, W, C] DCT/4wh with DC zeroed
     ys, xs, valid,  # [F, K]
-    plans_inv,      # (AxisPlan_h, AxisPlan_w)
+    plans_inv,      # (AxisPlan_h, AxisPlan_w); plan_h rows match carry
     orig,           # [H, W, C] or scalar 0
     dc,             # [C] DC per channel (intermediates pane offset)
     parity_scale,   # float: (1<<depth)-1, or 0 for float compare
@@ -202,6 +202,9 @@ def _scan_chunk(
     measure_parity: bool,
     encode_trc: bool = False,
     inter_mode: str | None = None,   # None | "unit" | "minmax"
+    grid_h: int | None = None,       # full coefficient rows (row-sharded
+    #                                  callers: H here is local, the
+    #                                  scatter grid must be global)
 ):
     h, w, c = carry.shape
     f = ys.shape[0]
@@ -238,7 +241,7 @@ def _scan_chunk(
         delta = delta.astype(carry.dtype)
     else:
         fidx = jnp.broadcast_to(jnp.arange(f)[:, None], ys.shape)
-        grid = jnp.zeros((f, h, w, c), dtype=coeffs_nodc.dtype)
+        grid = jnp.zeros((f, grid_h or h, w, c), dtype=coeffs_nodc.dtype)
         grid = grid.at[fidx, ys, xs, :].set(v, mode="drop")
         delta = apply_plan_nd(grid, plans_inv, (1, 2))
 
@@ -278,6 +281,60 @@ def _scan_chunk(
         inter, parity
 
 
+def _shard_chunk_fn(mesh, h, use_pruned, want_deltas, measure_parity,
+                    parity_scale, encode_trc, inter_mode):
+    """Row-sharded chunk step: output rows shard over the mesh 'space'
+    axis; the coefficient image replicates, each shard reconstructs its
+    own rows (the pruned gather takes its own basis *rows*, the dense
+    IDCT its own plan rows) — no collectives except the parity
+    reduction.  ``minmax`` intermediates need global per-frame extrema
+    and are not supported here (callers fall back)."""
+    from jax import shard_map  # noqa: PLC0415
+    from jax.sharding import PartitionSpec as P  # noqa: PLC0415
+
+    if inter_mode == "minmax":
+        raise ValueError("minmax intermediates are global; no sharded path")
+    row = P("space", None, None)
+
+    def local(carry_l, coeffs_nodc, ys, xs, valid, plan_h_l, plan_w,
+              orig_l, dc):
+        out = _scan_chunk(
+            carry_l, coeffs_nodc, ys, xs, valid, (plan_h_l, plan_w),
+            orig_l, dc, parity_scale=parity_scale, use_pruned=use_pruned,
+            want_deltas=want_deltas, measure_parity=measure_parity,
+            encode_trc=encode_trc, inter_mode=inter_mode, grid_h=h,
+        )
+        carry_n, disp, deltas, inter, parity = out
+        if measure_parity:
+            # frame parity = every shard's rows match
+            parity = jax.lax.psum(
+                1 - parity.astype(jnp.int32), "space") == 0
+        return carry_n, disp, deltas, inter, parity
+
+    def plan_spec(plan):
+        return jax.tree.map(lambda _: P("space", None), plan)
+
+    frames_row = P(None, "space", None, None)  # [F, H/s, W, C]
+
+    def wrapped(carry, coeffs_nodc, ys, xs, valid, plans_inv, orig, dc):
+        plan_h, plan_w = plans_inv
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(row, P(), P(), P(), P(), plan_spec(plan_h),
+                      jax.tree.map(lambda _: P(), plan_w),
+                      row if measure_parity else P(), P()),
+            out_specs=(row, frames_row,
+                       frames_row if want_deltas else P(),
+                       frames_row if inter_mode else P(),
+                       P()),
+            check_vma=False,
+        )
+        return fn(carry, coeffs_nodc, ys, xs, valid, plan_h, plan_w,
+                  orig, dc)
+
+    return wrapped
+
+
 def scan_chunks(
     plan: ScanPlan,
     coeffs: jax.Array,
@@ -286,6 +343,7 @@ def scan_chunks(
     want_deltas: bool = False,
     encode_trc: bool = False,
     inter_mode: str | None = None,
+    mesh=None,
 ):
     """Generator over chunks of frames.
 
@@ -293,7 +351,9 @@ def scan_chunks(
     [H,W,C] output of :func:`forward_coeffs`.  ``encode_trc`` applies
     the sRGB OETF to the emitted panes on device; ``inter_mode``
     ("unit" | "minmax") produces the display-ready intermediates pane
-    on device (``ScanChunkResult.inter``).
+    on device (``ScanChunkResult.inter``).  With ``mesh``, output rows
+    shard over the mesh 'space' axis (requires H %% space == 0 and
+    inter_mode != "minmax").
     """
     h, w, c = plan.height, plan.width, plan.channels
     dc = np.asarray(coeffs[0, 0, :])
@@ -319,18 +379,31 @@ def scan_chunks(
 
     dc_dev = jnp.asarray(dc, dtype=coeffs.dtype)
 
+    step_fn = None
+    if mesh is not None:
+        step_fn = _shard_chunk_fn(
+            mesh, h, plan.use_pruned, want_deltas, measure_parity,
+            scale, encode_trc, inter_mode,
+        )
+
     def dispatch(start):
         end = start + plan.chunk
         nonlocal carry
-        carry, disp, deltas, inter, parity = _scan_chunk(
+        args = (
             carry, coeffs_nodc,
             jnp.asarray(plan.ys[start:end]), jnp.asarray(plan.xs[start:end]),
             jnp.asarray(plan.valid[start:end]),
-            plans_inv, orig_dev, dc_dev, parity_scale=scale,
-            use_pruned=plan.use_pruned, want_deltas=want_deltas,
-            measure_parity=measure_parity, encode_trc=encode_trc,
-            inter_mode=inter_mode,
+            plans_inv, orig_dev, dc_dev,
         )
+        if step_fn is not None:
+            carry, disp, deltas, inter, parity = step_fn(*args)
+        else:
+            carry, disp, deltas, inter, parity = _scan_chunk(
+                *args, parity_scale=scale,
+                use_pruned=plan.use_pruned, want_deltas=want_deltas,
+                measure_parity=measure_parity, encode_trc=encode_trc,
+                inter_mode=inter_mode,
+            )
         # start the device->host copies early so the next chunk's
         # compute overlaps this chunk's download (the tunnel/D2H path
         # is the bottleneck for the frame-emitting tools)

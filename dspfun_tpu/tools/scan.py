@@ -26,7 +26,7 @@ LONG = [
     "frames=", "offset=", "skip", "linear", "pruned-idct=",
     "serialization-file=", "serialization-format=", "measure-parity",
     "ff-opts=", "ff-format=", "ff-encoder=", "ff-loglevel=", "ff-rate=",
-    "spec-gain=", "spec-opts=", "fftw-threads=",
+    "spec-gain=", "spec-opts=", "fftw-threads=", "mesh=",
 ]
 
 USAGE = """Usage: scan [options] <input> <output>
@@ -108,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
     ofmt = None
     oopt = None
     codec = None
+    mesh_spec = None
 
     for flag, arg in flags:
         if flag in ("-h", "--help"):
@@ -161,6 +162,8 @@ def main(argv: list[str] | None = None) -> int:
             ofmt = arg
         elif flag == "--ff-encoder":
             codec = arg  # ffmpeg-bridge containers
+        elif flag == "--mesh":
+            mesh_spec = arg
         elif flag in ("--ff-loglevel", "--fftw-threads"):
             pass  # CLI parity only
         elif flag == "--ff-rate":
@@ -271,6 +274,28 @@ def main(argv: list[str] | None = None) -> int:
     parity_index = plan.nframes
     frame_count = 0
     try:
+        # --mesh: shard reconstruction rows over the mesh 'space' axis
+        # (collective-free; coefficients replicate).  minmax
+        # intermediates need global extrema and stay single-device.
+        mesh = None
+        if mesh_spec:
+            from dspfun_tpu.parallel.mesh import mesh_from_spec  # noqa: PLC0415
+
+            try:
+                mesh = mesh_from_spec(mesh_spec)
+            except ValueError as e:
+                print(f"mesh unavailable ({e}); running single-device",
+                      file=sys.stderr)
+            if mesh is not None and (
+                mesh.shape.get("time", 1) != 1
+                or height % mesh.shape["space"]
+                or max_intermediates
+            ):
+                print("mesh requires height % space == 0, time=1, and no "
+                      "--max-intermediates; running single-device",
+                      file=sys.stderr)
+                mesh = None
+
         # the reconstruction panes come back display-ready: sRGB
         # encoding and intermediates normalisation run on device per
         # chunk (the host loop only assembles panes and writes bytes)
@@ -281,6 +306,7 @@ def main(argv: list[str] | None = None) -> int:
             encode_trc=trc_encode,
             inter_mode=(("minmax" if max_intermediates else "unit")
                         if intermediates else None),
+            mesh=mesh,
         ):
             for k in range(res.sums.shape[0]):
                 f = start + k

@@ -136,3 +136,61 @@ def test_zoom_cli_mesh_matches_single(tmp_path):
     assert zoom_tool.main([*args, "--mesh", "8", src, meshed]) == 0
     np.testing.assert_allclose(frames_of(meshed), frames_of(one),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_scan_chunks_sharded_matches_single(mesh8=None):
+    from dspfun_tpu.models import scan_pipeline as sp
+    from dspfun_tpu.ops import scan_methods as sm
+    from dspfun_tpu.parallel.mesh import make_mesh
+
+    mesh8 = make_mesh(8, space=8, time=1)
+    n = 32
+    rng = np.random.default_rng(6)
+    img = rng.random((n, n, 3))
+    order = sm.get_method("zigzag").build(n, n)
+    coeffs = sp.forward_coeffs(img, PREC)
+    plan = sp.plan_scan(order, n, n, 3, step=8, nframes=16, chunk=8,
+                        precision=PREC)
+
+    def collect(mesh):
+        sums, parity = [], []
+        for _, res in sp.scan_chunks(plan, coeffs, orig=img,
+                                     parity_depth=8, inter_mode="unit",
+                                     mesh=mesh):
+            sums.append(res.sums)
+            parity.append(res.parity)
+        return np.concatenate(sums), np.concatenate(parity)
+
+    s1, p1 = collect(None)
+    s2, p2 = collect(mesh8)
+    np.testing.assert_allclose(s2, s1, atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(p2, p1)
+
+
+def test_scan_cli_mesh_matches_single(tmp_path):
+    from PIL import Image
+
+    from dspfun_tpu.io import video
+    from dspfun_tpu.tools import scan as scan_tool
+
+    rng = np.random.default_rng(7)
+    src = str(tmp_path / "src.png")
+    Image.fromarray(rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)).save(src)
+
+    def frames_of(path):
+        with video.open_input(path) as r:
+            out = []
+            while True:
+                f = r.read_frame_rgb()
+                if f is None:
+                    break
+                out.append(f)
+        return np.stack(out)
+
+    one = str(tmp_path / "one.fvid")
+    meshed = str(tmp_path / "mesh.fvid")
+    args = ["-q", "-m", "zig", "-S", "16", "-v", "-P"]
+    assert scan_tool.main([*args, src, one]) == 0
+    assert scan_tool.main([*args, "--mesh", "8", src, meshed]) == 0
+    np.testing.assert_allclose(frames_of(meshed), frames_of(one),
+                               atol=1e-5, rtol=1e-5)
