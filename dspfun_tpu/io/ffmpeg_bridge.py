@@ -68,7 +68,8 @@ def _first_video_stream(meta: dict | None) -> dict:
     return {}
 
 
-def open_ffmpeg_input(spec: str, format: str | None = None):
+def open_ffmpeg_input(spec: str, format: str | None = None,
+                      options: str | None = None):
     """Demux/decode any ffmpeg-supported input to a y4m pipe.
 
     The returned reader is a regular VideoReader (frame count and color
@@ -88,6 +89,11 @@ def open_ffmpeg_input(spec: str, format: str | None = None):
     cmd = ["ffmpeg", "-nostdin", "-loglevel", "error"]
     if format:
         cmd += ["-f", format]
+    if options:  # --decopts "k=v:k=v" demuxer/decoder options
+        for pair in options.split(":"):
+            if pair:
+                k, _, v = pair.partition("=")
+                cmd += [f"-{k}", v]
     cmd += ["-i", spec, "-map", "0:v:0"]
     if src_fmt not in _Y4M_NATIVE:
         cmd += ["-pix_fmt", "yuv444p"]

@@ -727,7 +727,7 @@ class NativeBackedReader(VideoReader):
 
 
 def open_input(spec: str, format: str | None = None,
-               native: bool = True) -> VideoReader:
+               native: bool = True, options: str | None = None) -> VideoReader:
     """Open a video input (path, ``-`` pipe, or printf image pattern).
 
     Native containers (y4m/fvid/image2) are recognised by magic bytes
@@ -742,7 +742,7 @@ def open_input(spec: str, format: str | None = None,
     if fmt == "ffmpeg" and format is not None:
         from dspfun_tpu.io import ffmpeg_bridge  # noqa: PLC0415
 
-        return ffmpeg_bridge.open_ffmpeg_input(spec, format)
+        return ffmpeg_bridge.open_ffmpeg_input(spec, format, options=options)
     if fmt == "ffmpeg":
         fmt = "pipe"  # extension suggests ffmpeg, but trust magic first
     stream = _open_stream_in(spec)
@@ -758,7 +758,7 @@ def open_input(spec: str, format: str | None = None,
             stream.close()
             from dspfun_tpu.io import ffmpeg_bridge  # noqa: PLC0415
 
-            return ffmpeg_bridge.open_ffmpeg_input(spec)
+            return ffmpeg_bridge.open_ffmpeg_input(spec, options=options)
     if fmt == "y4m":
         reader: VideoReader = Y4MReader(stream, spec)
     elif fmt == "fvid":

@@ -95,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
     maxframes = 0
     out_rate = None
     csp = iformat = oformat = None
-    codec = encopts = None
+    codec = encopts = decopts = None
     resume_file = None
     mesh_spec = None
     for flag, arg in flags:
@@ -175,7 +175,9 @@ def main(argv: list[str] | None = None) -> int:
             codec = arg  # passed to the ffmpeg bridge for real containers
         elif flag == "--encopts":
             encopts = arg
-        elif flag in ("--decopts", "--loglevel",
+        elif flag == "--decopts":
+            decopts = arg  # passed to the ffmpeg bridge demuxer
+        elif flag in ("--loglevel",
                       "--fftw-planning-method", "--fftw-threads"):
             pass  # CLI parity; XLA handles planning/threading
         elif flag in ("-Q", "--quiet"):
@@ -196,7 +198,7 @@ def main(argv: list[str] | None = None) -> int:
             return 1
 
     try:
-        reader = video.open_input(infile, format=iformat)
+        reader = video.open_input(infile, format=iformat, options=decopts)
     except Exception as e:  # noqa: BLE001
         print(f'Error opening "{infile}": {e}', file=sys.stderr)
         return 1
