@@ -52,6 +52,7 @@ options:
    -P, --measure-parity              print the scan index at which the reconstructed image becomes identical to the original
 
 output options:
+   --mesh <auto|N|space=N>  shard reconstruction rows over a device mesh
    --ff-format <format>    output container format (y4m, fvid, image2)
    --ff-encoder <enc>      accepted for CLI parity (containers are uncompressed)
    --ff-rate <rate>        output framerate

@@ -16,7 +16,7 @@ from dspfun_tpu.io import images
 from dspfun_tpu.models.spec_pipeline import spec_forward
 from dspfun_tpu.tools._speccli import SPEC_HELP, SpecOpts, resolve_io, spec_opt_proc
 
-USAGE = "Usage: spec -h -g -c csp -t (abs|shift|flat|sign|copy) -R (one|dc|dcs) -T (linear|log) -S (abs|shift|saturate|retain) -G (native|reference|custom(float)) <infile> <outfile>"
+USAGE = "Usage: spec -h -g -c csp -t (abs|shift|flat|sign|copy) -R (one|dc|dcs) -T (linear|log) -S (abs|shift|saturate|retain) -G (native|reference|custom(float)) -M mesh <infile> <outfile>"
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -54,6 +54,7 @@ animation options:
   -Y <expr>    Expression animating the vertical scale factor (if different from -S)
 
 output options:
+   --mesh <auto|N|space=N>  shard frame synthesis rows over a device mesh
    --ff-format <format>    output container format
    --ff-encoder <enc>      accepted for CLI parity
    --ff-rate <rate>        output framerate
