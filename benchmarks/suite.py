@@ -398,7 +398,7 @@ def bench_motion(quick):
                                   params=params, plane_index=0, nplanes=1)
         return out
 
-    dt = _time_chained(step, blocks, iters=10)
+    dt = _time_fori(step, blocks, iters=8)
     fps = d / dt
 
     # single-core FFTW-proxy baseline: the same 3-D DCT+filter+IDCT per

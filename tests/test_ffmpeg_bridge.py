@@ -202,3 +202,26 @@ def test_ffplay_gets_color_properties(tmp_path, shims):
     assert play[play.index("-color_trc") + 1] == "linear"
     assert play[play.index("-pixel_format") + 1] == "yuv420p"
     assert play[play.index("-video_size") + 1] == "16x8"
+
+
+FFPROBE_SHIM_DURATION = """#!/usr/bin/env python3
+import json
+print(json.dumps({"streams": [{
+    "codec_type": "video", "pix_fmt": "yuv420p",
+    "avg_frame_rate": "25/1", "duration": "0.16",
+}], "format": {}}))
+"""
+
+
+def test_bridge_frame_count_from_duration(tmp_path, shims, monkeypatch):
+    """nb_frames absent -> count falls back to duration * avg_frame_rate."""
+    import stat as _stat
+
+    probe = tmp_path / "bin" / "ffprobe"
+    probe.write_text(FFPROBE_SHIM_DURATION)
+    probe.chmod(probe.stat().st_mode | _stat.S_IEXEC)
+    src = str(tmp_path / "clip.mp4")
+    _write_fake_mp4(src, frames=4)
+    r = video.open_input(src)
+    assert r.frames == 4  # 0.16 s * 25 fps
+    r.close()
