@@ -26,7 +26,7 @@ LONG = [
     "frames=", "offset=", "skip", "linear", "pruned-idct=",
     "serialization-file=", "serialization-format=", "measure-parity",
     "ff-opts=", "ff-format=", "ff-encoder=", "ff-loglevel=", "ff-rate=",
-    "spec-gain=", "spec-opts=", "fftw-threads=", "mesh=",
+    "spec-gain=", "spec-opts=", "fftw-threads=", "mesh=", "resume-file=",
 ]
 
 USAGE = """Usage: scan [options] <input> <output>
@@ -110,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
     oopt = None
     codec = None
     mesh_spec = None
+    resume_file = None
 
     for flag, arg in flags:
         if flag in ("-h", "--help"):
@@ -165,6 +166,8 @@ def main(argv: list[str] | None = None) -> int:
             codec = arg  # ffmpeg-bridge containers
         elif flag == "--mesh":
             mesh_spec = arg
+        elif flag == "--resume-file":
+            resume_file = arg
         elif flag in ("--ff-loglevel", "--fftw-threads"):
             pass  # CLI parity only
         elif flag == "--ff-rate":
@@ -229,6 +232,38 @@ def main(argv: list[str] | None = None) -> int:
         plan.fill_ys = np.empty(0, np.int32)
         plan.fill_xs = np.empty(0, np.int32)
 
+    # checkpoint/resume: completed frames move into the prefill set and
+    # the schedule restarts from the recorded frame (append-mode writer)
+    start_frame = 0
+    if resume_file:
+        from dspfun_tpu.utils.checkpoint import load_state  # noqa: PLC0415
+
+        st = load_state(resume_file)
+        cfg = [width, height, step, offset, int(invert), plan.nframes]
+        if st.get("cfg") == cfg:
+            start_frame = min(int(st.get("frame", 0)), plan.nframes)
+        if start_frame:
+            done = plan.valid[:start_frame]
+            plan.fill_ys = np.concatenate(
+                [plan.fill_ys, plan.ys[:start_frame][done]])
+            plan.fill_xs = np.concatenate(
+                [plan.fill_xs, plan.xs[:start_frame][done]])
+            plan.ys = plan.ys[start_frame:]
+            plan.xs = plan.xs[start_frame:]
+            plan.valid = plan.valid[start_frame:]
+            plan.nframes -= start_frame
+            npad = (-plan.ys.shape[0]) % plan.chunk
+            if npad:
+                kmax = plan.ys.shape[1]
+                plan.ys = np.concatenate(
+                    [plan.ys, np.zeros((npad, kmax), np.int32)])
+                plan.xs = np.concatenate(
+                    [plan.xs, np.zeros((npad, kmax), np.int32)])
+                plan.valid = np.concatenate(
+                    [plan.valid, np.zeros((npad, kmax), bool)])
+            if not quiet:
+                print(f"resuming at frame {start_frame}", file=sys.stderr)
+
     out_w = width * (2 if visualize else 1)
     out_h = height * (2 if intermediates else 1)
     props = video.parse_color_props(oopt)
@@ -240,7 +275,8 @@ def main(argv: list[str] | None = None) -> int:
         props.color_primaries = props.color_primaries or "bt709"
     try:
         writer = video.open_output(args[1], out_w, out_h, rate, props,
-                                   format=ofmt, codec=codec)
+                                   format=ofmt, codec=codec,
+                                   append=start_frame > 0)
     except Exception as e:  # noqa: BLE001
         print(f"Error opening output context: {e}", file=sys.stderr)
         return 1
@@ -271,8 +307,9 @@ def main(argv: list[str] | None = None) -> int:
             plan.fill_ys, plan.fill_xs
         )
 
+    total_frames = start_frame + plan.nframes
     pad = int(math.log10(max(plan.nframes, 1))) + 1
-    parity_index = plan.nframes
+    parity_index = total_frames
     frame_count = 0
     try:
         # --mesh: shard reconstruction rows over the mesh 'space' axis
@@ -329,15 +366,24 @@ def main(argv: list[str] | None = None) -> int:
                           end="", file=sys.stderr)
                 if intermediates and visualize:
                     canvas[ys + height, xs + width] = 0.0
-                if res.parity is not None and res.parity[k] and parity_index > f:
-                    parity_index = f
+                if res.parity is not None and res.parity[k] \
+                        and parity_index > start_frame + f:
+                    parity_index = start_frame + f
+            if resume_file:
+                from dspfun_tpu.utils.checkpoint import save_state  # noqa: PLC0415
+
+                save_state(resume_file, {
+                    "cfg": [width, height, step, offset, int(invert),
+                            start_frame + plan.nframes],
+                    "frame": start_frame + frame_count,
+                })
     finally:
         writer.close()
     if not quiet:
         print(file=sys.stderr)
 
     if measure_parity:
-        if parity_index == plan.nframes:
+        if parity_index == total_frames:
             print("Didn't reach parity with the original image before the "
                   "end of the scan.", file=sys.stderr)
         else:

@@ -21,7 +21,7 @@ from dspfun_tpu.models import zoom_pipeline as zp
 SHORT = "hs:v:p:cgaPr:%n:qx:y:S:X:Y:"
 LONG = ["help", "showsamples=", "basis=",
         "ff-opts=", "ff-format=", "ff-encoder=", "ff-loglevel=", "ff-rate=",
-        "mesh="]
+        "mesh=", "resume-file="]
 
 USAGE = ("Usage: zoom [(-s <scale> | -r <res>) -p <pos> -v <size> --basis <type> "
          "--showsamples[=<type>] -c -g -P -% -n -x -y -S -X -Y] <input> <output>")
@@ -99,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
     rate = Fraction(60, 1)
     oopt = ofmt = codec = None
     mesh_spec = None
+    resume_file = None
     exprstrs: list[str | None] = [None] * 5
 
     for flag, arg in flags:
@@ -162,6 +163,8 @@ def main(argv: list[str] | None = None) -> int:
             codec = arg  # ffmpeg-bridge containers
         elif flag == "--mesh":
             mesh_spec = arg
+        elif flag == "--resume-file":
+            resume_file = arg
         elif flag == "--ff-loglevel":
             pass
 
@@ -214,9 +217,19 @@ def main(argv: list[str] | None = None) -> int:
         props.color_trc = props.color_trc or "iec61966-2-1"
         props.color_space = props.color_space or "rgb"
         props.color_primaries = props.color_primaries or "bt709"
+    # checkpoint/resume: re-run the cheap host-side expression history
+    # for completed frames and append from the recorded index
+    start_frame = 0
+    if resume_file:
+        from dspfun_tpu.utils.checkpoint import load_state  # noqa: PLC0415
+
+        st = load_state(resume_file)
+        if st.get("cfg") == [vw, vh, nframes]:
+            start_frame = min(int(st.get("frame", 0)), nframes)
+
     try:
         writer = video.open_output(args[1], vw, vh, rate, props, format=ofmt,
-                                   codec=codec)
+                                   codec=codec, append=start_frame > 0)
     except Exception as e:  # noqa: BLE001
         print(f"Error opening output context: {e}", file=sys.stderr)
         return 1
@@ -266,6 +279,9 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 continue
 
+            if d < start_frame:  # resumed: expression state replayed only
+                continue
+
             if mesh is not None:
                 dev = zp.zoom_frame_sharded(spectrum, scaling_type, xscale,
                                             yscale, vx, vy, vw, vh, mesh,
@@ -279,6 +295,11 @@ def main(argv: list[str] | None = None) -> int:
                 frame, showsamples, env["xs"], env["ys"], vx, vy
             )
             writer.write_frame_rgb(frame)
+            if resume_file:
+                from dspfun_tpu.utils.checkpoint import save_state  # noqa: PLC0415
+
+                save_state(resume_file, {"cfg": [vw, vh, nframes],
+                                         "frame": d + 1})
             if not quiet:
                 print(f"\r{d}/{nframes}         ", end="", file=sys.stderr)
         if not quiet:
