@@ -45,23 +45,33 @@ def main() -> int:
     y = fn(x, m, plans)
     _ = jax.device_get(probe(y))
 
-    # Chain iterations inside ONE jitted dispatch (output feeds input,
-    # lax.fori_loop) and fetch a scalar at the end: each step truly
-    # depends on the previous one, and per-dispatch latency through
-    # remote-tunnelled devices stays out of the per-iteration time.
-    iters = 10
+    # True on-device per-iteration time via two-point subtraction:
+    # iterations chain inside ONE jitted lax.fori_loop (output feeds
+    # input, so every step depends on the previous), measured at two
+    # lengths so the tunnel's fixed per-dispatch cost K cancels out of
+    # T(n) = K + n*c.
+    def chain(n):
+        @jax.jit
+        def f(a, mm, pl):
+            return jax.lax.fori_loop(0, n, lambda i, v: fn(v, mm, pl), a)
 
-    @jax.jit
-    def chain(a, mm, pl):
-        return jax.lax.fori_loop(
-            0, iters, lambda i, v: fn(v, mm, pl), a
-        )
+        return f
 
-    _ = jax.device_get(probe(chain(x, m, plans)))
-    t0 = time.perf_counter()
-    yy = chain(x, m, plans)
-    _ = jax.device_get(probe(yy))
-    dt = (time.perf_counter() - t0) / iters
+    def run(n):
+        cf = chain(n)
+        _ = jax.device_get(probe(cf(x, m, plans)))  # warm/compile
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _ = jax.device_get(probe(cf(x, m, plans)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    iters = 5
+    t1, t2 = run(iters), run(2 * iters)
+    dt = (t2 - t1) / iters
+    if dt <= 0:
+        dt = t2 / (2 * iters)
     ours_mps = (h * w) / dt / 1e6
     y = fn(x, m, plans)
 

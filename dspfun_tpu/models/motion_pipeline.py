@@ -288,21 +288,26 @@ def filter_blocks(
         and g.block == g.scaled == g.minbuf
     )
     if fast:
+        import os  # noqa: PLC0415
+
         from dspfun_tpu.ops import pallas_kernels as _pk  # noqa: PLC0415
 
-        # Kernel selection by VMEM budget: the Kronecker kernel holds
-        # both [V, V] matrices in VMEM and caps at V=1024 (2x4 MB); up
-        # to SEP_VOL_MAX the separable per-axis kernel runs the whole
-        # 3-D chain on one VMEM row tile; the XLA kron path covers
-        # small blocks on host backends (its [V, V] constants get
-        # prohibitive past 4096).
+        # Kernel selection (two-point-calibrated on v5e, see CLAUDE.md):
+        # - V <= 1024: the Pallas Kronecker kernel (both [V, V] matrices
+        #   VMEM-resident; ~32 us/slab, on par with XLA at this size);
+        # - V > 1024: the XLA separable formulation — measured 2x faster
+        #   than the hand-written separable Pallas kernel (146 us vs
+        #   299 us per 880x16^3 slab; near the ~100 us roofline), since
+        #   XLA pipelines the small per-axis matmuls + elementwise chain
+        #   better than a monolithic VMEM-resident kernel.  Set
+        #   DSPFUN_PALLAS=1 to force the Pallas separable kernel.
         on_acc = _pk.has_pallas() and jax.default_backend() not in ("cpu",)
         use_pallas = on_acc and vol % 128 == 0 and vol <= 1024
         use_pallas_sep = (on_acc and not use_pallas
+                          and os.environ.get("DSPFUN_PALLAS") == "1"
                           and (g.block.h * g.block.w) % 128 == 0
                           and vol <= _pk.SEP_VOL_MAX)
-        if not (use_pallas or use_pallas_sep) and vol > 4096:
-            fast = False
+        use_xla_sep = not (use_pallas or use_pallas_sep) and vol > 1024
     if fast:
         global LAST_FAST_PATH
 
@@ -324,6 +329,18 @@ def filter_blocks(
                 flat, dims3, uf * bpm, threshold=(tmin, tmax),
                 post_filter=1.0 / uf,
             )
+        elif use_xla_sep:
+            LAST_FAST_PATH = "xla-sep"
+            fwd_plans, inv_plans = plans
+            b = blocks.astype(jnp.float32)
+            F = apply_plan_nd(b, fwd_plans, (1, 2, 3))
+            F = F * jnp.asarray((uf * bpm).reshape(dims3), jnp.float32)
+            if p.threshold_max:
+                a = jnp.abs(F)
+                F = jnp.where((a < tmin) | (a > tmax), 0.0, F)
+            F = F * jnp.asarray((1.0 / uf).reshape(dims3) / (8.0 * vol),
+                                jnp.float32)
+            out = apply_plan_nd(F, inv_plans, (1, 2, 3)).reshape(nb, -1)
         else:
             from dspfun_tpu.ops.blockdct import kron_dct_matrix  # noqa: PLC0415
 
