@@ -205,14 +205,19 @@ def bench_zoom(quick):
     h, w = (270, 480) if quick else (1080, 1920)
     rng = np.random.default_rng(1)
     img = rng.random((h, w, 3))
-    spec = zp.forward_spectrum(srgb_decode(img))
+    spec = jax.device_put(jax.numpy.asarray(
+        zp.forward_spectrum(srgb_decode(img)), jax.numpy.float32))
 
-    def run():
-        f = zp.zoom_frame_device(spec, "interpolated", (4, 1), (4, 1),
-                                 0, 0, w * 2, h * 2)
-        return srgb_encode(f, jax.numpy)
+    # two-point timing: the synthesis output shape differs from the
+    # input, so chain a scalar carry perturbing the spectrum by ~1e-38
+    # (numerically nil, but keeps XLA from hoisting the loop body)
+    def step(carry):
+        f = zp.zoom_frame_device(spec + carry * 1e-38, "interpolated",
+                                 (4, 1), (4, 1), 0, 0, w * 2, h * 2,
+                                 encode_trc=True)
+        return f[0, 0, 0]
 
-    dt = _time(run, iters=3)
+    dt = _time_fori(step, jax.numpy.zeros((), jax.numpy.float32), iters=3)
 
     # single-core pocketfft proxy baseline: cosine upsampling to the
     # same output pixels = IDCT of the zero-padded spectrum (+ the
@@ -288,7 +293,7 @@ def bench_applybasis(quick):
         out = _einsum_forward(mhj, x, mwj)  # [n, n, 1, 1, 3]
         return out.reshape(1, n, 1, n, 3) * 1e-3  # feed back, keep finite
 
-    dt = _time_chained(step, jnp.asarray(pr, jnp.float32), iters=20)
+    dt = _time_fori(step, jnp.asarray(pr, jnp.float32), iters=16)
 
     # baseline: same contraction, f64 numpy single-core loops
     base_dt = _time_host(
@@ -349,28 +354,32 @@ def bench_scan(quick):
     coeffs_nodc = jnp.asarray(coeffs).at[0, 0, :].set(0.0)
     dc = jnp.asarray(coeffs[0, 0, :])
     carry0 = jnp.broadcast_to(dc, (n, n, 3)).astype(coeffs.dtype)
-    chunks = [
-        (jax.device_put(jnp.asarray(plan.ys[s : s + plan.chunk])),
-         jax.device_put(jnp.asarray(plan.xs[s : s + plan.chunk])),
-         jax.device_put(jnp.asarray(plan.valid[s : s + plan.chunk])))
-        for s in range(0, plan.nframes, plan.chunk)
-    ]
+    npad = plan.ys.shape[0]
+    nchunks = npad // plan.chunk
+    ys_all = jax.device_put(jnp.asarray(
+        plan.ys.reshape(nchunks, plan.chunk, -1)))
+    xs_all = jax.device_put(jnp.asarray(
+        plan.xs.reshape(nchunks, plan.chunk, -1)))
+    valid_all = jax.device_put(jnp.asarray(
+        plan.valid.reshape(nchunks, plan.chunk, -1)))
 
-    def device_pass():
-        carry = carry0
-        for ys, xs, valid in chunks:
-            carry, _disp, _d, _i, _p = sp._scan_chunk(
-                carry, coeffs_nodc, ys, xs, valid, plans_inv,
+    def device_pass(carry):
+        # the full frame schedule as ONE lax.scan over stacked chunks;
+        # chained by carry so repeated passes can be two-point timed
+        def body(c, chunk):
+            ys, xs, valid = chunk
+            c2, _disp, _d, _i, _p = sp._scan_chunk(
+                c, coeffs_nodc, ys, xs, valid, plans_inv,
                 jnp.zeros((), coeffs.dtype), dc, parity_scale=0.0,
                 use_pruned=plan.use_pruned, want_deltas=False,
                 measure_parity=False,
             )
-        return carry
+            return c2, ()
 
-    _sync(device_pass())
-    t0 = time.perf_counter()
-    _sync(device_pass())
-    dev_dt = time.perf_counter() - t0
+        out, _ = jax.lax.scan(body, carry, (ys_all, xs_all, valid_all))
+        return out * 1e-3  # keep magnitudes finite across passes
+
+    dev_dt = _time_fori(device_pass, carry0, iters=2)
 
     # baseline: the reference emits one full IDCT per output frame
     # (scan.c:446-449); time pocketfft IDCTs and scale to nframes
