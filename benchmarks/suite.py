@@ -90,7 +90,7 @@ def _time_fori(step, x0, iters=8):
         fn = many(n)
         _sync(fn(x0))  # warm/compile
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _sync(fn(x0))
             best = min(best, time.perf_counter() - t0)
@@ -174,7 +174,7 @@ def bench_spec_blockwise(quick):
         return y.reshape(size, size, 3)
 
     x = jax.device_put(img)
-    dt = _time_fori(roundtrip, x, iters=16)
+    dt = _time_fori(roundtrip, x, iters=128)
     got = np.asarray(roundtrip(x))
     oracle = _block_spec_chain_np(img, n)
     err = float(np.max(np.abs(got - oracle)))
@@ -217,7 +217,7 @@ def bench_zoom(quick):
                                  encode_trc=True)
         return f[0, 0, 0]
 
-    dt = _time_fori(step, jax.numpy.zeros((), jax.numpy.float32), iters=3)
+    dt = _time_fori(step, jax.numpy.zeros((), jax.numpy.float32), iters=4)
 
     # single-core pocketfft proxy baseline: cosine upsampling to the
     # same output pixels = IDCT of the zero-padded spectrum (+ the
@@ -293,7 +293,7 @@ def bench_applybasis(quick):
         out = _einsum_forward(mhj, x, mwj)  # [n, n, 1, 1, 3]
         return out.reshape(1, n, 1, n, 3) * 1e-3  # feed back, keep finite
 
-    dt = _time_fori(step, jnp.asarray(pr, jnp.float32), iters=16)
+    dt = _time_fori(step, jnp.asarray(pr, jnp.float32), iters=256)
 
     # baseline: same contraction, f64 numpy single-core loops
     base_dt = _time_host(
@@ -379,7 +379,7 @@ def bench_scan(quick):
         out, _ = jax.lax.scan(body, carry, (ys_all, xs_all, valid_all))
         return out * 1e-3  # keep magnitudes finite across passes
 
-    dev_dt = _time_fori(device_pass, carry0, iters=2)
+    dev_dt = _time_fori(device_pass, carry0, iters=8)
 
     # baseline: the reference emits one full IDCT per output frame
     # (scan.c:446-449); time pocketfft IDCTs and scale to nframes
@@ -427,7 +427,7 @@ def bench_motion(quick):
                                   params=params, plane_index=0, nplanes=1)
         return out
 
-    dt = _time_fori(step, blocks, iters=8)
+    dt = _time_fori(step, blocks, iters=64)
     fps = d / dt
 
     # single-core FFTW-proxy baseline: the same 3-D DCT+filter+IDCT per
@@ -487,7 +487,7 @@ def bench_spec_wholeimage(quick):
         return spec_inverse(f, params, dc=dc, precision=prec)
 
     x = jax.device_put(img)
-    dt = _time_fori(roundtrip, x, iters=8)
+    dt = _time_fori(roundtrip, x, iters=32)
     got = np.asarray(roundtrip(x))
 
     # f64 pocketfft oracle of the same chain
