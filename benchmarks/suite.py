@@ -39,33 +39,6 @@ def _sync(x):
     return float(jax.device_get(_PROBE(x)))
 
 
-def _time(fn, iters=5):
-    r = fn()  # warmup/compile
-    if r is not None:
-        _sync(r)  # absorb first-sync / compile latency outside the timing
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(iters):
-        last = fn()
-    if last is not None:
-        _sync(last)
-    return (time.perf_counter() - t0) / iters
-
-
-def _time_chained(step, x0, iters=10):
-    """Time a self-feeding chain (output -> input) with one final scalar
-    fetch: per-dispatch sync round trips through the device tunnel would
-    otherwise dominate (see CLAUDE.md timing notes)."""
-    cur = step(x0)
-    _sync(cur)
-    t0 = time.perf_counter()
-    cur = x0
-    for _ in range(iters):
-        cur = step(cur)
-    _sync(cur)
-    return (time.perf_counter() - t0) / iters
-
-
 def _time_fori(step, x0, iters=8):
     """True on-device per-iteration time via two-point subtraction.
 
