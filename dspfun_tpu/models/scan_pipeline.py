@@ -148,13 +148,16 @@ def plan_scan(
     fill_xs = np.concatenate(fx) if fx else np.empty(0, np.int32)
 
     if use_pruned is None:
-        # crossover: pruned batched matmul is O(h*K*w) per frame vs
-        # O((h+w)*h*w) dense.  Measured on TPU v5e at 256^2 the pruned
-        # path wins for K in ~4..32 and the dense batched IDCT from
-        # K ~64 up (the gather+outer product loses MXU efficiency as K
-        # grows).  (The reference's log2(w*h) threshold, scan.c:349-350,
-        # reflects its scalar pruned loop.)
-        use_pruned = kmax * 4 <= min(height, width)
+        # crossover: pruned synthesis is O(h*K*w) FLOPs per frame vs
+        # O((h+w)*h*w) dense, but its basis-column gathers cost far
+        # more than MXU matmul FLOPs.  Two-point-calibrated on v5e at
+        # 256^2 the dense batched IDCT beats the pruned path at EVERY
+        # K (<=500 us vs 0.4-1.3 ms per 64-frame chunk), so pruned only
+        # pays off when the dense per-pixel cost (h+w) is very large
+        # and K tiny.  (The reference's log2(w*h) threshold,
+        # scan.c:349-350, reflects its scalar CPU loop.)
+        use_pruned = (min(height, width) >= 1024
+                      and kmax * 32 <= min(height, width))
 
     p = precision or get_precision()
     plans_inv = (
