@@ -86,21 +86,30 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
                 rec[k::bpp] = np.cumsum(lane).astype(np.uint8)
         elif ftype == 2:  # Up
             rec = line + prev
-        elif ftype in (3, 4):  # Average / Paeth: left-dependent, loop
-            rec = line
-            p = prev.astype(np.int32)
-            r = rec.astype(np.int32)
-            for i in range(stride):
-                a = r[i - bpp] if i >= bpp else 0
-                b = p[i]
-                if ftype == 3:
-                    r[i] = (r[i] + ((a + b) >> 1)) & 0xFF
-                else:
-                    cc = p[i - bpp] if i >= bpp else 0
-                    pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                    r[i] = (r[i] + pred) & 0xFF
-            rec = r.astype(np.uint8)
+        elif ftype in (3, 4):  # Average / Paeth: left-dependent, so
+            # loop per PIXEL with all bpp byte-lanes vectorised (the
+            # dependency spans exactly one pixel)
+            npx = stride // bpp
+            r = line.astype(np.int32).reshape(npx, bpp)
+            p = prev.astype(np.int32).reshape(npx, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            if ftype == 3:
+                for i in range(npx):
+                    left = (r[i] + ((left + p[i]) >> 1)) & 0xFF
+                    r[i] = left
+            else:
+                for i in range(npx):
+                    b = p[i]
+                    pa = np.abs(b - upleft)
+                    pb = np.abs(left - upleft)
+                    pc = np.abs(left + b - 2 * upleft)
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, b, upleft))
+                    left = (r[i] + pred) & 0xFF
+                    r[i] = left
+                    upleft = b
+            rec = r.reshape(stride).astype(np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = rec

@@ -837,6 +837,13 @@ def open_output(
 
     fmt = _sniff_format(spec, format, for_output=True)
     if fmt == "ffmpeg":
+        if append:
+            # resuming would re-run `ffmpeg -y` and destroy the frames
+            # already encoded; refuse rather than lose data
+            raise RuntimeError(
+                f"cannot append/resume into an ffmpeg container "
+                f"({spec!r}); use a y4m or fvid output for resumable runs"
+            )
         from dspfun_tpu.io import ffmpeg_bridge  # noqa: PLC0415
 
         return ffmpeg_bridge.open_ffmpeg_output(
@@ -849,7 +856,14 @@ def open_output(
     if fmt == "image2":
         pf = PIXEL_FORMATS[props.pix_fmt or "gbrpf32le"]
         _default_props(fmt, props)
-        return ImageSeqWriter(spec, spec, width, height, rate, pf, props)
+        w = ImageSeqWriter(spec, spec, width, height, rate, pf, props)
+        if append:
+            # resume: continue numbering after the existing frames
+            n = 0
+            while os.path.exists(spec % n):
+                n += 1
+            w.frame_index = n
+        return w
     pf = PIXEL_FORMATS[_negotiate_pix_fmt(fmt, props)]
     _default_props(fmt, props)
     cls = Y4MWriter if fmt == "y4m" else FvidWriter

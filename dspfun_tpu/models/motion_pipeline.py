@@ -55,9 +55,10 @@ PRESERVE_DCTYPES = ("dc", "grey")
 _SQRT2 = math.sqrt(2.0)
 
 # Which fused fast-path implementation the most recent filter_blocks
-# *trace* selected ("pallas-kron" | "pallas-sep" | "xla-kron") — set at
-# trace time, so it reflects the first call per (geometry, params)
-# config.  Used by benchmarks/tests to assert the kernel engages.
+# *trace* selected ("pallas-kron" | "pallas-sep" | "xla-sep" |
+# "xla-kron") — set at trace time, so it reflects the first call per
+# (geometry, params) config.  Used by benchmarks/tests to assert the
+# intended kernel engages.
 LAST_FAST_PATH: str | None = None
 
 
@@ -303,9 +304,10 @@ def filter_blocks(
         #   DSPFUN_PALLAS=1 to force the Pallas separable kernel.
         on_acc = _pk.has_pallas() and jax.default_backend() not in ("cpu",)
         use_pallas = on_acc and vol % 128 == 0 and vol <= 1024
+        hw = g.block.h * g.block.w
         use_pallas_sep = (on_acc and not use_pallas
                           and os.environ.get("DSPFUN_PALLAS") == "1"
-                          and (g.block.h * g.block.w) % 128 == 0
+                          and hw % 128 == 0 and hw <= 1024
                           and vol <= _pk.SEP_VOL_MAX)
         use_xla_sep = not (use_pallas or use_pallas_sep) and vol > 1024
     if fast:

@@ -315,7 +315,18 @@ def _shard_chunk_fn(mesh, h, use_pruned, want_deltas, measure_parity,
         return carry_n, disp, deltas, inter, parity
 
     def plan_spec(plan):
-        return jax.tree.map(lambda _: P("space", None), plan)
+        # shard the plan by OUTPUT rows: [M, K] matrix leaves (hi/lo)
+        # split their rows; exact-mode digit leaves are [D, M, K] (rows
+        # on axis 1); the scalar scale replicates
+        def leaf(x):
+            nd = getattr(x, "ndim", 0)
+            if nd == 3:
+                return P(None, "space", None)
+            if nd == 2:
+                return P("space", None)
+            return P()
+
+        return jax.tree.map(leaf, plan)
 
     frames_row = P(None, "space", None, None)  # [F, H/s, W, C]
 

@@ -316,23 +316,22 @@ def main(argv: list[str] | None = None) -> int:
         # (collective-free; coefficients replicate).  minmax
         # intermediates need global extrema and stay single-device.
         mesh = None
-        if mesh_spec:
-            from dspfun_tpu.parallel.mesh import mesh_from_spec  # noqa: PLC0415
+        from dspfun_tpu.parallel.mesh import mesh_from_spec  # noqa: PLC0415
 
-            try:
-                mesh = mesh_from_spec(mesh_spec)
-            except ValueError as e:
-                print(f"mesh unavailable ({e}); running single-device",
-                      file=sys.stderr)
-            if mesh is not None and (
-                mesh.shape.get("time", 1) != 1
-                or height % mesh.shape["space"]
-                or max_intermediates
-            ):
-                print("mesh requires height % space == 0, time=1, and no "
-                      "--max-intermediates; running single-device",
-                      file=sys.stderr)
-                mesh = None
+        try:
+            mesh = mesh_from_spec(mesh_spec)  # None consults DSPFUN_MESH
+        except ValueError as e:
+            print(f"mesh unavailable ({e}); running single-device",
+                  file=sys.stderr)
+        if mesh is not None and (
+            mesh.shape.get("time", 1) != 1
+            or height % mesh.shape["space"]
+            or max_intermediates
+        ):
+            print("mesh requires height % space == 0, time=1, and no "
+                  "--max-intermediates; running single-device",
+                  file=sys.stderr)
+            mesh = None
 
         # the reconstruction panes come back display-ready: sRGB
         # encoding and intermediates normalisation run on device per

@@ -76,10 +76,9 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _resolve_mesh(mesh_spec, shape):
-    """-M/--mesh (or DSPFUN_MESH when -M auto): shard the whole-image
-    transform over the mesh 'space' axis when the image divides it."""
-    if mesh_spec is None:
-        return None
+    """-M/--mesh (or the DSPFUN_MESH env var when the flag is absent,
+    matching motion): shard the whole-image transform over the mesh
+    'space' axis when the image divides it."""
     from dspfun_tpu.parallel.mesh import mesh_from_spec  # noqa: PLC0415
 
     try:

@@ -238,19 +238,18 @@ def main(argv: list[str] | None = None) -> int:
     # --mesh: shard the per-frame synthesis over output rows (pure data
     # parallelism over the mesh 'space' axis; the spectrum replicates)
     mesh = None
-    if mesh_spec:
-        from dspfun_tpu.parallel.mesh import mesh_from_spec  # noqa: PLC0415
+    from dspfun_tpu.parallel.mesh import mesh_from_spec  # noqa: PLC0415
 
-        try:
-            mesh = mesh_from_spec(mesh_spec)
-        except ValueError as e:
-            print(f"mesh unavailable ({e}); running single-device",
-                  file=sys.stderr)
-        if mesh is not None and (mesh.shape.get("time", 1) != 1
-                                 or vh % mesh.shape["space"]):
-            print(f"view height {vh} must divide --mesh N (space only); "
-                  "running single-device", file=sys.stderr)
-            mesh = None
+    try:
+        mesh = mesh_from_spec(mesh_spec)  # None consults DSPFUN_MESH
+    except ValueError as e:
+        print(f"mesh unavailable ({e}); running single-device",
+              file=sys.stderr)
+    if mesh is not None and (mesh.shape.get("time", 1) != 1
+                             or vh % mesh.shape["space"]):
+        print(f"view height {vh} must divide --mesh N (space only); "
+              "running single-device", file=sys.stderr)
+        mesh = None
 
     try:
         for d in range(nframes):

@@ -214,7 +214,7 @@ int dspio_read_frame(DspioReader* r, uint8_t* buf) {
 }
 
 int dspio_seek(DspioReader* r, int64_t frame) {
-    if (r->nframes < 0) return -1;
+    if (r->nframes < 0 || frame < 0) return -1;
     int64_t off;
     if (frame >= (int64_t)r->offsets.size()) {
         if (r->offsets.empty()) return -1;

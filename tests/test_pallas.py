@@ -105,11 +105,18 @@ def test_sep_matches_oracle_full_middle():
 
 def test_sep_2d_dims():
     rng = np.random.default_rng(6)
-    dims = (64, 32)  # V = 2048, 2-D blocks
-    x = rng.random((4, 2048)).astype(np.float32)
+    dims = (32, 32)  # V = hw = 1024, 2-D blocks (the hw VMEM ceiling)
+    x = rng.random((4, 1024)).astype(np.float32)
     y = np.asarray(pk.fused_block_filter_sep(x, dims, np.ones(dims),
                                              interpret=True))
     np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+def test_sep_rejects_oversized_hw():
+    with pytest.raises(ValueError, match="h\\*w <= 1024"):
+        pk.fused_block_filter_sep(np.zeros((2, 2048), np.float32),
+                                  (64, 32), np.ones((64, 32)),
+                                  interpret=True)
 
 
 def test_filter_blocks_sep_fast_path_matches_slow():

@@ -194,3 +194,33 @@ def test_scan_cli_mesh_matches_single(tmp_path):
     assert scan_tool.main([*args, "--mesh", "8", src, meshed]) == 0
     np.testing.assert_allclose(frames_of(meshed), frames_of(one),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_scan_chunks_sharded_exact_precision():
+    """Regression: exact-mode AxisPlans carry rank-3 digit and rank-0
+    scale leaves; the sharded scan's plan specs must shard digits by
+    output rows and replicate the scale (used to crash in shard_map)."""
+    from dspfun_tpu.models import scan_pipeline as sp
+    from dspfun_tpu.ops import scan_methods as sm
+    from dspfun_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, space=8, time=1)
+    prec = Precision(coeff="float32", intermediate="exact")
+    n = 32
+    rng = np.random.default_rng(9)
+    img = rng.random((n, n, 3))
+    order = sm.get_method("zigzag").build(n, n)
+    coeffs = sp.forward_coeffs(img, prec)
+    plan = sp.plan_scan(order, n, n, 3, step=16, nframes=8, chunk=4,
+                        use_pruned=False, precision=prec)
+    assert plan.plans_inv[0].digits is not None
+
+    def collect(mesh_arg):
+        out = []
+        for _, res in sp.scan_chunks(plan, coeffs, mesh=mesh_arg):
+            out.append(res.sums)
+        return np.concatenate(out)
+
+    s1 = collect(None)
+    s2 = collect(mesh)
+    np.testing.assert_allclose(s2, s1, atol=1e-5, rtol=1e-5)
