@@ -99,7 +99,12 @@ def open_ffmpeg_input(spec: str, format: str | None = None,
         cmd += ["-pix_fmt", "yuv444p"]
     cmd += ["-f", "yuv4mpegpipe", "-"]
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
-    reader = _video.Y4MReader(proc.stdout, spec)
+    try:
+        reader = _video.Y4MReader(proc.stdout, spec)
+    except Exception:
+        proc.terminate()
+        proc.wait()
+        raise
     reader.format = "ffmpeg"
     reader._proc = proc
 
@@ -111,10 +116,11 @@ def open_ffmpeg_input(spec: str, format: str | None = None,
                 reader.frames = int(nb)
             except ValueError:
                 pass
-        elif st.get("duration") and st.get("avg_frame_rate") not in (None, "0/0"):
+        elif st.get("duration") and st.get("avg_frame_rate"):
             try:
                 rate = Fraction(st["avg_frame_rate"])
-                reader.frames = int(float(st["duration"]) * rate)
+                if rate > 0:
+                    reader.frames = int(float(st["duration"]) * rate)
             except (ValueError, ZeroDivisionError):
                 pass
         rng = _PROBE_RANGE.get(st.get("color_range", ""))
@@ -138,7 +144,9 @@ def open_ffmpeg_input(spec: str, format: str | None = None,
     return reader
 
 
-_FFV1_DEFAULT_EXTS = ("nut", "mkv", "avi")
+# extensions AND ffmpeg muxer names that default to the reference's
+# lossless FFV1 encoder (motion/motion.c:447)
+_FFV1_DEFAULT_EXTS = ("nut", "mkv", "avi", "matroska")
 
 
 def open_ffmpeg_output(

@@ -115,7 +115,16 @@ def plan_scan(
     chunk: int = 8,
     precision: Precision | None = None,
 ) -> ScanPlan:
-    """Build the frame schedule (reference scan/scan.c:343-350,386-427)."""
+    """Build the frame schedule (reference scan/scan.c:343-350,386-427).
+
+    Reference quirk replicated deliberately: ``offset`` counts *scan
+    indices* for the prefill (scan.c:389) but *frames* for the schedule
+    (scan.c:421 iterates i in [offset, offset+nframes) with frame i
+    covering s in [i*step, (i+1)*step)), so with step > 1 the indices
+    [offset, offset*step) are in neither; and the default nframes
+    (scan.c:347-348) does not subtract offset, so offset runs end with
+    empty (duplicate) frames.  Both match the C tool's output exactly.
+    """
     limit = order.limit
     if not nframes or nframes > limit // step:
         nframes = (limit + step - 1) // step
@@ -155,9 +164,12 @@ def plan_scan(
         # K (<=500 us vs 0.4-1.3 ms per 64-frame chunk), so pruned only
         # pays off when the dense per-pixel cost (h+w) is very large
         # and K tiny.  (The reference's log2(w*h) threshold,
-        # scan.c:349-350, reflects its scalar CPU loop.)
+        # scan.c:349-350, reflects its scalar CPU loop.)  The pruned
+        # gather reads plan.hi only, so exact-mode digit plans stick to
+        # the dense path (which honours the error-free contraction).
         use_pruned = (min(height, width) >= 1024
-                      and kmax * 32 <= min(height, width))
+                      and kmax * 32 <= min(height, width)
+                      and (precision or get_precision()).intermediate != "exact")
 
     p = precision or get_precision()
     plans_inv = (
@@ -285,7 +297,7 @@ def _scan_chunk(
 
 
 def _shard_chunk_fn(mesh, h, use_pruned, want_deltas, measure_parity,
-                    parity_scale, encode_trc, inter_mode):
+                    parity_scale, encode_trc, inter_mode, plans_inv):
     """Row-sharded chunk step: output rows shard over the mesh 'space'
     axis; the coefficient image replicates, each shard reconstructs its
     own rows (the pruned gather takes its own basis *rows*, the dense
@@ -330,21 +342,25 @@ def _shard_chunk_fn(mesh, h, use_pruned, want_deltas, measure_parity,
 
     frames_row = P(None, "space", None, None)  # [F, H/s, W, C]
 
-    def wrapped(carry, coeffs_nodc, ys, xs, valid, plans_inv, orig, dc):
-        plan_h, plan_w = plans_inv
-        fn = shard_map(
-            local, mesh=mesh,
-            in_specs=(row, P(), P(), P(), P(), plan_spec(plan_h),
-                      jax.tree.map(lambda _: P(), plan_w),
-                      row if measure_parity else P(), P()),
-            out_specs=(row, frames_row,
-                       frames_row if want_deltas else P(),
-                       frames_row if inter_mode else P(),
-                       P()),
-            check_vma=False,
-        )
-        return fn(carry, coeffs_nodc, ys, xs, valid, plan_h, plan_w,
-                  orig, dc)
+    # construct the shard_map + jit wrapper ONCE (per scan_chunks
+    # generator) so the per-chunk dispatch loop hits the trace cache
+    # instead of re-tracing every chunk
+    plan_h, plan_w = plans_inv
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(row, P(), P(), P(), P(), plan_spec(plan_h),
+                  jax.tree.map(lambda _: P(), plan_w),
+                  row if measure_parity else P(), P()),
+        out_specs=(row, frames_row,
+                   frames_row if want_deltas else P(),
+                   frames_row if inter_mode else P(),
+                   P()),
+        check_vma=False,
+    ))
+
+    def wrapped(carry, coeffs_nodc, ys, xs, valid, plans_inv2, orig, dc):
+        ph, pw = plans_inv2
+        return fn(carry, coeffs_nodc, ys, xs, valid, ph, pw, orig, dc)
 
     return wrapped
 
@@ -397,7 +413,7 @@ def scan_chunks(
     if mesh is not None:
         step_fn = _shard_chunk_fn(
             mesh, h, plan.use_pruned, want_deltas, measure_parity,
-            scale, encode_trc, inter_mode,
+            scale, encode_trc, inter_mode, plans_inv,
         )
 
     def dispatch(start):

@@ -189,6 +189,9 @@ def fused_block_filter_sep(
         # the two [hw, hw] f32 matrices are VMEM-resident (2 x 4 MB at
         # hw=1024, the same budget reasoning as the Kronecker kernel)
         raise ValueError(f"separable kernel needs h*w <= 1024, got {hw}")
+    if v > SEP_VOL_MAX:
+        raise ValueError(f"separable kernel needs volume <= {SEP_VOL_MAX}, "
+                         f"got {v}")
     # per-axis round trip is x -> 2n*x; a padded size-1 depth axis
     # contributes exactly 2*1, so the total over the 3 padded axes is
     # 8*V — matching the caller's 2^n_axes*V convention for 2- and 3-D

@@ -28,6 +28,7 @@ Chain parity notes vs models.motion_pipeline.filter_blocks:
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -71,10 +72,10 @@ def _swap(x, axis_name, split_axis, concat_axis):
     )
 
 
-def _axis_vec(n: int, sqrt2: float):
-    """Per-axis uniform-range factor: sqrt2 at index 0, 1 elsewhere
-    (reference motion/motion.c:643-647)."""
-    return jnp.where(jnp.arange(n) > 0, 1.0, sqrt2)
+def _axis_vec(idx, sqrt2: float):
+    """Per-axis uniform-range factor: sqrt2 at global index 0, 1
+    elsewhere (reference motion/motion.c:643-647)."""
+    return jnp.where(idx > 0, 1.0, sqrt2)
 
 
 def motion_filter_volume_sharded(
@@ -104,6 +105,17 @@ def motion_filter_volume_sharded(
         raise ValueError("dither is not supported on the sharded volume path")
     if not volume_mesh_compatible((t, h, w), mesh):
         raise ValueError(f"volume {t}x{h}x{w} does not divide mesh {dict(mesh.shape)}")
+    fn = _volume_fn(mesh, geom, params, plane_index, nplanes, int(bz),
+                    prec, t, h, w)
+    return fn(volume)
+
+
+@functools.lru_cache(maxsize=32)
+def _volume_fn(mesh, geom, params, plane_index, nplanes, bz, prec, t, h, w):
+    """Cached shard_map+jit construction (every argument is a hashable
+    static config), so repeated slabs/runs reuse the traced program."""
+    g = geom
+    p = params
 
     plans = {
         "t2": plan_axis(t, "dct2", prec), "t3": plan_axis(t, "dct3", prec),
@@ -172,9 +184,9 @@ def motion_filter_volume_sharded(
 
         if not p.ispec:
             uf = (2.0 * sqrt2
-                  / (jnp.where(zg > 0, 1.0, sqrt2)[:, None, None]
-                     * jnp.where(yg > 0, 1.0, sqrt2)[None, :, None]
-                     * jnp.where(xg > 0, 1.0, sqrt2)[None, None, :]))
+                  / (_axis_vec(zg, sqrt2)[:, None, None]
+                     * _axis_vec(yg, sqrt2)[None, :, None]
+                     * _axis_vec(xg, sqrt2)[None, None, :]))
             M = M * uf.astype(dtype)
 
         is_dc = ((zg == 0)[:, None, None] & (yg == 0)[None, :, None]
@@ -186,28 +198,37 @@ def motion_filter_volume_sharded(
         # --- top-N coefficient limit (motion.c:652-668) ----------------
         if p.coeff_limit:
             k = min(p.coeff_limit, t * h * w)
-            # global flat index in the full [T, H, W] coefficient grid
-            flat_idx = (zg[:, None, None] * (h * w)
-                        + yg[None, :, None] * w
-                        + xg[None, None, :]).reshape(-1)
+            # tie-break by (z, y, x) lexicographic order — equivalent to
+            # lax.top_k's flat-index order but free of the int32
+            # overflow a z*(h*w)+y*w+x flat index hits past 2^31
+            # coefficients (the whole point of the sharded volume path)
             a = jnp.abs(M).reshape(-1)
+            zf = jnp.broadcast_to(zg[:, None, None], M.shape).reshape(-1)
+            yf = jnp.broadcast_to(yg[None, :, None], M.shape).reshape(-1)
+            xf = jnp.broadcast_to(xg[None, None, :], M.shape).reshape(-1)
             kl = min(k, a.shape[0])
             lv, li = jax.lax.top_k(a, kl)
-            cand_v = jax.lax.all_gather(
-                jax.lax.all_gather(lv, "space", tiled=True), "time", tiled=True
+
+            def gather(u):
+                return jax.lax.all_gather(
+                    jax.lax.all_gather(u, "space", tiled=True),
+                    "time", tiled=True,
+                )
+
+            cv, cz, cy, cx = (gather(u) for u in
+                              (lv, zf[li], yf[li], xf[li]))
+            ov, oz, oy, ox = jax.lax.sort(
+                (-cv, cz, cy, cx), dimension=0, num_keys=4
             )
-            cand_i = jax.lax.all_gather(
-                jax.lax.all_gather(flat_idx[li], "space", tiled=True),
-                "time", tiled=True,
-            )
-            # k-th candidate by (value desc, index asc): lax.top_k's order
-            order_v, order_i = jax.lax.sort(
-                (-cand_v, cand_i), dimension=0, num_keys=2
-            )
-            vth, ith = -order_v[k - 1], order_i[k - 1]
+            vth, zth, yth, xth = -ov[k - 1], oz[k - 1], oy[k - 1], ox[k - 1]
             aa = jnp.abs(M)
-            fi = flat_idx.reshape(M.shape)
-            keep = (aa > vth) | ((aa == vth) & (fi <= ith))
+            z3 = zg[:, None, None]
+            y3 = yg[None, :, None]
+            x3 = xg[None, None, :]
+            lex_le = ((z3 < zth)
+                      | ((z3 == zth)
+                         & ((y3 < yth) | ((y3 == yth) & (x3 <= xth)))))
+            keep = (aa > vth) | ((aa == vth) & lex_le)
             M = jnp.where(keep, M, 0.0)
 
         # --- expression (motion.c:670-681) ----------------------------
@@ -270,9 +291,9 @@ def motion_filter_volume_sharded(
 
         # --- inverse / spectrogram output (motion.c:746-771) ------------
         if not p.spec:
-            ufinv = ((jnp.where(zg > 0, 1.0, sqrt2)[:, None, None]
-                      * jnp.where(yg > 0, 1.0, sqrt2)[None, :, None]
-                      * jnp.where(xg > 0, 1.0, sqrt2)[None, None, :])
+            ufinv = ((_axis_vec(zg, sqrt2)[:, None, None]
+                      * _axis_vec(yg, sqrt2)[None, :, None]
+                      * _axis_vec(xg, sqrt2)[None, None, :])
                      / (2.0 * sqrt2))
             S = inv(M * ufinv.astype(dtype))
         else:
@@ -307,4 +328,4 @@ def motion_filter_volume_sharded(
         out_specs=(P("time", "space", None), P()),
         check_vma=False,
     )
-    return jax.jit(fn)(volume)
+    return jax.jit(fn)

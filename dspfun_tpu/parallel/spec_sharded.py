@@ -14,6 +14,7 @@ the chain mirrors models.spec_pipeline exactly.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -51,8 +52,9 @@ def _psum(x):
     return jax.lax.psum(x, "space")
 
 
-def _grid_factors(h, w, xg):
-    """uniform-range sqrt(2)^(#nonzero) factors for a [H, W/s] shard."""
+def _grid_factors(h, xg):
+    """uniform-range sqrt(2)^(#nonzero) factors for a [H, W/s] shard
+    (the column factors come entirely from the global coords xg)."""
     gy = jnp.where(jnp.arange(h) > 0, math.sqrt(2.0), 1.0)[:, None]
     gx = jnp.where(xg > 0, math.sqrt(2.0), 1.0)[None, :]
     return (gy * gx)[:, :, None]
@@ -68,6 +70,11 @@ def spec_forward_sharded(
     spectrum_sharding, dc [C] replicated)."""
     p = _whole_image_precision(precision, x.shape)
     h, w, c = (int(s) for s in x.shape)
+    return _forward_fn(params, mesh, p, h, w, c)(x)
+
+
+@functools.lru_cache(maxsize=32)
+def _forward_fn(params, mesh, p, h, w, c):
     gain = compute_gain(params, w, h)
     plan_h = plan_axis(h, "dct2", p)
     plan_w = plan_axis(w, "dct2", p)
@@ -80,7 +87,7 @@ def spec_forward_sharded(
         si = jax.lax.axis_index("space")
         lw = F.shape[1]
         xg = si * lw + jnp.arange(lw)
-        f = F * (_grid_factors(h, w, xg) * (gain / (4.0 * w * h))).astype(F.dtype)
+        f = F * (_grid_factors(h, xg) * (gain / (4.0 * w * h))).astype(F.dtype)
 
         origin = ((jnp.arange(h) == 0)[:, None] & (xg == 0)[None, :])[..., None]
         dc_gained = _psum(jnp.sum(jnp.where(origin, f, 0.0), axis=(0, 1)))
@@ -116,7 +123,7 @@ def spec_forward_sharded(
         out_specs=(P(None, "space", None), P()),
         check_vma=False,
     )
-    return jax.jit(fn)(x)
+    return jax.jit(fn)
 
 
 def spec_inverse_sharded(
@@ -132,12 +139,19 @@ def spec_inverse_sharded(
     Returns the image [H, W, C] with image_sharding."""
     p = _whole_image_precision(precision, f.shape)
     h, w, c = (int(s) for s in f.shape)
+    fn = _inverse_fn(params, mesh, p, h, w, c, dc is None, preserve_dc)
+    dc_arr = (jnp.zeros((c,), jnp.float32) if dc is None
+              else jnp.asarray(dc, jnp.float32))
+    return fn(f, dc_arr)
+
+
+@functools.lru_cache(maxsize=32)
+def _inverse_fn(params, mesh, p, h, w, c, dc_missing, preserve_dc):
     gain = compute_gain(params, w, h)
     plan_h = plan_axis(h, "dct3", p)
     plan_w = plan_axis(w, "dct3", p)
-    dc_arr = None if dc is None else jnp.asarray(dc)
 
-    def local(shard):
+    def local(shard, dc_arr):
         si = jax.lax.axis_index("space")
         lw = shard.shape[1]
         xg = si * lw + jnp.arange(lw)
@@ -155,7 +169,7 @@ def spec_inverse_sharded(
         if params.rangetype == "one":
             maxv = jnp.full((c,), gain, dtype=g.dtype)
         else:
-            if dc_arr is None:
+            if dc_missing:
                 raise ValueError("DC required for dc/dcs range types")
             dcg = dc_arr.astype(g.dtype) * gain
             maxv = (jnp.full((c,), jnp.max(dcg), dtype=g.dtype)
@@ -168,9 +182,9 @@ def spec_inverse_sharded(
             g = g * maxv
 
         g = g / gain
-        g = g / _grid_factors(h, w, xg).astype(g.dtype)
+        g = g / _grid_factors(h, xg).astype(g.dtype)
         if preserve_dc:
-            if dc_arr is None:
+            if dc_missing:
                 raise ValueError("DC required for preserve_dc")
             g = jnp.where(origin, dc_arr.astype(g.dtype), g)
 
@@ -180,8 +194,8 @@ def spec_inverse_sharded(
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=P(None, "space", None),
+        in_specs=(P(None, "space", None), P()),
         out_specs=P("space", None, None),
         check_vma=False,
     )
-    return jax.jit(fn)(f)
+    return jax.jit(fn)
