@@ -19,9 +19,11 @@ Grammar (the av_expr subset the dspfun docs exercise):
     primary:= ('+'|'-')* (number | const | var | func '(' args ')' | '(' expr ')')
 
 Functions: sin cos tan asin acos atan atan2 sinh cosh tanh exp log pow
-sqrt abs sgn floor ceil trunc round mod max min hypot eq gte gt lte lt
-not if ifnot isnan isinf bitand bitor between clip lerp squish gauss
-st ld.  Constants: PI, E, PHI.
+sqrt abs sgn floor ceil trunc round mod gcd max min hypot eq gte gt lte
+lt not if ifnot isnan isinf bitand bitor between clip lerp squish gauss
+st ld.  Constants: PI, E, PHI.  (av_expr's stateful/iterative forms —
+random, while, root, taylor, print — are not supported: every dspfun
+use site is elementwise over coordinate grids.)
 """
 
 from __future__ import annotations
@@ -178,7 +180,11 @@ def _funcs(xp) -> Mapping[str, Callable]:
         "ceil": lambda a: xp.ceil(a[0]),
         "trunc": lambda a: xp.trunc(a[0]),
         "round": lambda a: xp.round(a[0]),
-        "mod": lambda a: xp.fmod(a[0], a[1]),
+        # ffmpeg eval.c e_mod is floor-based: a - floor(a/b)*b (differs
+        # from C fmod for negative operands)
+        "mod": lambda a: a[0] - xp.floor(a[0] / a[1]) * a[1],
+        "gcd": lambda a: xp.gcd(_i64(a[0]), _i64(a[1])).astype(
+            "float64" if xp.__name__ == "numpy" else "float32"),
         "max": lambda a: xp.maximum(a[0], a[1]),
         "min": lambda a: xp.minimum(a[0], a[1]),
         "hypot": lambda a: xp.hypot(a[0], a[1]),

@@ -68,3 +68,20 @@ def test_errors():
         parse_expr("1 +", ())
     with pytest.raises(ValueError):
         parse_expr("unknownvar", ())
+
+
+def test_mod_is_floor_based_like_av_expr():
+    """ffmpeg eval.c's mod is a - floor(a/b)*b, not C fmod: the results
+    differ for negative operands."""
+    e = parse_expr("mod(x, 3)", ("x",))
+    assert e({"x": -1.0}) == 2.0           # fmod would give -1
+    assert e({"x": 7.0}) == 1.0
+    import numpy as np
+
+    x = np.array([-5.0, -1.0, 0.0, 4.0])
+    np.testing.assert_allclose(e({"x": x}), np.mod(x, 3))
+
+
+def test_gcd():
+    e = parse_expr("gcd(x, 18)", ("x",))
+    assert e({"x": 12.0}) == 6.0
