@@ -170,7 +170,9 @@ def read_image(spec: str, channels: str = "RGB", linear: bool = False) -> ImageD
         img = Image.open(_io.BytesIO(data))
         properties = dict(getattr(img, "text", {}) or {})
         mode = img.mode
-        if mode in ("I;16", "I;16B", "I"):
+        if mode in ("I;16", "I;16B", "I;16L", "I;16N", "I"):
+            # PIL loads 16-bit grayscale PNG/TIFF as I;16* or as mode
+            # "I" (16-bit data in a 32-bit container)
             depth = 16
             arr = np.asarray(img.convert("I"), dtype=np.float64) / 65535.0
             rgba = np.stack([arr, arr, arr, np.ones_like(arr)], axis=-1)

@@ -251,6 +251,14 @@ def plane_to_pel(p: np.ndarray, pf: PixelFormat, plane_idx: int,
     return p * ((1 << pf.depth) - 1)
 
 
+def plane_from_pel(p: np.ndarray, pf: PixelFormat, plane_idx: int,
+                   crange: str | None) -> np.ndarray:
+    """Float stored-pel units -> normalized [0,1] (no rounding); the
+    inverse of :func:`plane_to_pel`."""
+    return _dequantize_plane(np.asarray(p, dtype=np.float64), pf,
+                             plane_idx, crange)
+
+
 def _quantize_plane(p: np.ndarray, pf: PixelFormat, plane_idx: int,
                     crange: str | None) -> np.ndarray:
     """Float [0,1] -> stored integers; mpeg range maps Y to 16-235 and
@@ -504,26 +512,35 @@ class ImageSeqReader(VideoReader):
             color_range="jpeg", color_primaries="bt709",
             color_trc="iec61966-2-1", color_space="rgb",
         )
-        n = 0
-        while os.path.exists(pattern % n):
-            n += 1
-        start = 0
-        if n == 0:  # some sequences are 1-based
-            if os.path.exists(pattern % 1):
-                start = 1
-                n = 1
-                while os.path.exists(pattern % (n + 1)):
-                    n += 1
+        self._single = _PATTERN_RE.search(pattern) is None
+        if self._single:
+            # a plain image path is a one-frame sequence (ffmpeg's
+            # image2 does the same for single files)
+            n, start = (1 if os.path.exists(pattern) else 0), 0
+        else:
+            n = 0
+            while os.path.exists(pattern % n):
+                n += 1
+            start = 0
+            if n == 0:  # some sequences are 1-based
+                if os.path.exists(pattern % 1):
+                    start = 1
+                    n = 1
+                    while os.path.exists(pattern % (n + 1)):
+                        n += 1
         self.frames = n
         self._start = start
         if n:
-            first = self._read_image(pattern % start)
+            first = self._read_image(self._path(start))
             self.height, self.width = first.pixels.shape[:2]
+
+    def _path(self, index: int) -> str:
+        return self.pattern if self._single else self.pattern % index
 
     def read_frame(self, raw: bool = False):
         if self.frames is not None and self.frame_index >= self.frames:
             return None
-        img = self._read_image(self.pattern % (self._start + self.frame_index))
+        img = self._read_image(self._path(self._start + self.frame_index))
         self.frame_index += 1
         rgb = img.pixels
         planes = [rgb[..., 1], rgb[..., 2], rgb[..., 0]]  # gbr planar
@@ -622,15 +639,35 @@ class ImageSeqWriter(VideoWriter):
     def __init__(self, pattern, spec, width, height, rate, pix_fmt, props):
         super().__init__(None, spec, "image2", width, height, rate, pix_fmt, props)
         self.pattern = pattern
+        self._single = _PATTERN_RE.search(pattern) is None
 
     def write_frame(self, planes, raw: bool = False):
+        if raw:
+            # stored pel units -> normalized [0,1] before RGB conversion
+            # (the setpel_direct analogue; float formats are already raw)
+            planes = [
+                p if self.pix_fmt.is_float
+                else _dequantize_plane(np.asarray(p), self.pix_fmt, i,
+                                       self.props.color_range)
+                for i, p in enumerate(planes)
+            ]
         rgb = planes_to_rgb(planes, self.pix_fmt, self.props, self.width, self.height)
         self.write_frame_rgb(rgb)
 
     def write_frame_rgb(self, rgb):
         from dspfun_tpu.io.images import write_image
 
-        write_image(self.pattern % self.frame_index, np.clip(rgb, 0.0, 1.0))
+        if self._single:
+            if self.frame_index >= 1:
+                raise RuntimeError(
+                    f"single-image output {self.pattern!r} can hold one "
+                    "frame; use a printf pattern (frame%04d.png) for "
+                    "sequences"
+                )
+            path = self.pattern
+        else:
+            path = self.pattern % self.frame_index
+        write_image(path, np.clip(rgb, 0.0, 1.0))
         self.frame_index += 1
 
     def close(self):
@@ -859,10 +896,13 @@ def open_output(
         w = ImageSeqWriter(spec, spec, width, height, rate, pf, props)
         if append:
             # resume: continue numbering after the existing frames
-            n = 0
-            while os.path.exists(spec % n):
-                n += 1
-            w.frame_index = n
+            if w._single:
+                w.frame_index = 1 if os.path.exists(spec) else 0
+            else:
+                n = 0
+                while os.path.exists(spec % n):
+                    n += 1
+                w.frame_index = n
         return w
     pf = PIXEL_FORMATS[_negotiate_pix_fmt(fmt, props)]
     _default_props(fmt, props)

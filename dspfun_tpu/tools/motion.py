@@ -21,7 +21,7 @@ from dspfun_tpu.core.expr import parse_expr
 from dspfun_tpu.io import video
 from dspfun_tpu.models import motion_pipeline as mp
 
-SHORT = "b:s:p:B:D:c:q:r:Qh"
+SHORT = "b:s:p:B:D:c:q:r:dQh"
 LONG = [
     "size=", "blocksize=", "offset=", "frames=", "framerate=", "keep-rate",
     "samesize-chroma", "spectrogram=", "ispectrogram=", "bandpass=", "boost=",
@@ -152,7 +152,7 @@ def main(argv: list[str] | None = None) -> int:
             threshold_max = float(hi or 0)
         elif flag == "--coeff-limit":
             coeff_limit = int(arg)
-        elif flag == "--dither":
+        elif flag in ("-d", "--dither"):
             dither = True
         elif flag == "--eval":
             exprstr = arg
@@ -205,7 +205,12 @@ def main(argv: list[str] | None = None) -> int:
 
     # processing pixel format: --csp request > spec constraints > input
     proc_fmt = reader.pix_fmt
-    csp_props = video.parse_color_props(csp)
+    try:
+        csp_props = video.parse_color_props(csp)
+    except ValueError as e:
+        print(f"Bad --csp: {e}", file=sys.stderr)
+        reader.close()
+        return 1
     if csp_props.pix_fmt:
         proc_fmt = video.PIXEL_FORMATS[csp_props.pix_fmt]
     elif (spec or linear) and not (proc_fmt.is_rgb or proc_fmt.ncomp == 1):
@@ -236,13 +241,16 @@ def main(argv: list[str] | None = None) -> int:
     nframes_in = reader.frames or 0
     source_d = nframes_in or maxframes
     if maxframes:
-        if source_d and maxframes + offset > source_d:
-            if maxframes > source_d:
-                maxframes = source_d
-            if offset >= source_d:
-                offset = source_d - maxframes
+        # clamp --frames/--offset against the *known* input length only
+        # (a pipe with --frames must not treat the request as the
+        # stream length and silently zero the offset)
+        if nframes_in and maxframes + offset > nframes_in:
+            if maxframes > nframes_in:
+                maxframes = nframes_in
+            if offset >= nframes_in:
+                offset = nframes_in - maxframes
             else:
-                maxframes = source_d - offset
+                maxframes = nframes_in - offset
         source_d = maxframes
     elif source_d:
         if offset >= source_d:
@@ -282,7 +290,12 @@ def main(argv: list[str] | None = None) -> int:
         from dspfun_tpu.utils.checkpoint import load_state  # noqa: PLC0415
 
         st = load_state(resume_file)
-        if st.get("newres") == [g0.newres.w, g0.newres.h, g0.newres.d]:
+        fingerprint = repr((geoms, boost, damp, quant, threshold_min,
+                            threshold_max, coeff_limit, spec, ispec,
+                            preserve_dc, exprstr, dither, linear,
+                            proc_fmt.name))
+        if (st.get("newres") == [g0.newres.w, g0.newres.h, g0.newres.d]
+                and st.get("fingerprint", fingerprint) == fingerprint):
             start_slab = int(st.get("slab", 0))
             if not quiet and start_slab:
                 print(f"resuming at slab {start_slab}", file=sys.stderr)
@@ -305,6 +318,12 @@ def main(argv: list[str] | None = None) -> int:
         for gi, g in enumerate(geoms):
             print(f"plane {gi}: block {g.block} scaled {g.scaled} "
                   f"nblocks {g.nblocks} newres {g.newres}", file=sys.stderr)
+
+    # the container may negotiate a different pixel format than the
+    # processing format (e.g. float RGB spectrograms into y4m ->
+    # yuv444p, the reference's swscale output conversion,
+    # ffapi.c:497-527); convert through RGB on write when they differ
+    out_convert = writer.pix_fmt.name != proc_fmt.name
 
     if dither and (spec or float_pixels):
         print("Warning: dithering cannot be used with spectrogram or float "
@@ -451,7 +470,18 @@ def main(argv: list[str] | None = None) -> int:
                     zz = min(z, g.scaled.d - 1)
                     p = out_planes[i][zz]
                     frame.append(p / 255.0 if float_pixels else p)
-                writer.write_frame(frame, raw=not float_pixels)
+                if out_convert:
+                    unit = [
+                        f if float_pixels
+                        else video.plane_from_pel(f, proc_fmt, i,
+                                                  props.color_range)
+                        for i, f in enumerate(frame)
+                    ]
+                    rgb = video.planes_to_rgb(unit, proc_fmt, props,
+                                              g0.newres.w, g0.newres.h)
+                    writer.write_frame_rgb(rgb)
+                else:
+                    writer.write_frame(frame, raw=not float_pixels)
                 written += 1
                 if not quiet:
                     print(f"\rread: {read_count:>{padb}} wrote: "
@@ -462,6 +492,7 @@ def main(argv: list[str] | None = None) -> int:
                 save_state(resume_file, {
                     "slab": bz + 1,
                     "newres": [g0.newres.w, g0.newres.h, g0.newres.d],
+                    "fingerprint": fingerprint,
                 })
     finally:
         if not quiet:

@@ -142,7 +142,17 @@ def main(argv: list[str] | None = None) -> int:
         elif flag in ("-M", "--max-intermediates"):
             intermediates = max_intermediates = True
         elif flag in ("-p", "--pruned-idct"):
-            use_pruned = arg == "true"
+            low = arg.strip().lower()
+            if low in ("true", "1", "yes"):
+                use_pruned = True
+            elif low in ("false", "0", "no"):
+                use_pruned = False
+            elif low == "auto":
+                use_pruned = None
+            else:
+                print(f"invalid --pruned-idct value {arg!r} "
+                      "(true|false|auto)", file=sys.stderr)
+                return 1
         elif flag in ("-f", "--serialization-file"):
             serialized_scan = arg
         elif flag in ("-t", "--serialization-format"):
@@ -239,7 +249,8 @@ def main(argv: list[str] | None = None) -> int:
         from dspfun_tpu.utils.checkpoint import load_state  # noqa: PLC0415
 
         st = load_state(resume_file)
-        cfg = [width, height, step, offset, int(invert), plan.nframes]
+        cfg = [width, height, step, offset, int(invert), plan.nframes,
+               m.name, scan_options or "", int(fill_offset)]
         if st.get("cfg") == cfg:
             start_frame = min(int(st.get("frame", 0)), plan.nframes)
         if start_frame:
@@ -373,7 +384,8 @@ def main(argv: list[str] | None = None) -> int:
 
                 save_state(resume_file, {
                     "cfg": [width, height, step, offset, int(invert),
-                            start_frame + plan.nframes],
+                            start_frame + plan.nframes,
+                            m.name, scan_options or "", int(fill_offset)],
                     "frame": start_frame + frame_count,
                 })
     finally:

@@ -224,7 +224,9 @@ def main(argv: list[str] | None = None) -> int:
         from dspfun_tpu.utils.checkpoint import load_state  # noqa: PLC0415
 
         st = load_state(resume_file)
-        if st.get("cfg") == [vw, vh, nframes]:
+        zoom_cfg = [vw, vh, nframes, scaling_type,
+                    list(map(str, exprstrs)), list(xscale), list(yscale)]
+        if st.get("cfg") == zoom_cfg:
             start_frame = min(int(st.get("frame", 0)), nframes)
 
     try:
@@ -297,8 +299,7 @@ def main(argv: list[str] | None = None) -> int:
             if resume_file:
                 from dspfun_tpu.utils.checkpoint import save_state  # noqa: PLC0415
 
-                save_state(resume_file, {"cfg": [vw, vh, nframes],
-                                         "frame": d + 1})
+                save_state(resume_file, {"cfg": zoom_cfg, "frame": d + 1})
             if not quiet:
                 print(f"\r{d}/{nframes}         ", end="", file=sys.stderr)
         if not quiet:

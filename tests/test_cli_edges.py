@@ -106,3 +106,130 @@ def test_zoom_fractional_logical_resolution(tmp_path):
     with video.open_input(out) as r:
         # default view = floor(scaled size)
         assert (r.width, r.height) == (12, 10)
+
+
+def test_single_image_video_output_and_input(tmp_path):
+    """Plain single-image paths work as one-frame image2 streams (used
+    to crash with a %-format TypeError)."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from dspfun_tpu.io import video
+
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    out = str(tmp_path / "frame.png")
+    with video.open_output(out, 8, 6, Fraction(25), props) as w:
+        w.write_frame_rgb(np.full((6, 8, 3), 0.5))
+    r = video.open_input(out)
+    assert r.frames == 1
+    f = r.read_frame_rgb()
+    np.testing.assert_allclose(f, 0.5, atol=2 / 255)
+    assert r.read_frame_rgb() is None
+
+    # a second frame into a single-image path is refused
+    import pytest as _pytest
+
+    with video.open_output(str(tmp_path / "one.png"), 8, 6, Fraction(25),
+                           props) as w:
+        w.write_frame_rgb(np.zeros((6, 8, 3)))
+        with _pytest.raises(RuntimeError, match="one"):
+            w.write_frame_rgb(np.zeros((6, 8, 3)))
+
+
+def test_image_seq_writer_honours_raw(tmp_path):
+    """raw=True pel-unit planes must be dequantised before the RGB
+    conversion (used to blow out to white)."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from dspfun_tpu.io import images, video
+
+    props = video.parse_color_props("pixel_format=yuv444p:color_range=jpeg")
+    out = str(tmp_path / "f%02d.png")
+    with video.open_output(out, 8, 6, Fraction(25), props) as w:
+        w.write_frame([np.full((6, 8), 128.0), np.full((6, 8), 128.0),
+                       np.full((6, 8), 128.0)], raw=True)
+    got = images.read_image(out % 0).pixels
+    assert abs(got.mean() - 0.5) < 0.02
+
+
+def test_motion_spectrogram_to_y4m_converts_output(tmp_path):
+    """Float-RGB spectrograms into a y4m container must convert through
+    RGB for the negotiated yuv444p format (used to write G,B,R planes
+    as Y,Cb,Cr)."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from dspfun_tpu.io import video
+    from dspfun_tpu.tools import motion as motion_tool
+
+    rng = np.random.default_rng(0)
+    frames = rng.random((2, 8, 16, 3)).astype(np.float32)
+    src = str(tmp_path / "in.fvid")
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(src, 16, 8, Fraction(25), props,
+                           format="fvid") as w:
+        for f in frames:
+            w.write_frame_rgb(f)
+
+    ref_out = str(tmp_path / "spec.fvid")
+    y4m_out = str(tmp_path / "spec.y4m")
+    args = ["-Q", "-b", "8x8x1", "--spectrogram=shift"]
+    assert motion_tool.main([*args, src, ref_out]) == 0
+    assert motion_tool.main([*args, src, y4m_out]) == 0
+
+    def read(p):
+        with video.open_input(p) as r:
+            return np.stack([r.read_frame_rgb() for _ in range(2)])
+
+    a, b = read(ref_out), read(y4m_out)
+    # 8-bit + chroma matrix round trip budget; was ~0.9 max diff before
+    assert np.abs(a - b).max() < 0.05
+
+
+def test_motion_dither_short_flag(tmp_path):
+    from fractions import Fraction
+
+    import numpy as np
+
+    from dspfun_tpu.io import video
+    from dspfun_tpu.tools import motion as motion_tool
+
+    rng = np.random.default_rng(1)
+    src = str(tmp_path / "in.y4m")
+    props = video.parse_color_props("pixel_format=yuv444p")
+    with video.open_output(src, 16, 8, Fraction(25), props) as w:
+        for _ in range(2):
+            w.write_frame_rgb(rng.random((8, 16, 3)))
+    assert motion_tool.main(["-Q", "-b", "8x8x1", "-d", src,
+                             str(tmp_path / "o.y4m")]) == 0
+
+
+def test_scan_resume_rejects_changed_method(tmp_path):
+    """A resume file recorded with one scan method must not seed a run
+    with a different method (the state silently corrupted output)."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from dspfun_tpu.tools import scan as scan_tool
+
+    rng = np.random.default_rng(2)
+    src = str(tmp_path / "s.png")
+    Image.fromarray(rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)).save(src)
+    state = str(tmp_path / "st.json")
+    out = str(tmp_path / "o.fvid")
+    assert scan_tool.main(["-q", "-m", "diag", "-S", "16", "-n", "4",
+                           "--resume-file", state, src, out]) == 0
+    st = json.load(open(state))
+    assert st["cfg"][6] == "diagonal"
+    # rerun with a different method: the cfg mismatch restarts cleanly
+    out2 = str(tmp_path / "o2.fvid")
+    assert scan_tool.main(["-q", "-m", "zig", "-S", "16", "-n", "4",
+                           "--resume-file", state, src, out2]) == 0
+    st2 = json.load(open(state))
+    assert st2["cfg"][6] == "zigzag"
