@@ -121,6 +121,7 @@ class NativeVideoReader:
         if lib is None:
             raise RuntimeError("native dspio unavailable")
         self._lib = lib
+        self.path = path
         self._h = lib.dspio_open(path.encode())
         if not self._h:
             raise OSError(f"dspio cannot open {path!r}")
@@ -159,6 +160,10 @@ class NativeVideoReader:
             rc = self._lib.dspio_prefetch_next(self._pf, ptr)
         else:
             rc = self._lib.dspio_read_frame(self._h, ptr)
+        if rc < 0:
+            # corrupt FRAME marker mid-stream: match the pure-Python
+            # reader's behaviour (it raises) instead of reporting EOF
+            raise ValueError(f"bad frame marker in {self.path!r}")
         if rc != 1:
             return None
         out = []

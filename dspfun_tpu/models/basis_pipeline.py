@@ -96,11 +96,14 @@ def apply_basis(
     ow, oh = offset
 
     use_complex = function.lower() in _COMPLEX_FAMILIES or np.iscomplexobj(pixels)
-    if jax.config.jax_enable_x64:
+    # honour an explicit f64 request when the runtime supports it;
+    # otherwise follow the runtime's x64 configuration
+    want_f64 = (p.intermediate == "f64" and jax.config.jax_enable_x64) \
+        or (precision is None and jax.config.jax_enable_x64)
+    if want_f64:
         cdtype, rdtype = jnp.complex128, jnp.float64
     else:
         cdtype, rdtype = jnp.complex64, jnp.float32
-    del p
 
     if inverse:
         t_h, t_w = th // ph, tw // pw

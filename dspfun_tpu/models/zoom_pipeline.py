@@ -74,14 +74,30 @@ def padded_zoom_basis(
     return m
 
 
-@jax.jit
-def _synthesize(spectrum, plan_y, plan_x):
-    out = apply_plan_nd(spectrum, (plan_y, plan_x), (0, 1))
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _synthesize(spectrum, plan_y, plan_x, precision=None):
+    out = apply_plan_nd(spectrum, (plan_y, plan_x), (0, 1), precision)
     h, w = spectrum.shape[:2]
     return out / (h * w)
 
 
 _SCALING_IDS = {"interpolated": 0, "centered": 1, "native": 2}
+
+
+def device_basis_accurate(vw, vh, vx, vy, xscale, yscale, w, h) -> bool:
+    """True when the in-graph f32 basis keeps the cosine argument
+    product (k+0.5)*j below ~2^21 on both axes, i.e. its rounding stays
+    under ~1/8 ulp-of-argument and basis entries stay ~1e-6 accurate.
+    Past that (very large stills), callers should use the host float64
+    basis path (:func:`zoom_frame`) — f32 loses whole units in
+    (k+0.5)*j at 4K+ sizes (measured 1.3e-3 basis error at 4096 px)."""
+    def kmax(n, off, num, den):
+        num, den = clamp_scale(n, num, den)
+        return (abs(off) + max(vw, vh)) * (den / num) + 1.0
+
+    bx = kmax(w, vx, *xscale) * max(w - 1, 1)
+    by = kmax(h, vy, *yscale) * max(h - 1, 1)
+    return max(bx, by) <= float(1 << 21)
 
 
 def _device_basis(scaling_id, num, den, offset, nvectors, sampling_len, dtype):
@@ -108,13 +124,10 @@ def _device_basis(scaling_id, num, den, offset, nvectors, sampling_len, dtype):
     return jnp.where(j < ncomp, m, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("vw", "vh", "encode_trc"))
-def _zoom_frame_device(spectrum, scaling_id, xnum, xden, ynum, yden,
-                       vx, vy, vw: int, vh: int, encode_trc: bool = False):
+def _synth(spectrum, yb, xb, encode_trc):
+    """Separable synthesis tail shared by the device and sharded paths
+    (keep in one place so the two cannot drift)."""
     h, w = spectrum.shape[:2]
-    dtype = spectrum.dtype
-    xb = _device_basis(scaling_id, xnum, xden, vx, vw, w, dtype)
-    yb = _device_basis(scaling_id, ynum, yden, vy, vh, h, dtype)
     out = jnp.einsum("jv,vuc,iu->jic", yb, spectrum, xb, optimize=True,
                      precision=jax.lax.Precision.HIGHEST)
     out = out / (h * w)
@@ -123,6 +136,16 @@ def _zoom_frame_device(spectrum, scaling_id, xnum, xden, ynum, yden,
 
         out = srgb_encode(out, jnp)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("vw", "vh", "encode_trc"))
+def _zoom_frame_device(spectrum, scaling_id, xnum, xden, ynum, yden,
+                       vx, vy, vw: int, vh: int, encode_trc: bool = False):
+    h, w = spectrum.shape[:2]
+    dtype = spectrum.dtype
+    xb = _device_basis(scaling_id, xnum, xden, vx, vw, w, dtype)
+    yb = _device_basis(scaling_id, ynum, yden, vy, vh, h, dtype)
+    return _synth(spectrum, yb, xb, encode_trc)
 
 
 def zoom_frame_device(
@@ -168,14 +191,7 @@ def _zoom_frame_sharded(spectrum, scaling_id, xnum, xden, ynum, yden,
         # count per shard (the basis is affine in b + offset)
         yb = _device_basis(scaling_id, ynum, yden,
                            vy + si.astype(dtype) * float(vhl), vhl, h, dtype)
-        out = jnp.einsum("jv,vuc,iu->jic", yb, spec, xb, optimize=True,
-                         precision=jax.lax.Precision.HIGHEST)
-        out = out / (h * w)
-        if encode_trc:
-            from dspfun_tpu.io.color import srgb_encode  # noqa: PLC0415
-
-            out = srgb_encode(out, jnp)
-        return out
+        return _synth(spec, yb, xb, encode_trc)
 
     fn = shard_map(local, mesh=mesh, in_specs=P(),
                    out_specs=P("space", None, None), check_vma=False)
@@ -226,7 +242,7 @@ def zoom_frame(
     h, w = spectrum.shape[:2]
     xb = padded_zoom_basis(scaling_type, *clamp_scale(w, *xscale), vx, vw, w)
     yb = padded_zoom_basis(scaling_type, *clamp_scale(h, *yscale), vy, vh, h)
-    return _synthesize(spectrum, plan_matrix(yb, p), plan_matrix(xb, p))
+    return _synthesize(spectrum, plan_matrix(yb, p), plan_matrix(xb, p), p)
 
 
 def showsamples_coords(start: float, scale: float, limit: int) -> list[int]:

@@ -257,15 +257,11 @@ def _magnitude(width, height, channels, coeffs, args):
     # grouping: first of a run of equal values keeps its own index, the
     # rest share the next (reference scan_methods.c:266-274)
     sv = val[order]
-    j = np.zeros(len(sv), dtype=np.int64)
-    jj = 0
-    last = None
-    for i in range(len(sv)):
-        j[i] = jj
-        if last is None or sv[i] != last:
-            jj += 1
-            last = sv[i]
-    return ScanOrder.from_flat(j, y[order], x[order])
+    # j[i] = number of value changes strictly before i (vectorised form
+    # of the reference's running-jj loop; semantics verified identical)
+    changes = np.concatenate([[True], sv[1:] != sv[:-1]])
+    j = np.cumsum(changes) - changes
+    return ScanOrder.from_flat(j.astype(np.int64), y[order], x[order])
 
 
 def _evalxy(width, height, channels, coeffs, args):
@@ -322,8 +318,11 @@ def _file(width, height, channels, coeffs, args):
         raise ValueError("file method requires a filename")
     with open(args) as f:
         order = unserialize(f.read())
-    if len(order.xs) and (order.xs.max() >= width or order.ys.max() >= height):
-        raise ValueError("serialized scan exceeds image dimensions")
+    if len(order.xs) and (
+        order.xs.max() >= width or order.ys.max() >= height
+        or order.xs.min() < 0 or order.ys.min() < 0
+    ):
+        raise ValueError("serialized scan coordinates outside the image")
     return order
 
 

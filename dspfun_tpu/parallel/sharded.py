@@ -25,6 +25,8 @@ Layout walk-through for the forward half (per shard shapes):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -121,6 +123,24 @@ def fused_filter_3d_sharded(
     return fn(cube, mask)
 
 
+@functools.lru_cache(maxsize=64)
+def _blocks_fn(mesh, geom, params, plane_index, nplanes):
+    """Cached jit wrapper: a fresh lambda per call would defeat the
+    trace cache and retrace/recompile once per slab per plane."""
+    from dspfun_tpu.models.motion_pipeline import filter_blocks
+
+    bspec = NamedSharding(mesh, P("space"))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        lambda b, x, y, z, pl: filter_blocks(
+            b, pl, (x, y), z, geom=geom, params=params,
+            plane_index=plane_index, nplanes=nplanes,
+        ),
+        in_shardings=(bspec, bspec, bspec, rep, None),
+        out_shardings=(bspec, bspec),
+    )
+
+
 def shard_blocks_filter(
     blocks,
     plans,
@@ -164,14 +184,7 @@ def shard_blocks_filter(
     blocks = jax.device_put(blocks, bspec)
     bx = jax.device_put(bx, bspec)
     by = jax.device_put(by, bspec)
-    fn = jax.jit(
-        lambda b, x, y, z, pl: filter_blocks(
-            b, pl, (x, y), z, geom=geom, params=params,
-            plane_index=plane_index, nplanes=nplanes,
-        ),
-        in_shardings=(bspec, bspec, bspec, rep, None),
-        out_shardings=(bspec, bspec),
-    )
+    fn = _blocks_fn(mesh, geom, params, plane_index, nplanes)
     out, coded = fn(blocks, bx, by, jax.device_put(bz, rep), plans)
     if npad:
         out, coded = out[:nb], coded[:nb]

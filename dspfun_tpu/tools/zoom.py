@@ -283,14 +283,32 @@ def main(argv: list[str] | None = None) -> int:
             if d < start_frame:  # resumed: expression state replayed only
                 continue
 
-            if mesh is not None:
+            accurate = zp.device_basis_accurate(vw, vh, vx, vy, xscale,
+                                                yscale, width, height)
+            if mesh is not None and accurate:
                 dev = zp.zoom_frame_sharded(spectrum, scaling_type, xscale,
                                             yscale, vx, vy, vw, vh, mesh,
                                             encode_trc=trc_encode)
-            else:
+            elif accurate:
                 dev = zp.zoom_frame_device(spectrum, scaling_type, xscale,
                                            yscale, vx, vy, vw, vh,
                                            encode_trc=trc_encode)
+            else:
+                # very large frames: the in-graph f32 basis loses
+                # accuracy (cos argument products > 2^21); generate the
+                # basis host-side in float64 instead
+                if mesh is not None and not quiet and d == 0:
+                    print("mesh path needs the in-graph basis; falling "
+                          "back to the host float64 basis for this size",
+                          file=sys.stderr)
+                dev = zp.zoom_frame(spectrum, scaling_type, xscale, yscale,
+                                    vx, vy, vw, vh)
+                if trc_encode:
+                    import jax.numpy as _jnp  # noqa: PLC0415
+
+                    from dspfun_tpu.io import color as _c  # noqa: PLC0415
+
+                    dev = _c.srgb_encode(dev, _jnp)
             frame = np.asarray(dev, dtype=np.float64)
             frame = zp.overlay_showsamples(
                 frame, showsamples, env["xs"], env["ys"], vx, vy

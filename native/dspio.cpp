@@ -243,7 +243,7 @@ struct DspioPrefetcher {
     DspioReader* r = nullptr;
     int depth = 0;
     std::vector<std::vector<uint8_t>> ring;
-    std::vector<int> status;  // 0=empty, 1=full, 2=eof-marker
+    std::vector<int> status;  // 0=empty, 1=full, 2=eof-marker, 3=error
     int64_t head = 0, tail = 0;  // head = next to consume, tail = next to fill
     std::mutex mu;
     std::condition_variable cv_full, cv_empty;
@@ -262,7 +262,7 @@ static void prefetch_loop(DspioPrefetcher* p) {
         lk.unlock();
         int rc = dspio_read_frame(p->r, p->ring[slot].data());
         lk.lock();
-        p->status[slot] = (rc == 1) ? 1 : 2;
+        p->status[slot] = (rc == 1) ? 1 : (rc == 0 ? 2 : 3);
         p->tail++;
         p->cv_full.notify_all();
         if (rc != 1) return;  // EOF/error: leave marker, stop
@@ -281,13 +281,16 @@ DspioPrefetcher* dspio_prefetch_start(DspioReader* r, int depth) {
 }
 
 // Blocks until the next frame is available; returns 1 and copies into
-// buf, or 0 at EOF.
+// buf, 0 at EOF, or -1 on a mid-stream read error (corrupt marker —
+// distinct from EOF so callers can fail instead of silently
+// truncating).
 int dspio_prefetch_next(DspioPrefetcher* p, uint8_t* buf) {
     std::unique_lock<std::mutex> lk(p->mu);
     p->cv_full.wait(lk, [&] { return p->head < p->tail; });
     int slot = p->head % p->depth;
     int st = p->status[slot];
     if (st == 2) return 0;
+    if (st == 3) return -1;
     memcpy(buf, p->ring[slot].data(), p->r->frame_bytes);
     p->status[slot] = 0;
     p->head++;

@@ -191,3 +191,39 @@ def test_native_truncated_tail_not_counted(tmp_path):
         f.write(b"FRAME\n" + frame[: 5])  # truncated payload
     with native.NativeVideoReader(path) as nr:
         assert nr.nframes == 1
+
+
+def test_native_midstream_corruption_raises(tmp_path):
+    """A corrupt FRAME marker mid-stream is an error, not EOF (the
+    pure-Python reader raises too; silent truncation hid data loss)."""
+    path = str(tmp_path / "bad.y4m")
+    w, h = 4, 2
+    frame = bytes(range(w * h)) * 3
+    with open(path, "wb") as f:
+        f.write(b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C444\n")
+        f.write(b"FRAME\n" + frame)
+        f.write(b"FRAME\n" + frame)
+    # corrupt the second marker AFTER open (the index was built on the
+    # intact file, mimicking concurrent modification)
+    # corrupt the second marker first (the index is built at open on
+    # the intact file, mimicking concurrent modification), then read
+    # without prefetch so the direct path hits the corruption
+    hdr = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C444\n"
+    with native.NativeVideoReader(path) as nr:
+        with open(path, "r+b") as f:
+            f.seek(len(hdr) + 6 + len(frame))
+            f.write(b"GARBAG")
+        assert nr.read_frame() is not None
+        with pytest.raises(ValueError, match="bad frame marker"):
+            while True:
+                if nr.read_frame() is None:
+                    break
+
+    # and through the prefetch ring (fresh reader, already-corrupt file
+    # but intact first frame: the ring must surface the error too)
+    with native.NativeVideoReader(path, prefetch=2) as nr:
+        assert nr.read_frame() is not None
+        with pytest.raises(ValueError, match="bad frame marker"):
+            while True:
+                if nr.read_frame() is None:
+                    break
