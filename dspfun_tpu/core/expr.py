@@ -38,7 +38,7 @@ _TOKEN_RE = re.compile(
     r"\s*(?:"
     r"(?P<num>(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
     r"|(?P<name>[A-Za-z_][A-Za-z_0-9]*)"
-    r"|(?P<op>[-+*/^(),])"
+    r"|(?P<op>[-+*/^(),;])"
     r")"
 )
 
@@ -85,7 +85,14 @@ class _Parser:
             raise ValueError(f"expected {op!r}, got {t}")
 
     def parse(self):
+        # av_expr: ';'-separated expressions evaluate in order and the
+        # last one's value is the result (the st()/ld() idiom)
         node = self.expr()
+        while self.peek() == ("op", ";"):
+            self.next()
+            if self.peek() == ("end", None):
+                break  # tolerate a trailing separator
+            node = ("seq", node, self.expr())
         if self.peek() != ("end", None):
             raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
         return node
@@ -228,6 +235,9 @@ class Expr:
                 return variables[node[1]]
             if tag == "neg":
                 return -ev(node[1])
+            if tag == "seq":
+                ev(node[1])  # evaluated for st() side effects
+                return ev(node[2])
             if tag in ("+", "-", "*", "/", "^"):
                 a, b = ev(node[1]), ev(node[2])
                 if tag == "+":

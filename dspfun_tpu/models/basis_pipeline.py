@@ -252,7 +252,10 @@ def coeff_scale_factor(function: str, partsum: tuple[int, int], inrange: float) 
     pw, ph = partsum
     fname = function.lower()
     if fname.startswith("dct1"):
-        return inrange * (pw - 1) * (ph - 1)
+        # deviation: the reference computes inrange*(pw-1)*(ph-1) which
+        # is ZERO for the default -u 1x1 (applybasis.c:403 divides by
+        # it -> inf output); clamp the degenerate case to 1
+        return max(inrange * (pw - 1) * (ph - 1), 1)
     if fname.startswith("dst1"):
         return inrange * (pw + 1) * (ph + 1)
     return inrange * pw * ph

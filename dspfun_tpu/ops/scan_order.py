@@ -116,16 +116,6 @@ class ScanOrder:
             np.asarray(xs, dtype=np.int32)[order],
         )
 
-    def scan_index_map(self, width: int, height: int) -> np.ndarray:
-        """[H, W] array of the *first* scan index covering each
-        coordinate (coords not covered get limit)."""
-        m = np.full((height, width), self.limit, dtype=np.int64)
-        # walk backwards so earlier indices win
-        for i in range(self.limit - 1, -1, -1):
-            y, x = self.coords(i)
-            m[y, x] = i
-        return m
-
 
 def serialize(order: ScanOrder, fmt: str = "coordinate") -> str:
     """Text form (reference scan_precomputed.c:122-153)."""

@@ -26,3 +26,11 @@ def run_main(main) -> None:
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(code)
+
+
+def parse_pair(arg: str, conv=int):
+    """Parse the WxH pair syntax shared by applybasis/genbasis/draw."""
+    w, _, h = arg.partition("x")
+    if not w or not h:
+        raise ValueError(f"expected WxH, got {arg!r}")
+    return conv(w), conv(h)

@@ -70,7 +70,7 @@ SPEC_HELP = """spectrogram options:
   -c <channels>  Color channels to use. [default: RGB]
   -t <template>  Spectrogram template. [default: abs]
                  values: abs shift flat sign copy
-  -R <range>     Range to scale coefficients to. [default: one]
+  -R <range>     Range to scale coefficients to. [default: dc]
                  values: one dc dcs
   -T <scale>     How to scale coefficients. [default: log]
                  values: linear log

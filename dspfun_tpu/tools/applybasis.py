@@ -14,6 +14,7 @@ import numpy as np
 
 from dspfun_tpu.io import color as _color
 from dspfun_tpu.io import images
+from dspfun_tpu.tools import parse_pair
 from dspfun_tpu.models import basis_pipeline as bp
 from dspfun_tpu.tools._colorspec import parse_color
 
@@ -49,11 +50,6 @@ Options:
 _PLANES = {"real", "imaginary", "magnitude", "phase"}
 _RANGES = {"abs", "shift", "shift2", "invert", "hue"}
 _RESCALES = ("linear", "log", "gain", "level")
-
-
-def _parse_pair(arg: str, conv=int):
-    w, h = arg.split("x", 1)
-    return conv(w), conv(h)
 
 
 def _parse_rescale(arg: str) -> tuple[str, str | None]:
@@ -114,11 +110,11 @@ def main(argv: list[str] | None = None) -> int:
                 if arg in _RANGES:
                     rng = arg
             elif flag in ("-t", "--terms"):
-                terms = _parse_pair(arg)
+                terms = parse_pair(arg)
             elif flag in ("-u", "--sum"):
-                partsum = _parse_pair(arg)
+                partsum = parse_pair(arg)
             elif flag in ("-O", "--offset"):
-                offset = _parse_pair(arg)
+                offset = parse_pair(arg)
             elif flag in ("-p", "--padding"):
                 padding = int(arg)
             elif flag in ("-S", "--scale"):

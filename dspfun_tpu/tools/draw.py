@@ -9,6 +9,7 @@ import getopt
 import sys
 
 from dspfun_tpu.io import images
+from dspfun_tpu.tools import parse_pair
 from dspfun_tpu.models.basis_pipeline import draw_canvas
 
 USAGE = "Usage: draw -b <WxH> [-f <XxY:strength> ...] <outfile>"
@@ -32,17 +33,26 @@ def main(argv: list[str] | None = None) -> int:
 
     size = (512, 512)
     coefs: list[tuple[int, int, float | None]] = []
-    for flag, arg in flags:
-        if flag == "-h":
-            print(HELP)
-            return 0
-        if flag == "-b":
-            w, h = arg.split("x", 1)
-            size = (int(w), int(h))
-        elif flag == "-f":
-            pos, _, strength = arg.partition(":")
-            x, y = pos.split("x", 1)
-            coefs.append((int(x), int(y), float(strength) if strength else None))
+    try:
+        for flag, arg in flags:
+            if flag == "-h":
+                print(HELP)
+                return 0
+            if flag == "-b":
+                size = parse_pair(arg)
+            elif flag == "-f":
+                pos, _, strength = arg.partition(":")
+                x, y = parse_pair(pos)
+                coefs.append((x, y, float(strength) if strength else None))
+    except ValueError as e:
+        print(e, file=sys.stderr)
+        print(USAGE, file=sys.stderr)
+        return 1
+    for x, y, _ in coefs:
+        if not (0 <= x < size[0] and 0 <= y < size[1]):
+            print(f"coefficient ({x},{y}) outside the {size[0]}x{size[1]} "
+                  "canvas", file=sys.stderr)
+            return 1
 
     outfile = None
     if args:

@@ -12,6 +12,7 @@ import numpy as np
 
 from dspfun_tpu.io import color as _color
 from dspfun_tpu.io import images
+from dspfun_tpu.tools import parse_pair
 from dspfun_tpu.models import basis_pipeline as bp
 from dspfun_tpu.tools._colorspec import parse_color
 
@@ -62,11 +63,6 @@ def genbasis_realize(values: np.ndarray, plane: str) -> np.ndarray:
     return np.repeat(v[..., None], 3, axis=-1)
 
 
-def _parse_pair(arg, conv=int):
-    w, h = arg.split("x", 1)
-    return conv(w), conv(h)
-
-
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     try:
@@ -107,11 +103,11 @@ def main(argv: list[str] | None = None) -> int:
                     if not padcolor_set:
                         padcolor = (0.0625, 0.1875, 0.0625, 1.0)  # genbasis.c:185
             elif flag in ("-s", "--size"):
-                size = _parse_pair(arg)
+                size = parse_pair(arg)
             elif flag in ("-t", "--terms"):
-                terms = _parse_pair(arg)
+                terms = parse_pair(arg)
             elif flag in ("-O", "--offset"):
-                offset = _parse_pair(arg)
+                offset = parse_pair(arg)
             elif flag in ("-p", "--padding"):
                 padding = int(arg)
             elif flag in ("-S", "--scale"):

@@ -135,7 +135,11 @@ def main(argv: list[str] | None = None) -> int:
     # subsampled input — or a --csp pixel-format/matrix override
     # (reference ffapi.c:94-114 applies the full request) — is
     # converted through RGB
-    req_props = video.parse_color_props(cprops)
+    try:
+        req_props = video.parse_color_props(cprops)
+    except ValueError as e:
+        print(f"Bad -c option: {e}", file=sys.stderr)
+        return 1
     needs_rgb = reader.pix_fmt.chroma_shift != (0, 0)
     if req_props.pix_fmt and req_props.pix_fmt != reader.pix_fmt.name:
         needs_rgb = True
@@ -205,15 +209,27 @@ def main(argv: list[str] | None = None) -> int:
     except Exception as e:  # noqa: BLE001
         print(f"error opening output file {args[2]}: {e}", file=sys.stderr)
         return 1
-    out_pf = video.PIXEL_FORMATS[props.pix_fmt]
+    # encode for the format the container actually negotiated (it may
+    # differ from the request, e.g. float RGB -> y4m yuv444p)
+    out_pf = writer.pix_fmt
+    passthrough_ok = (not needs_rgb
+                      and writer.pix_fmt.name == reader.pix_fmt.name)
     try:
         for t in range(out_t):
             frame = out_vol[t]
             if needs_rgb:  # volume is RGB; encode for the target format
-                writer.write_frame(video.rgb_to_planes(frame, out_pf, props))
-            else:
+                writer.write_frame(video.rgb_to_planes(frame, out_pf,
+                                                       writer.props))
+            elif passthrough_ok:
                 writer.write_frame([frame[..., c]
                                     for c in range(frame.shape[-1])])
+            else:
+                # componentwise pass-through would mislabel planes for
+                # the negotiated format; convert through RGB
+                rgb = video.planes_to_rgb(
+                    [frame[..., c] for c in range(frame.shape[-1])],
+                    reader.pix_fmt, reader.props, out_w, out_h)
+                writer.write_frame_rgb(rgb)
             if not quiet:
                 print(f"\r{t}", end="", file=sys.stderr)
         if not quiet:

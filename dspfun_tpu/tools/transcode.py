@@ -74,7 +74,12 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Error opening input context: {e}", file=sys.stderr)
         return 1
 
-    props = video.parse_color_props(cprops)
+    try:
+        props = video.parse_color_props(cprops)
+    except ValueError as e:
+        print(f"Bad -c option: {e}", file=sys.stderr)
+        reader.close()
+        return 1
     convert = bool(props.pix_fmt) and props.pix_fmt != reader.pix_fmt.name
     # a matrix change needs re-encoding through RGB; range changes are
     # handled by the normalized [0,1] pass-through itself (reference
@@ -104,6 +109,12 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Error opening output context: {e}", file=sys.stderr)
         reader.close()
         return 1
+
+    # the container may negotiate a different format than requested
+    # (e.g. yuv420p -> fvid float, gbrpf32le -> y4m yuv444p): the raw
+    # plane pass-through would then mislabel components/geometry
+    if writer.pix_fmt.name != reader.pix_fmt.name:
+        convert = True
 
     ret = 0
     try:

@@ -22,9 +22,14 @@ def enable_compilation_cache(path: str) -> None:
     global _enabled
     import jax  # noqa: PLC0415
 
-    cache_dir = path if os.path.isdir(path) else (os.path.dirname(path) or ".")
-    cache_dir = os.path.join(cache_dir, ".dspfun-xla-cache") \
-        if not path.endswith("cache") else path
+    if os.path.isdir(path):
+        cache_dir = path
+    elif path.endswith("cache") and not os.path.exists(path):
+        cache_dir = path  # treat a cache-suffixed non-file as a dir name
+    else:
+        # a (possibly existing) wisdom FILE path: cache beside it
+        cache_dir = os.path.join(os.path.dirname(path) or ".",
+                                 ".dspfun-xla-cache")
     os.makedirs(cache_dir, exist_ok=True)
     if _enabled == cache_dir:
         return

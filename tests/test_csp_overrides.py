@@ -119,3 +119,35 @@ def test_transcode_range_conversion(tmp_path):
     assert props.color_range == "jpeg"
     src_rgb, _, _ = read_rgb(src)
     np.testing.assert_allclose(got, src_rgb, atol=0.05)
+
+
+def test_transcode_negotiated_format_converts(tmp_path):
+    """fvid float RGB -> y4m: the container negotiates yuv444p, so the
+    pass-through must convert (used to write G,B,R planes as Y,Cb,Cr)."""
+    rng = np.random.default_rng(5)
+    frames = rng.random((2, 8, 16, 3)).astype(np.float32)
+    src = str(tmp_path / "in.fvid")
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(src, 16, 8, Fraction(25), props,
+                           format="fvid") as w:
+        for f in frames:
+            w.write_frame_rgb(f)
+    out = str(tmp_path / "o.y4m")
+    assert transcode_tool.main(["-q", src, out]) == 0
+    got, _, _ = read_rgb(out)
+    np.testing.assert_allclose(got, frames, atol=0.05)
+
+
+def test_rotate_negotiated_format_converts(tmp_path):
+    rng = np.random.default_rng(6)
+    frames = rng.random((2, 8, 16, 3)).astype(np.float32)
+    src = str(tmp_path / "in.fvid")
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(src, 16, 8, Fraction(25), props,
+                           format="fvid") as w:
+        for f in frames:
+            w.write_frame_rgb(f)
+    out = str(tmp_path / "o.y4m")
+    assert rotate_tool.main(["-q", "xyz", src, out]) == 0
+    got, _, _ = read_rgb(out)
+    np.testing.assert_allclose(got, frames, atol=0.05)

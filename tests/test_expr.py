@@ -85,3 +85,12 @@ def test_mod_is_floor_based_like_av_expr():
 def test_gcd():
     e = parse_expr("gcd(x, 18)", ("x",))
     assert e({"x": 12.0}) == 6.0
+
+
+def test_semicolon_sequences_with_st_ld():
+    """av_expr's ';' separator: expressions evaluate in order, the last
+    value is the result (the st()/ld() idiom)."""
+    e = parse_expr("st(0, x*2); ld(0) + 1", ("x",))
+    assert e({"x": 3.0}) == 7.0
+    e2 = parse_expr("st(0,x);st(1,ld(0)*ld(0));ld(1);", ("x",))
+    assert e2({"x": 4.0}) == 16.0
