@@ -30,10 +30,15 @@ def main() -> int:
     x_np = rng.random((h, w, c)).astype(np.float32)
     mask_np = lowpass_mask((h, w), cutoff=0.25, boost=1.25, damp=0.0)[:, :, None]
 
-    precision = Precision(coeff="float32", intermediate="f32")
+    # tol=1e-6 keeps 6-pass HIGHEST matmuls but engages the rank-1
+    # DC-split (mean/zero0) contraction; the mask enables support
+    # pruning — only the pass-band coefficients are computed (the
+    # fused-chain generalisation of scan's pruned IDCT, reference
+    # scan/scan.c:20-41; result is identical algebra).
+    precision = Precision(coeff="float32", intermediate="f32", tol=1e-6)
     # plans are host numpy; ship them to HBM once (they are the FFTW-plan
     # analogue and must not be re-uploaded per call)
-    plans = jax.device_put(filter_plans((h, w), precision))
+    plans = jax.device_put(filter_plans((h, w), precision, mask=mask_np))
     fn = jax.jit(lambda a, m, pl: fused_filter_2d(a, m, pl, precision))
 
     x = jax.device_put(x_np)

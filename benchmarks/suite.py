@@ -450,9 +450,14 @@ def bench_spec_wholeimage(quick):
     # raw-spectrum template: measures the transform, not the +-0.5
     # display encoding (see tests/test_exact.py)
     params = SpecChainParams.template("copy")
-    # hilo auto-upgrades to exact at >=256 px; force exact in quick mode
+    # hilo auto-upgrades to exact at >=256 px; force exact in quick
+    # mode.  tol=1e-5 engages the tolerance-budgeted digit contraction
+    # (core/exact.py budget_bits) — ~2x fewer MXU passes than the full
+    # f64-tail split, still well under the BASELINE 1e-5 target
+    # (measured 3.0e-7 at 512^2 on the chip).
     prec = Precision(coeff="float32",
-                     intermediate="hilo" if n >= 256 else "exact")
+                     intermediate="hilo" if n >= 256 else "exact",
+                     tol=1e-5)
 
     @jax.jit
     def roundtrip(x):

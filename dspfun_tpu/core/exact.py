@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["digit_width", "split_matrix_digits", "exact_contract"]
+__all__ = ["digit_width", "budget_bits", "split_matrix_digits", "exact_contract"]
 
 
 def digit_width(k: int) -> int:
@@ -50,12 +50,28 @@ def digit_width(k: int) -> int:
     return max(1, min(8, (24 - math.ceil(math.log2(k))) // 2))
 
 
-def split_matrix_digits(m: np.ndarray, pmax: int | None = None):
+def budget_bits(tol: float | None, k: int) -> int | None:
+    """Digit-tail depth (bits below each slice max) needed to keep the
+    contraction truncation error comfortably under ``tol`` relative to
+    the per-slice operand magnitudes.  Truncation residuals accumulate
+    across the K-length contraction (worst case K * 2^-bits), hence the
+    ceil(log2 k) term; the +4 margin absorbs chained transforms (a spec
+    round trip stacks 4 contractions).  ``None`` keeps the full
+    f64-class tail."""
+    if tol is None:
+        return None
+    return max(8, math.ceil(-math.log2(tol)) + math.ceil(math.log2(max(k, 2))) + 4)
+
+
+def split_matrix_digits(m: np.ndarray, pmax: int | None = None,
+                        tol: float | None = None):
     """Split a float64 [M, K] matrix into integer digit slices.
 
     Returns (digits [D, M, K] bfloat16 with integer values, scale) such
     that ``m ~= scale * sum_i digits[i] * 2**(-B*(i+1))`` with error
-    below ``scale * 2**(-B*D)``; B = digit_width(K).
+    below ``scale * 2**(-B*D)``; B = digit_width(K).  ``tol`` bounds the
+    digit count to ``budget_bits(tol)`` total bits (the
+    tolerance-budgeted mode; default carries the full f64 mantissa).
     """
     m = np.asarray(m, dtype=np.float64)
     B = digit_width(m.shape[1])
@@ -64,7 +80,8 @@ def split_matrix_digits(m: np.ndarray, pmax: int | None = None):
     e = math.frexp(mx)[1] if mx > 0 else 0
     scale = float(2.0**e)
     r = m / scale
-    nd = -(-53 // B)  # all of an f64 mantissa
+    bits = budget_bits(tol, m.shape[1])
+    nd = -(-(bits if bits is not None else 53) // B)  # default: full f64 mantissa
     if pmax is not None:
         nd = min(nd, pmax + 1)
     digits = []
@@ -84,7 +101,8 @@ _X_BITS = 36  # digit depth below each slice max (> f32's 24: elements
 #               through chained transforms)
 
 
-def _split_operand_digits(x: jnp.ndarray, B: int, axis: int):
+def _split_operand_digits(x: jnp.ndarray, B: int, axis: int,
+                          x_bits: int = _X_BITS):
     """Runtime digit split of an f32 operand.  Scales are per
     contraction *slice* (max along ``axis``, the Ozaki blocking), so
     dynamic range across output elements costs nothing; returns
@@ -93,7 +111,7 @@ def _split_operand_digits(x: jnp.ndarray, B: int, axis: int):
     m = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
     e = jnp.where(m > 0, jnp.floor(jnp.log2(m)) + 1.0, 0.0)
     r = x * jnp.exp2(-e)
-    nd = -(-_X_BITS // B)
+    nd = -(-x_bits // B)
     out = []
     for j in range(nd):
         sc = float(2.0 ** (B * (j + 1)))
@@ -108,14 +126,24 @@ def exact_contract(
     digits_a: jax.Array,       # [DA, M, K] from split_matrix_digits
     scale_a,                   # matrix power-of-two scale
     axis: int,
+    tol: float | None = None,
 ) -> jax.Array:
     """Contract the digit-split [M, K] matrix against ``axis`` of ``x``
     with one f32 rounding total.  Returns f32, shaped like ``x`` with
-    ``axis`` replaced by M."""
+    ``axis`` replaced by M.
+
+    ``tol`` engages the tolerance-budgeted mode: the operand digit count
+    and digit-pair cutoff are sized to ``budget_bits(tol)`` instead of
+    the full ~60-bit tail — at 1e-5 that is ~5x fewer MXU passes, still
+    with exact products and exact f32 accumulation (truncation is the
+    only error, bounded per slice).
+    """
     axis = axis % x.ndim
     da, m, k = digits_a.shape
     B = digit_width(k)
-    xd, ex = _split_operand_digits(x, B, axis)
+    bits = budget_bits(tol, k)
+    xd, ex = _split_operand_digits(x, B, axis,
+                                   x_bits=bits if bits is not None else _X_BITS)
     dx = len(xd)
     # one batched MXU dispatch computes every digit-pair product at
     # once — [DA*M, K] @ [K, DX*rest] — ~1.5x the FLOPs of the needed
@@ -126,8 +154,9 @@ def exact_contract(
         preferred_element_type=jnp.float32,
     )  # [DA*M, DX, rest...]
     prod_all = prod_all.reshape((da, m) + prod_all.shape[1:])
-    # keep digit pairs down to 2^(-B*(pmax+2)) ~ 2^-60 relative
-    pmax = max(0, -(-60 // B) - 2)
+    # keep digit pairs down to 2^(-B*(pmax+2)) ~ 2^-tail relative
+    tail = bits if bits is not None else 60
+    pmax = max(0, -(-tail // B) - 2)
     pairs = sorted(
         ((i, j) for i in range(da) for j in range(dx) if i + j <= pmax),
         key=lambda ij: ij[0] + ij[1],

@@ -49,10 +49,27 @@ _LETTER_INTER = {"F": "f32", "D": "hilo", "L": "hilo"}
 
 @dataclasses.dataclass(frozen=True)
 class Precision:
-    """Dtype policy: storage dtype + contraction accumulation mode."""
+    """Dtype policy: storage dtype + contraction accumulation mode.
+
+    ``tol`` is an optional accuracy *budget* (target max relative error
+    of a transform chain).  When set it relaxes the accuracy-critical
+    paths to exactly what the budget needs, which is much faster:
+
+    * ``intermediate="exact"``: the error-free digit contraction sizes
+      its operand digit counts and digit-pair cutoff from ``tol``
+      instead of carrying a full f64-class tail (core/exact.py).
+    * ``intermediate="f32"/"hilo"`` fused chains: contractions run as
+      3-pass bf16 (``Precision.HIGH``) matmuls over a rank-1-split
+      operand (the dominant DC/mean component is applied analytically,
+      see core/transforms.apply_plan ``split=``), instead of 6-pass
+      HIGHEST over the raw operand.
+
+    ``tol=None`` keeps the maximum-accuracy behaviour of each mode.
+    """
 
     coeff: Any = jnp.float32
     intermediate: str = "hilo"
+    tol: float | None = None
 
     def __post_init__(self):
         if self.intermediate not in _VALID_INTERMEDIATE:
@@ -60,6 +77,8 @@ class Precision:
                 f"intermediate must be one of {_VALID_INTERMEDIATE}, "
                 f"got {self.intermediate!r}"
             )
+        if self.tol is not None and not (0.0 < self.tol < 1.0):
+            raise ValueError(f"tol must be in (0, 1), got {self.tol!r}")
 
     @property
     def coeff_dtype(self):
@@ -82,20 +101,22 @@ class Precision:
 
 
 def _from_env() -> Precision:
-    """DSPFUN_PRECISION=[coeff:]intermediate — the runtime replacement
-    for the reference's COEFF_PRECISION/INTERMEDIATE_PRECISION compile
-    flags (include/precision.h:26-57).  Examples: "f32", "hilo",
-    "bf16:f32", "f64:f64"."""
+    """DSPFUN_PRECISION=[coeff:]intermediate[@tol] — the runtime
+    replacement for the reference's COEFF_PRECISION/
+    INTERMEDIATE_PRECISION compile flags (include/precision.h:26-57).
+    Examples: "f32", "hilo", "bf16:f32", "f64:f64", "exact@1e-5"."""
     import os  # noqa: PLC0415
 
     spec = os.environ.get("DSPFUN_PRECISION", "")
     if not spec:
         return Precision()
+    spec, _, tol_s = spec.partition("@")
     coeff, _, inter = spec.partition(":")
     if not inter:
         coeff, inter = "float32", coeff
     coeff = {"f32": "float32", "bf16": "bfloat16", "f64": "float64"}.get(coeff, coeff)
-    return Precision(coeff=coeff, intermediate=inter)
+    return Precision(coeff=coeff, intermediate=inter,
+                     tol=float(tol_s) if tol_s else None)
 
 
 _default = _from_env()

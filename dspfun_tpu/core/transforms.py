@@ -65,36 +65,43 @@ class AxisPlan(NamedTuple):
     traces (becomes a compile-time constant).  ``lo`` is the
     double-float compensation term (None outside hilo mode);
     ``digits``/``scale`` are the error-free bf16 digit split (None
-    outside exact mode — see core/exact.py).
+    outside exact mode — see core/exact.py); ``rowsum`` is the hi/lo
+    pair of per-row matrix sums [2, M] used by the rank-1 ``split``
+    contraction (exact for DCT-II: [2N, 0, ...]).
     """
 
     hi: jax.Array | np.ndarray
     lo: jax.Array | np.ndarray | None
     digits: jax.Array | np.ndarray | None = None
     scale: jax.Array | np.ndarray | None = None
+    rowsum: jax.Array | np.ndarray | None = None
 
 
 def plan_matrix(m: np.ndarray, precision: Precision | None = None) -> AxisPlan:
     """Build an AxisPlan from an arbitrary float64 matrix."""
     p = precision or get_precision()
     m = np.asarray(m, dtype=np.float64)
+    rs64 = m.sum(axis=1)
+    rs_hi = rs64.astype(np.float32)
+    rowsum = np.stack([rs_hi, (rs64 - rs_hi.astype(np.float64)).astype(np.float32)])
     if p.intermediate == "f64":
-        return AxisPlan(m, None)
+        return AxisPlan(m, None, rowsum=rs64[None, :])
     if p.intermediate == "exact":
         from dspfun_tpu.core.exact import split_matrix_digits  # noqa: PLC0415
 
-        digits, scale = split_matrix_digits(m)
-        return AxisPlan(m.astype(np.float32), None, digits, scale)
+        digits, scale = split_matrix_digits(m, tol=p.tol)
+        return AxisPlan(m.astype(np.float32), None, digits, scale, rowsum)
     if p.intermediate == "hilo":
         hi, lo = split_hilo(m)
-        return AxisPlan(hi, lo)
-    return AxisPlan(m.astype(np.float32), None)
+        return AxisPlan(hi, lo, rowsum=rowsum)
+    return AxisPlan(m.astype(np.float32), None, rowsum=rowsum)
 
 
 @functools.lru_cache(maxsize=128)
-def _plan_axis_cached(n: int, kind: str, intermediate: str) -> AxisPlan:
+def _plan_axis_cached(n: int, kind: str, intermediate: str,
+                      tol: float | None) -> AxisPlan:
     m = basis_mod.dct2_matrix(n) if kind == "dct2" else basis_mod.dct3_matrix(n)
-    return plan_matrix(m, Precision(intermediate=intermediate))
+    return plan_matrix(m, Precision(intermediate=intermediate, tol=tol))
 
 
 def plan_axis(n: int, kind: str, precision: Precision | None = None) -> AxisPlan:
@@ -102,7 +109,13 @@ def plan_axis(n: int, kind: str, precision: Precision | None = None) -> AxisPlan
     p = precision or get_precision()
     if kind not in ("dct2", "dct3"):
         raise ValueError(kind)
-    return _plan_axis_cached(int(n), kind, p.intermediate)
+    return _plan_axis_cached(int(n), kind, p.intermediate, p.tol)
+
+
+def _vec_along(vec: jax.Array, axis: int, ndim: int) -> jax.Array:
+    shape = [1] * ndim
+    shape[axis] = vec.shape[0]
+    return vec.reshape(shape)
 
 
 def apply_plan(
@@ -110,8 +123,26 @@ def apply_plan(
     plan: AxisPlan,
     axis: int,
     precision: Precision | None = None,
+    split: str | None = None,
 ) -> jax.Array:
-    """Contract a planned [K, N] matrix against ``axis`` of ``x``."""
+    """Contract a planned [K, N] matrix against ``axis`` of ``x``.
+
+    ``split`` (advisory; engages only when ``precision.tol`` is set on
+    an f32/hilo policy) names the rank-1 component that dominates the
+    operand's dynamic range, letting the bulk contraction run as 3-pass
+    bf16 (HIGH) instead of 6-pass HIGHEST while the dominant component
+    is applied analytically with one rounding:
+
+    * ``"mean"`` — for forward DCTs: ``M@x == M@(x-mu) + mu*rowsum(M)``
+      for any mu; rowsum(DCT-II) is exactly [2N, 0, ...] so the image
+      mean (the huge DC ~ N*mean) never passes through bf16 splitting.
+    * ``"zero0"`` — for inverse DCTs: ``M@x == M@x_0zeroed + x_0*M[:,0]``
+      and DCT-III column 0 is exactly ones, so the DC coefficient is a
+      plain broadcast add.
+
+    This is what lets the fused 4K chain hit <=1e-5 vs f64 at half the
+    MXU passes of HIGHEST (the round-3 tolerance-budgeted fast path).
+    """
     p = precision or get_precision()
     axis = axis % x.ndim
 
@@ -131,9 +162,36 @@ def apply_plan(
     if plan.digits is not None:
         from dspfun_tpu.core.exact import exact_contract  # noqa: PLC0415
 
-        y = exact_contract(x.astype(jnp.float32), plan.digits, plan.scale, axis)
+        y = exact_contract(x.astype(jnp.float32), plan.digits, plan.scale,
+                           axis, tol=p.tol)
     elif p.intermediate == "f64":
         y = tdot(plan.hi, x.astype(jnp.float64))
+    elif (split in ("mean", "zero0") and p.tol is not None
+          and p.intermediate in ("f32", "hilo")):
+        xf = x.astype(jnp.float32)
+        if split == "mean":
+            piv = jnp.mean(xf, axis=axis, keepdims=True)
+            resid = xf - piv
+            vec_hi = _vec_along(jnp.asarray(plan.rowsum)[0], axis, x.ndim)
+            vec_lo = _vec_along(jnp.asarray(plan.rowsum)[1], axis, x.ndim)
+        else:
+            piv = jax.lax.index_in_dim(xf, 0, axis, keepdims=True)
+            k_idx = _vec_along(jnp.arange(xf.shape[axis]), axis, x.ndim)
+            resid = jnp.where(k_idx == 0, jnp.float32(0), xf)
+            vec_hi = _vec_along(jnp.asarray(plan.hi)[:, 0], axis, x.ndim)
+            vec_lo = (_vec_along(jnp.asarray(plan.lo)[:, 0], axis, x.ndim)
+                      if plan.lo is not None else None)
+        # balanced residual: 3-pass bf16 floors at ~2^-17 relative
+        # (measured 1.5e-5 through a chained 4K transform pair), so it
+        # serves only loose budgets; tighter ones keep 6-pass HIGHEST
+        prec = (jax.lax.Precision.HIGH if p.tol >= 2e-5
+                else jax.lax.Precision.HIGHEST)
+        y = tdot(plan.hi, resid, prec)
+        if plan.lo is not None:
+            y = y + tdot(plan.lo, resid, jax.lax.Precision.DEFAULT)
+        y = y + piv * vec_hi
+        if vec_lo is not None:
+            y = y + piv * vec_lo
     elif p.intermediate == "hilo" and plan.lo is not None:
         xf = x.astype(jnp.float32)
         # the lo compensation term is ~2^-24 of the main term, so one
@@ -153,9 +211,10 @@ def apply_plan_nd(
     plans: Sequence[AxisPlan],
     axes: Sequence[int],
     precision: Precision | None = None,
+    split: str | None = None,
 ) -> jax.Array:
     for plan, ax in zip(plans, axes):
-        x = apply_plan(x, plan, ax, precision)
+        x = apply_plan(x, plan, ax, precision, split=split)
     return x
 
 

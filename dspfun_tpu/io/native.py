@@ -66,6 +66,8 @@ def _load() -> ctypes.CDLL | None:
         lib.dspio_nplanes.argtypes = [c.c_void_p]
         lib.dspio_is_float.restype = c.c_int
         lib.dspio_is_float.argtypes = [c.c_void_p]
+        lib.dspio_sample_bytes.restype = c.c_int
+        lib.dspio_sample_bytes.argtypes = [c.c_void_p]
         lib.dspio_plane_w.restype = c.c_int64
         lib.dspio_plane_w.argtypes = [c.c_void_p, c.c_int]
         lib.dspio_plane_h.restype = c.c_int64
@@ -130,6 +132,7 @@ class NativeVideoReader:
         self.nframes = lib.dspio_nframes(self._h)
         self.rate = (lib.dspio_rate_num(self._h), lib.dspio_rate_den(self._h))
         self.is_float = bool(lib.dspio_is_float(self._h))
+        self.sample_bytes = int(lib.dspio_sample_bytes(self._h))
         self.pixfmt = lib.dspio_pixfmt(self._h).decode()
         np_planes = lib.dspio_nplanes(self._h)
         self.plane_dims = [
@@ -168,7 +171,9 @@ class NativeVideoReader:
             return None
         out = []
         off = 0
-        dt = np.dtype("<f4") if self.is_float else np.dtype("u1")
+        dt = (np.dtype("<f4") if self.is_float
+              else np.dtype("<u2") if self.sample_bytes == 2
+              else np.dtype("u1"))
         for w, h in self.plane_dims:
             nb = w * h * dt.itemsize
             out.append(buf[off : off + nb].view(dt).reshape(h, w).copy())

@@ -100,7 +100,14 @@ PIXEL_FORMATS = {
         PixelFormat("yuv420p", 3, (1, 1)),
         PixelFormat("yuv422p", 3, (1, 0)),
         PixelFormat("yuv444p", 3),
+        PixelFormat("yuv420p10le", 3, (1, 1), depth=10),
+        PixelFormat("yuv420p12le", 3, (1, 1), depth=12),
         PixelFormat("yuv420p16le", 3, (1, 1), depth=16),
+        PixelFormat("yuv422p10le", 3, (1, 0), depth=10),
+        PixelFormat("yuv422p12le", 3, (1, 0), depth=12),
+        PixelFormat("yuv422p16le", 3, (1, 0), depth=16),
+        PixelFormat("yuv444p10le", 3, depth=10),
+        PixelFormat("yuv444p12le", 3, depth=12),
         PixelFormat("yuv444p16le", 3, depth=16),
         PixelFormat("gbrpf32le", 3, is_float=True, is_rgb=True),
         PixelFormat("grayf32le", 1, is_float=True),
@@ -296,18 +303,25 @@ def _dequantize_plane(v: np.ndarray, pf: PixelFormat, plane_idx: int,
 
 _Y4M_CTAGS = {
     "mono": ("gray", "center"),
+    "mono16": ("gray16le", "center"),
     "420jpeg": ("yuv420p", "center"),
     "420": ("yuv420p", "center"),
     "420mpeg2": ("yuv420p", "left"),
     "420paldv": ("yuv420p", "topleft"),
     "422": ("yuv422p", "left"),
     "444": ("yuv444p", "left"),
+    # high-bit-depth tags as written/read by ffmpeg's y4m (de)muxer
+    # ("C420p16" etc.); siting follows the mpeg2 "left" convention
+    **{f"{sub}p{d}": (f"yuv{sub}p{d}le", "left")
+       for sub in ("420", "422", "444") for d in (10, 12, 16)},
 }
 
 
 def _y4m_ctag(pix_fmt: str, chroma_location: str | None) -> str:
     if pix_fmt == "gray":
         return "mono"
+    if pix_fmt == "gray16le":
+        return "mono16"
     if pix_fmt == "yuv422p":
         return "422"
     if pix_fmt == "yuv444p":
@@ -316,6 +330,9 @@ def _y4m_ctag(pix_fmt: str, chroma_location: str | None) -> str:
         return {"left": "420mpeg2", "topleft": "420paldv"}.get(
             chroma_location or "center", "420jpeg"
         )
+    m = re.fullmatch(r"yuv(420|422|444)p(10|12|16)le", pix_fmt)
+    if m:
+        return f"{m.group(1)}p{m.group(2)}"
     raise ValueError(f"pixel format {pix_fmt!r} not representable in y4m")
 
 
@@ -405,22 +422,31 @@ class _HeaderedReader(VideoReader):
             return None
         if not line.startswith(b"FRAME"):
             raise ValueError(f"bad frame marker in {self.spec!r}")
-        pf = self.pix_fmt
-        data = self._stream.read(pf.frame_bytes(self.width, self.height))
-        if data is None or len(data) < pf.frame_bytes(self.width, self.height):
-            return None
-        out = []
-        off = 0
-        for i, (w, h) in enumerate(pf.plane_dims(self.width, self.height)):
-            nb = w * h * pf.dtype.itemsize
-            arr = np.frombuffer(data[off : off + nb], dtype=pf.dtype).reshape(h, w)
-            if raw:
-                out.append(np.asarray(arr, dtype=np.float64))
-            else:
-                out.append(_dequantize_plane(arr, pf, i, self.props.color_range))
-            off += nb
-        self.frame_index += 1
-        return out
+        planes = _read_frame_payload(self._stream, self.pix_fmt, self.width,
+                                     self.height, self.props, raw)
+        if planes is not None:
+            self.frame_index += 1
+        return planes
+
+
+def _read_frame_payload(stream, pf: PixelFormat, width: int, height: int,
+                        props: ColorProps, raw: bool):
+    """Read one frame's raw plane payload and split/dequantize it."""
+    nbytes = pf.frame_bytes(width, height)
+    data = stream.read(nbytes)
+    if data is None or len(data) < nbytes:
+        return None
+    out = []
+    off = 0
+    for i, (w, h) in enumerate(pf.plane_dims(width, height)):
+        nb = w * h * pf.dtype.itemsize
+        arr = np.frombuffer(data[off : off + nb], dtype=pf.dtype).reshape(h, w)
+        if raw:
+            out.append(np.asarray(arr, dtype=np.float64))
+        else:
+            out.append(_dequantize_plane(arr, pf, i, props.color_range))
+        off += nb
+    return out
 
 
 class Y4MReader(_HeaderedReader):
@@ -543,6 +569,10 @@ class ImageSeqReader(VideoReader):
         img = self._read_image(self._path(self._start + self.frame_index))
         self.frame_index += 1
         rgb = img.pixels
+        # image2 planes are float (gbrpf32le): stored pel units and
+        # normalized values coincide, so ``raw`` needs no conversion —
+        # guard against a future non-float pix_fmt silently skipping it
+        assert self.pix_fmt.is_float
         planes = [rgb[..., 1], rgb[..., 2], rgb[..., 0]]  # gbr planar
         return planes
 
@@ -633,6 +663,46 @@ class FvidWriter(VideoWriter):
             if val:
                 hdr += f" {tag}{val}"
         self._stream.write((hdr + "\n").encode("ascii"))
+
+
+class RawReader(VideoReader):
+    """Headerless fixed-size frames (ffmpeg ``-f rawvideo`` transport).
+
+    Used by the ffmpeg bridge for float/high-depth content (the
+    reference decodes any libav pix_fmt at native depth,
+    ffapi.c:239-326); geometry/rate/props come from the probe."""
+
+    def __init__(self, stream, spec: str, pf: PixelFormat, width: int,
+                 height: int, rate: Fraction, props: ColorProps):
+        super().__init__(stream, spec, "rawvideo")
+        self.width, self.height = width, height
+        self.rate = rate
+        self.pix_fmt = pf
+        self.props = props
+
+    def read_frame(self, raw: bool = False):
+        planes = _read_frame_payload(self._stream, self.pix_fmt, self.width,
+                                     self.height, self.props, raw)
+        if planes is not None:
+            self.frame_index += 1
+        return planes
+
+
+class RawWriter(VideoWriter):
+    """Headerless fixed-size frame writer (ffmpeg ``-f rawvideo``)."""
+
+    def write_frame(self, planes: list[np.ndarray], raw: bool = False) -> None:
+        pf = self.pix_fmt
+        for i, p in enumerate(planes):
+            if raw and not pf.is_float:
+                maxv = (1 << pf.depth) - 1
+                q = np.clip(np.rint(p), 0, maxv).astype(pf.dtype)
+            elif raw:
+                q = np.asarray(p, dtype=pf.dtype)
+            else:
+                q = _quantize_plane(p, pf, i, self.props.color_range)
+            self._stream.write(q.tobytes())
+        self.frame_index += 1
 
 
 class ImageSeqWriter(VideoWriter):
@@ -790,6 +860,15 @@ def open_input(spec: str, format: str | None = None,
         elif magic.startswith(b"YUV4MPEG"):
             fmt = "y4m"
         elif spec in ("-", "pipe:", "pipe:0"):
+            if magic and not b"YUV4MPEG".startswith(magic[:8]) \
+                    and not b"DSPFVID".startswith(magic[:7]):
+                # a real container arriving on stdin: hand the buffered
+                # stream to the bridge (the reference probes any stream,
+                # ffapi.c:174-206)
+                from dspfun_tpu.io import ffmpeg_bridge  # noqa: PLC0415
+
+                return ffmpeg_bridge.open_ffmpeg_input(
+                    spec, options=options, stdin_stream=stream)
             fmt = "y4m"  # pipes default to y4m (reference ffapi.c:177)
         else:
             stream.close()
@@ -803,8 +882,7 @@ def open_input(spec: str, format: str | None = None,
     else:
         raise ValueError(f"cannot determine input format for {spec!r}")
     if (native and reader.frames is not None
-            and spec not in ("-", "pipe:", "pipe:0")
-            and "16" not in reader.pix_fmt.name):
+            and spec not in ("-", "pipe:", "pipe:0")):
         try:
             from dspfun_tpu.io import native as _native  # noqa: PLC0415
 
@@ -927,6 +1005,9 @@ def _negotiate_pix_fmt(fmt: str, props: ColorProps) -> str:
     if fmt == "y4m":
         if req in ("gray", "yuv420p", "yuv422p", "yuv444p"):
             return req
+        if req and (req == "gray16le"
+                    or re.fullmatch(r"yuv(420|422|444)p(10|12|16)le", req)):
+            return req  # high-depth y4m C-tags (C420p16 etc.)
         if req in ("grayf32le",):
             return "gray"
         return "yuv444p"

@@ -9,25 +9,89 @@ inverse per tool).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import numpy as np
 
+from dspfun_tpu.core import basis as basis_mod
 from dspfun_tpu.core.precision import Precision, get_precision
-from dspfun_tpu.core.transforms import apply_plan_nd, plan_axis
+from dspfun_tpu.core.transforms import apply_plan_nd, plan_axis, plan_matrix
 
-__all__ = ["fused_filter_2d", "fused_filter_3d", "lowpass_mask", "filter_plans"]
+__all__ = ["fused_filter_2d", "fused_filter_3d", "lowpass_mask",
+           "filter_plans", "FilterPlans"]
 
 
-def filter_plans(shape, precision: Precision | None = None):
-    """(forward, inverse) AxisPlan tuples for an ND fused filter.
+class FilterPlans(NamedTuple):
+    """Plans for a fused transform->filter->inverse chain.
+
+    ``support`` holds per-axis kept-coefficient index arrays (host
+    numpy) when the filter mask's zero structure allowed pruning, else
+    None per axis.  Pruned plans compute only the coefficients the mask
+    can pass — the whole-chain generalisation of scan's pruned IDCT
+    (reference scan/scan.c:20-41); the result is bit-identical algebra
+    (dropped terms are multiplied by zero) at a fraction of the FLOPs.
+    """
+
+    fwd: tuple
+    inv: tuple
+    support: tuple
+
+
+def filter_plans(shape, precision: Precision | None = None,
+                 mask: np.ndarray | None = None):
+    """(forward, inverse[, support]) AxisPlan tuples for an ND fused
+    filter chain over the leading ``len(shape)`` axes.
 
     Pass the result into the jitted pipeline as an argument — plans are
     device arrays (the FFTW-plan analogue) and must not be baked into
     the compiled program as constants.
+
+    ``mask`` (host numpy, shaped like the coefficient grid over
+    ``shape`` with optional trailing axes) enables support pruning:
+    coefficient rows/columns that the mask zeroes on every slice are
+    never computed.  The runtime mask passed to the fused chain must
+    have the same zero structure (it is the "plan", exactly like an
+    FFTW plan is for one transform geometry).
     """
-    fwd = tuple(plan_axis(n, "dct2", precision) for n in shape)
-    inv = tuple(plan_axis(n, "dct3", precision) for n in shape)
-    return fwd, inv
+    nd = len(shape)
+    support: list[np.ndarray | None] = [None] * nd
+    if mask is not None:
+        m = np.asarray(mask)
+        m = m.reshape(m.shape[:nd] + (-1,))  # collapse trailing axes
+        nz = m.any(axis=-1)
+        for ax, n in enumerate(shape):
+            other = tuple(a for a in range(nd) if a != ax)
+            keep = np.flatnonzero(nz.any(axis=other) if other else nz)
+            if keep.size < n:
+                support[ax] = keep
+    fwd, inv = [], []
+    for ax, n in enumerate(shape):
+        keep = support[ax]
+        if keep is None:
+            fwd.append(plan_axis(n, "dct2", precision))
+            inv.append(plan_axis(n, "dct3", precision))
+        else:
+            fwd.append(plan_matrix(basis_mod.dct2_matrix(n)[keep, :], precision))
+            inv.append(plan_matrix(basis_mod.dct3_matrix(n)[:, keep], precision))
+    return FilterPlans(tuple(fwd), tuple(inv), tuple(support))
+
+
+def _unpack_plans(plans):
+    """Accept both FilterPlans and the legacy (fwd, inv) pair."""
+    if isinstance(plans, FilterPlans) or len(plans) == 3:
+        return plans[0], plans[1], plans[2]
+    fwd, inv = plans
+    return fwd, inv, (None,) * len(fwd)
+
+
+def _compact_mask(mask: jax.Array, support) -> jax.Array:
+    """Gather the mask down to the kept coefficient box (static
+    host-index slicing; a no-op for dense plans)."""
+    for ax, keep in enumerate(support):
+        if keep is not None:
+            mask = jax.numpy.take(mask, keep, axis=ax)
+    return mask
 
 
 def lowpass_mask(shape, cutoff: float = 0.25, boost: float = 1.0, damp: float = 0.0) -> np.ndarray:
@@ -57,10 +121,12 @@ def fused_filter_2d(
     """
     p = precision or get_precision()
     h, w = x.shape[:2]
-    fwd, inv = plans
-    F = apply_plan_nd(x, fwd, (0, 1), p)
-    F = F * mask.astype(F.dtype)
-    y = apply_plan_nd(F, inv, (0, 1), p)
+    fwd, inv, support = _unpack_plans(plans)
+    # split hints engage the rank-1 DC-split fast path when p.tol is
+    # set (see core/transforms.apply_plan); advisory otherwise
+    F = apply_plan_nd(x, fwd, (0, 1), p, split="mean")
+    F = F * _compact_mask(mask, support).astype(F.dtype)
+    y = apply_plan_nd(F, inv, (0, 1), p, split="zero0")
     return y / (4.0 * w * h)
 
 
@@ -74,8 +140,8 @@ def fused_filter_3d(
     core of motion's frequency-space edit (motion/motion.c:641-753)."""
     p = precision or get_precision()
     t, h, w = cube.shape[:3]
-    fwd, inv = plans
-    F = apply_plan_nd(cube, fwd, (0, 1, 2), p)
-    F = F * mask.astype(F.dtype)
-    y = apply_plan_nd(F, inv, (0, 1, 2), p)
+    fwd, inv, support = _unpack_plans(plans)
+    F = apply_plan_nd(cube, fwd, (0, 1, 2), p, split="mean")
+    F = F * _compact_mask(mask, support).astype(F.dtype)
+    y = apply_plan_nd(F, inv, (0, 1, 2), p, split="zero0")
     return y / (8.0 * t * h * w)

@@ -329,16 +329,18 @@ def _shard_chunk_fn(mesh, h, use_pruned, want_deltas, measure_parity,
     def plan_spec(plan):
         # shard the plan by OUTPUT rows: [M, K] matrix leaves (hi/lo)
         # split their rows; exact-mode digit leaves are [D, M, K] (rows
-        # on axis 1); the scalar scale replicates
-        def leaf(x):
-            nd = getattr(x, "ndim", 0)
-            if nd == 3:
-                return P(None, "space", None)
-            if nd == 2:
-                return P("space", None)
-            return P()
+        # on axis 1); rowsum is [2, M] (rows on axis 1); the scalar
+        # scale replicates.  Field-aware so new AxisPlan leaves cannot
+        # silently pick a wrong spec.
+        from dspfun_tpu.core.transforms import AxisPlan  # noqa: PLC0415
 
-        return jax.tree.map(leaf, plan)
+        return AxisPlan(
+            hi=P("space", None),
+            lo=None if plan.lo is None else P("space", None),
+            digits=None if plan.digits is None else P(None, "space", None),
+            scale=None if plan.scale is None else P(),
+            rowsum=None if plan.rowsum is None else P(None, "space"),
+        )
 
     frames_row = P(None, "space", None, None)  # [F, H/s, W, C]
 

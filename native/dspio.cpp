@@ -68,7 +68,13 @@ static int64_t compute_frame_bytes(DspioReader* r) {
 
 static void set_planes_from_ctag(DspioReader* r) {
     r->bytes_per_sample = 1;
-    if (!strcmp(r->ctag, "mono")) {
+    // high-bit-depth y4m tags: "420p16"/"422p12"/"444p10"/"mono16"
+    // (2-byte little-endian samples, as ffmpeg's y4m muxer writes them)
+    const char* hd = strstr(r->ctag, "p1");
+    if ((hd && (hd[2] == '0' || hd[2] == '2' || hd[2] == '6')) ||
+        !strcmp(r->ctag, "mono16"))
+        r->bytes_per_sample = 2;
+    if (!strncmp(r->ctag, "mono", 4)) {
         r->nplanes = 1;
         r->plane_w[0] = r->width; r->plane_h[0] = r->height;
         return;
@@ -192,6 +198,7 @@ int     dspio_nplanes(DspioReader* r)    { return r->nplanes; }
 int64_t dspio_plane_w(DspioReader* r, int i) { return r->plane_w[i]; }
 int64_t dspio_plane_h(DspioReader* r, int i) { return r->plane_h[i]; }
 int     dspio_is_float(DspioReader* r)   { return r->bytes_per_sample == 4; }
+int     dspio_sample_bytes(DspioReader* r) { return r->bytes_per_sample; }
 int64_t dspio_frame_bytes(DspioReader* r) { return r->frame_bytes; }
 const char* dspio_pixfmt(DspioReader* r) { return r->is_fvid ? r->pixfmt : r->ctag; }
 

@@ -139,3 +139,51 @@ def test_spec_roundtrip_256_hilo_upgrades_to_exact():
     f, dc = jax.jit(lambda v: spec_forward(v, params, prec))(jnp.asarray(img))
     y = jax.jit(lambda v, d: spec_inverse(v, params, dc=d, precision=prec))(f, dc)
     assert float(np.max(np.abs(np.asarray(y) - img))) <= 3e-4
+
+
+# ---------------------------------------------------------------------------
+# Round 3: tolerance-budgeted digit contraction (VERDICT r2 next item 2/9).
+# ---------------------------------------------------------------------------
+
+
+def test_budget_bits_sizing():
+    from dspfun_tpu.core.exact import budget_bits
+
+    assert budget_bits(None, 512) is None
+    b = budget_bits(1e-5, 512)
+    # enough bits for tol * K accumulation with margin, far below f64
+    assert 25 <= b <= 36
+    assert budget_bits(1e-7, 512) > b
+
+
+def test_budgeted_digits_fewer_passes():
+    m = basis_mod.dct2_matrix(512)
+    full, _ = split_matrix_digits(m)
+    budget, _ = split_matrix_digits(m, tol=1e-5)
+    assert budget.shape[0] < full.shape[0]
+
+
+@pytest.mark.parametrize("tol", [1e-4, 1e-5, 1e-6])
+def test_budgeted_contract_meets_tol(tol):
+    """Truncation error stays under tol relative to the slice scale."""
+    k = 512
+    rng = np.random.default_rng(8)
+    m = basis_mod.dct2_matrix(k)
+    x = rng.random((k, 64)).astype(np.float32)
+    digits, scale = split_matrix_digits(m, tol=tol)
+    got = np.asarray(exact_contract(jnp.asarray(x), jnp.asarray(digits),
+                                    scale, 0, tol=tol), np.float64)
+    ref = m @ x.astype(np.float64)
+    rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert rel <= tol, rel
+
+
+def test_budgeted_plan_roundtrip_512():
+    """Whole-image DCT2->DCT3 round trip at tol=1e-5 (suite config 6)."""
+    n = 512
+    p = Precision(intermediate="exact", tol=1e-5)
+    rng = np.random.default_rng(9)
+    x = rng.random((n, n)).astype(np.float32)
+    f = apply_plan(jnp.asarray(x), plan_axis(n, "dct2", p), 0, p)
+    y = apply_plan(f, plan_axis(n, "dct3", p), 0, p) / (2.0 * n)
+    assert np.max(np.abs(np.asarray(y, np.float64) - x)) <= 1e-5

@@ -49,20 +49,28 @@ if log:
 i = args.index("-i")
 src = args[i + 1]
 out = args[-1]
-if src == "-":      # encode mode: y4m stdin -> container file
-    data = sys.stdin.buffer.read()
-    with open(out, "wb") as f:
-        f.write(data)
-else:               # demux mode: container file -> y4m stdout
-    with open(src, "rb") as f:
-        data = f.read()
+if out == "-":      # demux mode: container (file or stdin) -> pipe
+    if src == "-":
+        data = sys.stdin.buffer.read()
+    else:
+        with open(src, "rb") as f:
+            data = f.read()
     if data.startswith(b"FAKEMP4\\n"):
         data = data[8:]
     sys.stdout.buffer.write(data)
+else:               # encode mode: pipe stdin -> container file
+    data = sys.stdin.buffer.read()
+    with open(out, "wb") as f:
+        f.write(data)
 """
 
 FFPROBE_SHIM = """#!/usr/bin/env python3
-import json, sys
+import json, os, sys
+override = os.environ.get("SHIM_PROBE")
+if override:
+    with open(override) as f:
+        sys.stdout.write(f.read())
+    sys.exit(0)
 print(json.dumps({"streams": [{
     "codec_type": "video", "pix_fmt": "yuv420p", "nb_frames": "4",
     "avg_frame_rate": "25/1", "color_range": "tv",
@@ -225,3 +233,155 @@ def test_bridge_frame_count_from_duration(tmp_path, shims, monkeypatch):
     r = video.open_input(src)
     assert r.frames == 4  # 0.16 s * 25 fps
     r.close()
+
+
+# ---------------------------------------------------------------------------
+# Round 3: float / high-depth transport (VERDICT r2 missing item 1),
+# complete color handoff (item 3), piped containers (item 4).
+# ---------------------------------------------------------------------------
+
+
+def test_bridge_float_output_rawvideo(tmp_path, shims):
+    """A float-negotiated output rides `-f rawvideo -pixel_format
+    gbrpf32le` and round-trips float content exactly (the reference
+    writes GBRPF32 FFV1 — zoom/zoom.c:254,306)."""
+    out = str(tmp_path / "out.nut")
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    rng = np.random.default_rng(3)
+    frames = rng.random((2, 8, 16, 3)).astype(np.float32)
+    w = video.open_output(out, 16, 8, Fraction(25), props)
+    assert w.pix_fmt.name == "gbrpf32le"
+    for f in frames:
+        w.write_frame_rgb(f)
+    w.close()
+    argvs = [json.loads(line) for line in open(shims)]
+    enc = argvs[-1]
+    assert enc[enc.index("-f") + 1] == "rawvideo"
+    assert enc[enc.index("-pixel_format") + 1] == "gbrpf32le"
+    assert enc[enc.index("-video_size") + 1] == "16x8"
+    assert enc[enc.index("-c:v") + 1] == "ffv1"
+    # shim wrote the raw transport bytes: exact float round trip
+    data = np.frombuffer(open(out, "rb").read(), dtype="<f4")
+    got = data.reshape(2, 3, 8, 16)  # frames of G,B,R planes
+    np.testing.assert_array_equal(got[:, 0], frames[..., 1])
+    np.testing.assert_array_equal(got[:, 2], frames[..., 0])
+
+
+def test_bridge_16bit_output_rawvideo(tmp_path, shims):
+    """A 16-bit negotiated output keeps 16-bit precision through the
+    bridge instead of quantising to 8-bit y4m."""
+    out = str(tmp_path / "out.mkv")
+    props = video.parse_color_props(
+        "pixel_format=yuv444p16le:color_range=jpeg")
+    w = video.open_output(out, 16, 8, Fraction(25), props)
+    assert w.pix_fmt.name == "yuv444p16le"
+    plane = np.linspace(0.0, 1.0, 8 * 16).reshape(8, 16)
+    w.write_frame([plane, plane, plane])
+    w.close()
+    argvs = [json.loads(line) for line in open(shims)]
+    enc = argvs[-1]
+    assert enc[enc.index("-pixel_format") + 1] == "yuv444p16le"
+    got = np.frombuffer(open(out, "rb").read(), dtype="<u2").reshape(3, 8, 16)
+    np.testing.assert_array_equal(got[0], np.rint(plane * 65535))
+
+
+def test_bridge_color_range_and_siting_flags(tmp_path, shims):
+    """VERDICT r2 missing item 3: -color_range and chroma siting ride
+    the encode command line (reference ffapi.c:62-114)."""
+    out = str(tmp_path / "out.mkv")
+    props = video.parse_color_props(
+        "pixel_format=yuv420p:color_range=mpeg:"
+        "chroma_sample_location=topleft")
+    w = video.open_output(out, 16, 8, Fraction(25), props)
+    w.write_frame([np.zeros((8, 16)), np.full((4, 8), 0.5),
+                   np.full((4, 8), 0.5)])
+    w.close()
+    enc = [json.loads(line) for line in open(shims)][-1]
+    assert enc[enc.index("-color_range") + 1] == "tv"
+    assert enc[enc.index("-chroma_sample_location") + 1] == "topleft"
+
+
+def _probe_override(tmp_path, monkeypatch, stream: dict):
+    p = tmp_path / "probe.json"
+    p.write_text(json.dumps({"streams": [stream], "format": {}}))
+    monkeypatch.setenv("SHIM_PROBE", str(p))
+
+
+def test_bridge_high_depth_input_rawvideo(tmp_path, shims, monkeypatch):
+    """A 10-bit source decodes at native depth via rawvideo passthrough
+    instead of quantising to 8-bit y4m (reference ffapi.c:239-326)."""
+    w, h = 8, 4
+    _probe_override(tmp_path, monkeypatch, {
+        "codec_type": "video", "pix_fmt": "yuv420p10le",
+        "width": w, "height": h, "nb_frames": "2",
+        "avg_frame_rate": "25/1", "color_range": "tv",
+        "chroma_location": "topleft",
+    })
+    pf = video.PIXEL_FORMATS["yuv420p10le"]
+    rng = np.random.default_rng(5)
+    planes = [rng.integers(0, 1024, (2, ph, pw)).astype("<u2")
+              for pw, ph in pf.plane_dims(w, h)]
+    raw = b"".join(
+        b"".join(p[i].tobytes() for p in planes) for i in range(2))
+    src = str(tmp_path / "clip.mp4")
+    with open(src, "wb") as f:
+        f.write(b"FAKEMP4\n" + raw)
+    r = video.open_input(src)
+    assert r.pix_fmt.name == "yuv420p10le"
+    assert r.frames == 2
+    assert r.props.chroma_location == "topleft"   # probe -> props
+    got = r.read_frame(raw=True)
+    r.close()
+    argvs = [json.loads(line) for line in open(shims)]
+    dec = argvs[-1]
+    assert dec[dec.index("-pix_fmt") + 1] == "yuv420p10le"
+    assert dec[dec.index("-f") + 1] == "rawvideo"
+    np.testing.assert_array_equal(got[0], planes[0][0])
+
+
+def test_bridge_float_input_rawvideo(tmp_path, shims, monkeypatch):
+    """A float source decodes losslessly as gbrpf32le."""
+    w, h = 4, 2
+    _probe_override(tmp_path, monkeypatch, {
+        "codec_type": "video", "pix_fmt": "gbrpf32le",
+        "width": w, "height": h, "nb_frames": "1",
+        "avg_frame_rate": "25/1",
+    })
+    rng = np.random.default_rng(6)
+    gbr = rng.random((3, h, w)).astype("<f4")
+    src = str(tmp_path / "clip.nut")
+    with open(src, "wb") as f:
+        f.write(b"FAKEMP4\n" + gbr.tobytes())
+    r = video.open_input(src)
+    assert r.pix_fmt.name == "gbrpf32le"
+    rgb = r.read_frame_rgb()
+    r.close()
+    np.testing.assert_array_equal(rgb[..., 0], gbr[2])  # R is plane 3
+    np.testing.assert_array_equal(rgb[..., 1], gbr[0])
+
+
+def test_piped_container_routes_to_bridge(tmp_path, shims, monkeypatch):
+    """VERDICT r2 missing item 4: an mp4 arriving on stdin reaches the
+    bridge (reference probes any stream, ffapi.c:174-206)."""
+    import io
+
+    src = str(tmp_path / "clip.mp4")
+    data = _write_fake_mp4(src)
+    stream = io.BufferedReader(io.BytesIO(open(src, "rb").read()))
+
+    class FakeStdin:
+        buffer = stream
+
+    monkeypatch.setattr(sys, "stdin", FakeStdin())
+    r = video.open_input("-")
+    assert r.format == "ffmpeg"
+    got = []
+    while True:
+        f = r.read_frame(raw=True)
+        if f is None:
+            break
+        got.append(f[0])
+    r.close()
+    np.testing.assert_array_equal(np.stack(got), data)
+    dec = [json.loads(line) for line in open(shims)][-1]
+    assert dec[dec.index("-i") + 1] == "-"

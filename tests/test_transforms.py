@@ -66,3 +66,68 @@ def test_uniform_grid():
     assert g[3, 2] == pytest.approx(2.0)
     g3 = uniform_grid((2, 2, 2))
     assert g3[1, 1, 1] == pytest.approx(2 * s2)
+
+
+# ---------------------------------------------------------------------------
+# Round 3: rank-1 DC-split contraction (the tol fast path) and
+# mask-support-pruned fused plans.
+# ---------------------------------------------------------------------------
+
+
+def test_split_contract_matches_plain():
+    """mean/zero0 splits are exact algebra: same result as the plain
+    contraction to f32 noise (CPU matmuls are true f32 here)."""
+    import jax.numpy as jnp
+
+    from dspfun_tpu.core.transforms import apply_plan, plan_axis
+
+    p_plain = Precision(intermediate="f32")
+    p_split = Precision(intermediate="f32", tol=1e-5)
+    n = 128
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((n, 40)).astype(np.float32) + 2.0)
+    for kind, split in (("dct2", "mean"), ("dct3", "zero0")):
+        plan = plan_axis(n, kind, p_plain)
+        a = np.asarray(apply_plan(x, plan, 0, p_plain), np.float64)
+        b = np.asarray(apply_plan(x, plan, 0, p_split, split=split), np.float64)
+        assert np.max(np.abs(a - b)) <= 1e-3 * np.max(np.abs(a))
+
+    # mean split: the DC row is computed analytically (rowsum = [2N,0..])
+    plan = plan_axis(n, "dct2", p_split)
+    y = np.asarray(apply_plan(x, plan, 0, p_split, split="mean"), np.float64)
+    ref0 = 2.0 * np.asarray(x, np.float64).sum(axis=0)
+    assert np.max(np.abs(y[0] - ref0)) <= 1e-4 * np.max(np.abs(ref0))
+
+
+def test_pruned_filter_plans_exact():
+    """Mask-support pruning (scan.c:20-41 generalised to the fused
+    chain) computes the identical result at a fraction of the FLOPs."""
+    import jax
+    import scipy.fft
+
+    from dspfun_tpu.models.fused import filter_plans, fused_filter_2d, lowpass_mask
+
+    h, w = 96, 128
+    rng = np.random.default_rng(4)
+    x = rng.random((h, w, 3)).astype(np.float32)
+    mask = lowpass_mask((h, w), cutoff=0.25, boost=1.25)[:, :, None].astype(np.float32)
+    p = Precision(intermediate="f32")
+    plans = filter_plans((h, w), p, mask=mask)
+    assert plans.fwd[0].hi.shape[0] == h // 4    # pruned rows
+    assert plans.inv[1].hi.shape == (w, w // 4)  # pruned cols
+    y = np.asarray(jax.jit(
+        lambda a, m, pl: fused_filter_2d(a, m, pl, p))(x, mask, plans),
+        np.float64)
+    ref = scipy.fft.dctn(x.astype(np.float64), type=2, axes=(0, 1))
+    ref *= mask
+    ref = scipy.fft.dctn(ref, type=3, axes=(0, 1)) / (4.0 * w * h)
+    assert np.max(np.abs(y - ref)) <= 2e-6
+
+
+def test_dense_mask_no_pruning():
+    from dspfun_tpu.models.fused import filter_plans
+
+    mask = np.ones((16, 16, 1), dtype=np.float32)
+    plans = filter_plans((16, 16), Precision(intermediate="f32"), mask=mask)
+    assert plans.support == (None, None)
+    assert plans.fwd[0].hi.shape == (16, 16)
