@@ -367,6 +367,31 @@ def _shard_chunk_fn(mesh, h, use_pruned, want_deltas, measure_parity,
     return wrapped
 
 
+def _pad_plan_rows(plan, rows: int):
+    """Zero-pad an AxisPlan's *output rows* to ``rows`` (row-sharded
+    meshes need the output axis divisible by the space axis; zero rows
+    synthesise zero output)."""
+    from dspfun_tpu.core.transforms import AxisPlan  # noqa: PLC0415
+
+    def pad(a, axis):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        if a.ndim == 0 or a.shape[axis] >= rows:
+            return a
+        shape = list(a.shape)
+        shape[axis] = rows - a.shape[axis]
+        return np.concatenate([a, np.zeros(shape, dtype=a.dtype)], axis=axis)
+
+    return AxisPlan(
+        hi=pad(plan.hi, 0),
+        lo=pad(plan.lo, 0),
+        digits=pad(plan.digits, 1),
+        scale=plan.scale,
+        rowsum=pad(plan.rowsum, 1),
+    )
+
+
 def scan_chunks(
     plan: ScanPlan,
     coeffs: jax.Array,
@@ -390,11 +415,29 @@ def scan_chunks(
     h, w, c = plan.height, plan.width, plan.channels
     dc = np.asarray(coeffs[0, 0, :])
     coeffs_nodc = jnp.asarray(coeffs).at[0, 0, :].set(0.0)
+
+    # mesh row-sharding: zero-pad output rows up to the space axis so
+    # any height engages the mesh (pattern: parallel/sharded.py internal
+    # padding); padded plan rows are all-zero -> padded output rows stay
+    # zero and are sliced off on the host side
+    hp = h
+    plans_inv_src = plan.plans_inv
+    if mesh is not None:
+        ns = mesh.shape["space"]
+        hp = -(-h // ns) * ns
+        if hp != h:
+            plans_inv_src = (_pad_plan_rows(plans_inv_src[0], hp),
+                             plans_inv_src[1])
+            if orig is not None:
+                orig = np.pad(np.asarray(orig), ((0, hp - h), (0, 0), (0, 0)))
     # keep the inverse plans device-resident across chunks
-    plans_inv = jax.device_put(plan.plans_inv)
+    plans_inv = jax.device_put(plans_inv_src)
 
     # running sum starts as the DC everywhere (scan/scan.c:381-383)
     carry = jnp.broadcast_to(jnp.asarray(dc, dtype=coeffs.dtype), (h, w, c))
+    if hp != h:
+        carry = jnp.concatenate(
+            [carry, jnp.zeros((hp - h, w, c), carry.dtype)], axis=0)
 
     # offset prefill: one dense IDCT over the filled coefficients
     # (reference scan.c:389-417)
@@ -450,11 +493,15 @@ def scan_chunks(
     def materialise(start, bufs):
         disp, deltas, inter, parity = bufs
         nvalid = min(plan.chunk, plan.nframes - start)
+
+        def rows(a):  # drop the mesh padding rows
+            return np.asarray(a[:nvalid, :h]) if hp != h else np.asarray(a[:nvalid])
+
         return start, ScanChunkResult(
-            sums=np.asarray(disp[:nvalid]),
-            deltas=np.asarray(deltas[:nvalid]) if deltas is not None else None,
+            sums=rows(disp),
+            deltas=rows(deltas) if deltas is not None else None,
             parity=np.asarray(parity[:nvalid]) if parity is not None else None,
-            inter=np.asarray(inter[:nvalid]) if inter is not None else None,
+            inter=rows(inter) if inter is not None else None,
         )
 
     pending = None

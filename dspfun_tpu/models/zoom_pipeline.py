@@ -214,16 +214,19 @@ def zoom_frame_sharded(
     spectrum replicates, each shard synthesises its own continuous
     basis rows — pure data parallelism, no collectives (the scaling
     analogue of the reference's per-column scalar loop,
-    zoom/zoom.c:361-375).  Requires vh % space == 0."""
-    if vh % mesh.shape["space"]:
-        raise ValueError(f"view height {vh} does not divide space axis")
-    return _zoom_frame_sharded(
+    zoom/zoom.c:361-375).  Any ``vh`` works: the continuous basis
+    extends past the view, so rows pad up to the space axis and the
+    extras are sliced off."""
+    ns = mesh.shape["space"]
+    vhp = -(-vh // ns) * ns
+    out = _zoom_frame_sharded(
         spectrum, jnp.asarray(_SCALING_IDS[scaling_type]),
         jnp.asarray(float(xscale[0])), jnp.asarray(float(xscale[1])),
         jnp.asarray(float(yscale[0])), jnp.asarray(float(yscale[1])),
-        jnp.asarray(float(vx)), jnp.asarray(float(vy)), vw, vh, mesh,
+        jnp.asarray(float(vx)), jnp.asarray(float(vy)), vw, vhp, mesh,
         encode_trc,
     )
+    return out[:vh] if vhp != vh else out
 
 
 def zoom_frame(

