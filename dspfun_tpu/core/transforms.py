@@ -91,6 +91,11 @@ def plan_matrix(m: np.ndarray, precision: Precision | None = None) -> AxisPlan:
 
         digits, scale = split_matrix_digits(m, tol=p.tol)
         return AxisPlan(m.astype(np.float32), None, digits, scale, rowsum)
+    if p.intermediate == "i8":
+        from dspfun_tpu.ops.int8mm import split_matrix_i8  # noqa: PLC0415
+
+        digits, row_scale = split_matrix_i8(m)
+        return AxisPlan(m.astype(np.float32), None, digits, row_scale, rowsum)
     if p.intermediate == "hilo":
         hi, lo = split_hilo(m)
         return AxisPlan(hi, lo, rowsum=rowsum)
@@ -159,16 +164,10 @@ def apply_plan(
         )
         return jnp.moveaxis(y, 0, axis)
 
-    if plan.digits is not None:
-        from dspfun_tpu.core.exact import exact_contract  # noqa: PLC0415
-
-        y = exact_contract(x.astype(jnp.float32), plan.digits, plan.scale,
-                           axis, tol=p.tol)
-    elif p.intermediate == "f64":
-        y = tdot(plan.hi, x.astype(jnp.float64))
-    elif (split in ("mean", "zero0") and p.tol is not None
-          and p.intermediate in ("f32", "hilo")):
-        xf = x.astype(jnp.float32)
+    def rank1_split(xf):
+        """Peel the dominant rank-1 component off the operand: returns
+        (residual, pivot, correction hi/lo vectors) — exact algebra for
+        any pivot (see the docstring)."""
         if split == "mean":
             piv = jnp.mean(xf, axis=axis, keepdims=True)
             resid = xf - piv
@@ -181,6 +180,33 @@ def apply_plan(
             vec_hi = _vec_along(jnp.asarray(plan.hi)[:, 0], axis, x.ndim)
             vec_lo = (_vec_along(jnp.asarray(plan.lo)[:, 0], axis, x.ndim)
                       if plan.lo is not None else None)
+        return resid, piv, vec_hi, vec_lo
+
+    if plan.digits is not None and jnp.asarray(plan.digits).dtype == jnp.int8:
+        from dspfun_tpu.ops.int8mm import i8_contract  # noqa: PLC0415
+
+        xf = x.astype(jnp.float32)
+        if split in ("mean", "zero0"):
+            # the split composes: balanced residual slices keep the
+            # per-slice digit scaling tight around the signal
+            resid, piv, vec_hi, vec_lo = rank1_split(xf)
+            y = i8_contract(resid, plan.digits, plan.scale, axis)
+            y = y + piv * vec_hi
+            if vec_lo is not None:
+                y = y + piv * vec_lo
+        else:
+            y = i8_contract(xf, plan.digits, plan.scale, axis)
+    elif plan.digits is not None:
+        from dspfun_tpu.core.exact import exact_contract  # noqa: PLC0415
+
+        y = exact_contract(x.astype(jnp.float32), plan.digits, plan.scale,
+                           axis, tol=p.tol)
+    elif p.intermediate == "f64":
+        y = tdot(plan.hi, x.astype(jnp.float64))
+    elif (split in ("mean", "zero0") and p.tol is not None
+          and p.intermediate in ("f32", "hilo")):
+        xf = x.astype(jnp.float32)
+        resid, piv, vec_hi, vec_lo = rank1_split(xf)
         # balanced residual: 3-pass bf16 floors at ~2^-17 relative
         # (measured 1.5e-5 through a chained 4K transform pair), so it
         # serves only loose budgets; tighter ones keep 6-pass HIGHEST

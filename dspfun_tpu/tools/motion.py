@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import getopt
 import math
+import os
 import sys
 from fractions import Fraction
 
@@ -29,6 +30,7 @@ LONG = [
     "iformat=", "decopts=", "loglevel=", "preserve-dc=", "eval=",
     "fftw-planning-method=", "fftw-wisdom-file=", "fftw-threads=", "quiet",
     "help", "threshold=", "coeff-limit=", "linear", "resume-file=", "mesh=",
+    "coordinator=", "nprocs=", "proc-id=",
 ]
 
 # getopt has no optional-argument long options; bare forms of these are
@@ -39,7 +41,7 @@ USAGE = """Usage: motion [options] <infile> [outfile]
 [-s|--size WxHxD] [-b|--blocksize WxHxD] [-p|--bandpass X1xY1xZ1-X2xY2xZ2]
 [-B|--boost float] [-D|--damp float]  [--spectrogram=type] [--ispectrogram=type] [-q|--quant quant] [--threshold] [--coeff-limit limit] [-d|--dither] [--preserve-dc=type] [--eval expression]
 [-r|--framerate] [--keep-rate] [--samesize-chroma] [--frames lim] [--offset pos] [--csp|c colorspace options] [--iformat|--format fmt] [--codec codec] [--encopts|--decopts opts] [--loglevel int]
-[--mesh auto|N|space=N[,time=M]] [-Q|--quiet]"""
+[--mesh auto|N|space=N[,time=M]] [--coordinator host:port --nprocs N --proc-id I] [-Q|--quiet]"""
 
 EXPR_NAMES = ("c", "x", "y", "z", "i", "width", "height", "depth",
               "components", "bx", "by", "bz", "bwidth", "bheight", "bdepth")
@@ -98,6 +100,9 @@ def main(argv: list[str] | None = None) -> int:
     codec = encopts = decopts = None
     resume_file = None
     mesh_spec = None
+    coordinator = None
+    nprocs = 1
+    proc_id = 0
     for flag, arg in flags:
         if flag in ("-h", "--help"):
             print(USAGE)
@@ -171,6 +176,12 @@ def main(argv: list[str] | None = None) -> int:
             resume_file = arg
         elif flag == "--mesh":
             mesh_spec = arg
+        elif flag == "--coordinator":
+            coordinator = arg
+        elif flag == "--nprocs":
+            nprocs = int(arg)
+        elif flag == "--proc-id":
+            proc_id = int(arg)
         elif flag == "--codec":
             codec = arg  # passed to the ffmpeg bridge for real containers
         elif flag == "--encopts":
@@ -188,6 +199,29 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     infile = args[0]
     outfile = args[1] if len(args) > 1 else None
+
+    # --coordinator/--nprocs/--proc-id: join the multi-process runtime
+    # (jax.distributed over DCN) BEFORE any jax backend use; each
+    # process reads the input and owns a time-contiguous slab of the
+    # whole-clip volume path (parallel/multihost.py).  Non-zero
+    # processes write to the null device in the same negotiated
+    # container so the processing format matches process 0 exactly.
+    multi = nprocs > 1 or coordinator is not None
+    if multi:
+        from dspfun_tpu.parallel import multihost  # noqa: PLC0415
+
+        multihost.initialize(coordinator, nprocs, proc_id)
+        if proc_id:
+            from dspfun_tpu.io.video import _sniff_format  # noqa: PLC0415
+
+            ofmt = _sniff_format(outfile or "-", oformat, for_output=True)
+            if ofmt in ("ffmpeg", "image2"):
+                print("multi-process motion needs a y4m or fvid output",
+                      file=sys.stderr)
+                return 1
+            oformat = "y4m" if ofmt == "pipe" else ofmt
+            outfile = os.devnull
+            quiet = True
 
     expr = None
     if exprstr:
@@ -354,9 +388,26 @@ def main(argv: list[str] | None = None) -> int:
     mesh = None
     use_volume = [False] * proc_fmt.ncomp
     try:
-        from dspfun_tpu.parallel.mesh import mesh_from_spec  # noqa: PLC0415
+        if multi:
+            from dspfun_tpu.parallel import multihost  # noqa: PLC0415
 
-        mesh = mesh_from_spec(mesh_spec)
+            space_n = time_n = None
+            for part in (mesh_spec or "auto").split(","):
+                part = part.strip().lower()
+                if part in ("", "auto"):
+                    continue
+                k, _, v = part.partition("=")
+                if k == "space":
+                    space_n = int(v)
+                elif k == "time":
+                    time_n = int(v)
+                else:
+                    raise ValueError(f"multi-process mesh spec {part!r}")
+            mesh = multihost.global_mesh(space=space_n, time=time_n)
+        else:
+            from dspfun_tpu.parallel.mesh import mesh_from_spec  # noqa: PLC0415
+
+            mesh = mesh_from_spec(mesh_spec)
     except ValueError as e:
         print(f"Bad --mesh: {e}", file=sys.stderr)
         writer.close()
@@ -375,6 +426,14 @@ def main(argv: list[str] | None = None) -> int:
                     (g.block.d, g.block.h, g.block.w), mesh
                 )
             )
+        if multi and not all(use_volume):
+            print("multi-process motion runs the whole-clip volume path "
+                  "only: use -b 0x0x0 (or a geometry where every plane "
+                  "is one whole-clip block) with a compatible mesh",
+                  file=sys.stderr)
+            writer.close()
+            reader.close()
+            return 1
         if not quiet:
             strategies = ", ".join(
                 f"plane {i}: {'volume' if v else 'blocks'}"
@@ -382,6 +441,11 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"mesh: space={mesh.shape['space']} "
                   f"time={mesh.shape['time']} ({strategies})", file=sys.stderr)
+    elif multi:
+        print("multi-process motion requires --mesh", file=sys.stderr)
+        writer.close()
+        reader.close()
+        return 1
 
     # device-resident transform plans (re-uploading basis matrices per
     # slab would dominate the tunnel bandwidth)
@@ -436,15 +500,32 @@ def main(argv: list[str] | None = None) -> int:
             for i, g in enumerate(geoms):
                 frames = np.stack([slab[z][i] for z in range(g.block.d)])
                 if mesh is not None and use_volume[i]:
-                    vol = jnp.asarray(
+                    vol_np = np.asarray(
                         frames[: g.block.d, : g.truncated.h, : g.truncated.w],
-                        dtype=jnp.float32,
+                        dtype=np.float32,
                     )
-                    vol = jax.device_put(vol, msh.volume_sharding(mesh))
+                    if multi:
+                        # every process read the whole clip; stage only
+                        # this host's time-contiguous slab (the DCN
+                        # exchange happens inside make_array_from_
+                        # process_local_data / the Ulysses all_to_alls)
+                        tl = g.block.d // jax.process_count()
+                        pid = jax.process_index()
+                        vol = jax.make_array_from_process_local_data(
+                            msh.volume_sharding(mesh),
+                            vol_np[pid * tl : (pid + 1) * tl],
+                        )
+                    else:
+                        vol = jax.device_put(jnp.asarray(vol_np),
+                                             msh.volume_sharding(mesh))
                     out, c = msh.motion_filter_volume_sharded(
                         vol, mesh, geom=g, params=params[i],
                         plane_index=i, nplanes=proc_fmt.ncomp, bz=bz,
                     )
+                    if multi:
+                        import jax.experimental.multihost_utils as mhu  # noqa: PLC0415
+
+                        out = mhu.process_allgather(out, tiled=True)
                     coded += int(np.asarray(c))
                     out_planes.append(np.asarray(out))
                     continue
