@@ -12,8 +12,10 @@ digit-representation truncation.
 
 The XLA formulation of the same math loses to HBM: the [DA*M, DX*R]
 int32 digit-product tensor round-trips ~1 GB.  The Pallas kernel here
-keeps every digit product in VMEM and emits only the weighted f32
-combination — one HBM read per operand digit, one f32 write.
+reads the *f32* operand tile, digit-splits it in VMEM (per-slice
+power-of-two scaling), keeps every digit product in VMEM, and emits
+only the weighted f32 combination — neither the digits nor the int32
+products ever touch HBM.
 
 Layout contract (Mosaic int8 tiling is (32, 128)): the contraction
 length K must be padded to a multiple of 128 (zero digits contribute
