@@ -55,9 +55,9 @@ PRESERVE_DCTYPES = ("dc", "grey")
 _SQRT2 = math.sqrt(2.0)
 
 # Which fused fast-path implementation the most recent filter_blocks
-# *trace* selected ("pallas-kron" | "pallas-sep" | "xla-sep" |
-# "xla-kron") — set at trace time, so it reflects the first call per
-# (geometry, params) config.  Used by benchmarks/tests to assert the
+# *trace* selected ("pallas-kron" | "xla-sep" | "xla-kron") — set at
+# trace time, so it reflects the first call per (geometry, params)
+# config.  Used by benchmarks/tests to assert the
 # intended kernel engages.
 LAST_FAST_PATH: str | None = None
 
@@ -289,27 +289,18 @@ def filter_blocks(
         and g.block == g.scaled == g.minbuf
     )
     if fast:
-        import os  # noqa: PLC0415
-
         from dspfun_tpu.ops import pallas_kernels as _pk  # noqa: PLC0415
 
         # Kernel selection (two-point-calibrated on v5e, see CLAUDE.md):
         # - V <= 1024: the Pallas Kronecker kernel (both [V, V] matrices
         #   VMEM-resident; ~32 us/slab, on par with XLA at this size);
-        # - V > 1024: the XLA separable formulation — measured 2x faster
-        #   than the hand-written separable Pallas kernel (146 us vs
-        #   299 us per 880x16^3 slab; near the ~100 us roofline), since
-        #   XLA pipelines the small per-axis matmuls + elementwise chain
-        #   better than a monolithic VMEM-resident kernel.  Set
-        #   DSPFUN_PALLAS=1 to force the Pallas separable kernel.
+        # - V > 1024: the XLA separable formulation (~146 us per
+        #   880x16^3 slab, near the ~100 us roofline).  A hand-written
+        #   bf16 separable Pallas kernel measured 2x slower here and was
+        #   retired in round 3 (see ops/pallas_kernels.py docstring).
         on_acc = _pk.has_pallas() and jax.default_backend() not in ("cpu",)
         use_pallas = on_acc and vol % 128 == 0 and vol <= 1024
-        hw = g.block.h * g.block.w
-        use_pallas_sep = (on_acc and not use_pallas
-                          and os.environ.get("DSPFUN_PALLAS") == "1"
-                          and hw % 128 == 0 and hw <= 1024
-                          and vol <= _pk.SEP_VOL_MAX)
-        use_xla_sep = not (use_pallas or use_pallas_sep) and vol > 1024
+        use_xla_sep = not use_pallas and vol > 1024
     if fast:
         global LAST_FAST_PATH
 
@@ -322,12 +313,6 @@ def filter_blocks(
         if use_pallas:
             LAST_FAST_PATH = "pallas-kron"
             out = _pk.fused_block_filter(
-                flat, dims3, uf * bpm, threshold=(tmin, tmax),
-                post_filter=1.0 / uf,
-            )
-        elif use_pallas_sep:
-            LAST_FAST_PATH = "pallas-sep"
-            out = _pk.fused_block_filter_sep(
                 flat, dims3, uf * bpm, threshold=(tmin, tmax),
                 post_filter=1.0 / uf,
             )

@@ -68,31 +68,40 @@ def split_matrix_i8(m: np.ndarray, ndig: int = _NDIG):
     return digits, (2.0**e).astype(np.float32)
 
 
-def _kernel(a0, a1, a2, x_ref, out_ref):
-    """One [TM, TR] output tile.  The f32 operand tile is digit-split
-    *in VMEM* (per-column slice scaling; the split never touches HBM),
-    then the 6 digit products with i+j <= 2 run on the MXU int8 path
-    and combine weighted in f32 with the slice scale folded in."""
-    x = x_ref[:]
-    mx = jnp.max(jnp.abs(x), axis=0, keepdims=True)
-    e = jnp.where(mx > 0, jnp.ceil(jnp.log2(mx)) + 1.0, 0.0)
-    r = x * jnp.exp2(-e)
-    xd = []
-    for i in range(_NDIG):
-        sc = float(2.0 ** (B_I8 * (i + 1)))
-        d = jnp.round(r * sc)
-        r = r - d * (1.0 / sc)
-        xd.append(d.astype(jnp.int8))
+def _make_kernel(pl):
+    def kernel(a0, a1, a2, x_ref, out_ref, x0s, x1s, x2s, es):
+        """One [TM, TR] output tile.  The f32 operand tile is digit-split
+        *in VMEM* (per-column slice scaling; the split never touches
+        HBM), hoisted into scratch once per column block (the M-tile
+        grid dimension is innermost), then the 6 digit products with
+        i+j <= 2 run on the MXU int8 path and combine weighted in f32
+        with the slice scale folded in."""
+        i = pl.program_id(1)
 
-    def dot(a, xx):
-        return jnp.dot(a[:], xx, preferred_element_type=jnp.int32)
+        @pl.when(i == 0)
+        def _split():
+            x = x_ref[:]
+            mx = jnp.max(jnp.abs(x), axis=0, keepdims=True)
+            e = jnp.where(mx > 0, jnp.ceil(jnp.log2(mx)) + 1.0, 0.0)
+            r = x * jnp.exp2(-e)
+            for d_ref, idx in ((x0s, 0), (x1s, 1), (x2s, 2)):
+                sc = float(2.0 ** (B_I8 * (idx + 1)))
+                d = jnp.round(r * sc)
+                r = r - d * (1.0 / sc)
+                d_ref[:] = d.astype(jnp.int8)
+            es[:] = jnp.exp2(e)
 
-    w = [float(2.0 ** (-B_I8 * (p + 2))) for p in range(3)]
-    acc = dot(a0, xd[0]).astype(jnp.float32) * w[0]
-    acc += (dot(a0, xd[1]) + dot(a1, xd[0])).astype(jnp.float32) * w[1]
-    acc += (dot(a0, xd[2]) + dot(a1, xd[1])
-            + dot(a2, xd[0])).astype(jnp.float32) * w[2]
-    out_ref[:] = acc * jnp.exp2(e)
+        def dot(a, xx):
+            return jnp.dot(a[:], xx[:], preferred_element_type=jnp.int32)
+
+        w = [float(2.0 ** (-B_I8 * (p + 2))) for p in range(3)]
+        acc = dot(a0, x0s).astype(jnp.float32) * w[0]
+        acc += (dot(a0, x1s) + dot(a1, x0s)).astype(jnp.float32) * w[1]
+        acc += (dot(a0, x2s) + dot(a1, x1s)
+                + dot(a2, x0s)).astype(jnp.float32) * w[2]
+        out_ref[:] = acc * es[:]
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tr", "interpret"))
@@ -102,21 +111,27 @@ def _i8_call(a0, a1, a2, x, tm, tr, interpret):
 
     m, k = a0.shape
     r = x.shape[1]
-    # grid order (R outer, M inner): the f32 operand tile (and its
-    # in-kernel digit split) is loaded/computed once per column block;
-    # the small int8 digit matrices re-stream per step
+    # grid order (R outer, M inner): the f32 operand tile is loaded and
+    # split once per column block (scratch persists across the inner
+    # M steps); the small int8 digit matrices re-stream per step
     grid = (r // tr, m // tm)
     a_spec = pl.BlockSpec((tm, k), lambda j, i: (i, 0),
                           memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((k, tr), lambda j, i: (0, j),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(pl),
         out_shape=jax.ShapeDtypeStruct((m, r), jnp.float32),
         grid=grid,
         in_specs=[a_spec, a_spec, a_spec, x_spec],
         out_specs=pl.BlockSpec((tm, tr), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((k, tr), jnp.int8),
+            pltpu.VMEM((k, tr), jnp.int8),
+            pltpu.VMEM((k, tr), jnp.int8),
+            pltpu.VMEM((1, tr), jnp.float32),
+        ],
         interpret=interpret,
     )(a0, a1, a2, x)
 
@@ -141,9 +156,11 @@ def i8_contract(
     r = int(np.prod(rest)) if rest else 1
     x2 = xf.reshape(k, r)
 
-    # pad to Mosaic tiles: K -> 128 (zero digits), M -> 32*, R -> 128
-    tm = min(256, -(-m // 32) * 32)
-    tr = 256
+    # pad to Mosaic tiles: K -> 128 (zero digits), M -> 32*, R -> 128.
+    # 128x128 output tiles keep the VMEM live set (A digits + f32
+    # operand + digit scratch, ~12 MB at K=3840) under the 16 MB scope
+    tm = min(128, -(-m // 32) * 32)
+    tr = 128
     mp = -(-m // tm) * tm
     rp = -(-r // tr) * tr
     if kp != k or rp != r:

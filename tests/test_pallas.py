@@ -67,56 +67,11 @@ def test_pad_to_row_tile():
 
 
 # ---------------------------------------------------------------------------
-# Separable kernel (V > 1024; lifts the round-1 VMEM cap)
+# Retired in round 3: the bf16 separable kernel (V > 1024) measured 2x
+# slower than the XLA separable formulation on the calibrated motion
+# config and was deleted (VERDICT r2 next item 3); the fast-path gate
+# test below still covers the V=4096 config through xla-sep/xla-kron.
 # ---------------------------------------------------------------------------
-
-
-def test_sep_identity_3d():
-    rng = np.random.default_rng(4)
-    dims = (16, 16, 16)  # V = 4096: beyond the Kronecker kernel's cap
-    x = rng.random((6, 4096)).astype(np.float32) * 255
-    y = np.asarray(pk.fused_block_filter_sep(x, dims, np.ones(dims),
-                                             interpret=True))
-    np.testing.assert_allclose(y, x, atol=2e-3)
-
-
-def test_sep_matches_oracle_full_middle():
-    rng = np.random.default_rng(5)
-    dims = (8, 16, 16)  # V = 2048
-    filt = np.ones(dims)
-    filt[4:, :, :] = 0.25
-    filt[:, 8:, :] *= 1.5
-    post = 1.0 / (1.0 + np.arange(np.prod(dims)).reshape(dims) % 3)
-    x = rng.random((5, 2048)).astype(np.float32) * 255
-    y = np.asarray(pk.fused_block_filter_sep(
-        x, dims, filt, quant=2.0, threshold=(1.0, 1e5), post_filter=post,
-        interpret=True))
-    # oracle with the same ordering: filter -> threshold -> quant -> post
-    nb = x.shape[0]
-    xb = x.reshape(nb, *dims).astype(np.float64)
-    F = scipy.fft.dctn(xb, axes=(1, 2, 3), type=2) * filt[None]
-    a = np.abs(F)
-    F = np.where((a < 1.0) | (a > 1e5), 0.0, F)
-    F = np.round(F / 2.0) * 2.0
-    F = F * post[None]
-    ref = scipy.fft.dctn(F, axes=(1, 2, 3), type=3) / (8 * 2048)
-    np.testing.assert_allclose(y, ref.reshape(nb, -1), atol=2e-3, rtol=1e-5)
-
-
-def test_sep_2d_dims():
-    rng = np.random.default_rng(6)
-    dims = (32, 32)  # V = hw = 1024, 2-D blocks (the hw VMEM ceiling)
-    x = rng.random((4, 1024)).astype(np.float32)
-    y = np.asarray(pk.fused_block_filter_sep(x, dims, np.ones(dims),
-                                             interpret=True))
-    np.testing.assert_allclose(y, x, atol=1e-4)
-
-
-def test_sep_rejects_oversized_hw():
-    with pytest.raises(ValueError, match="h\\*w <= 1024"):
-        pk.fused_block_filter_sep(np.zeros((2, 2048), np.float32),
-                                  (64, 32), np.ones((64, 32)),
-                                  interpret=True)
 
 
 def test_filter_blocks_sep_fast_path_matches_slow():
@@ -161,11 +116,8 @@ def test_baseline_motion_config_engages_fused_path_on_tpu():
     """VERDICT item 7: the BASELINE motion config (16x16x16 blocks,
     V=4096, beyond the round-1 V<=1024 cap) runs a fused fast path on a
     real TPU — the two-point-calibrated default is the XLA separable
-    formulation (146 us/slab vs 299 us for the Pallas separable kernel,
-    near the ~100 us roofline); DSPFUN_PALLAS=1 selects the Pallas
-    kernel."""
-    import os
-
+    formulation (146 us/slab, near the ~100 us roofline; the 2x-slower
+    bf16 separable Pallas kernel was retired in round 3)."""
     import jax
 
     if jax.default_backend() == "cpu":
@@ -188,15 +140,3 @@ def test_baseline_motion_config_engages_fused_path_on_tpu():
                               params=params, plane_index=0, nplanes=1)
     out.block_until_ready()
     assert mp.LAST_FAST_PATH == "xla-sep", mp.LAST_FAST_PATH
-
-    os.environ["DSPFUN_PALLAS"] = "1"
-    try:
-        mp.filter_blocks.clear_cache()
-        mp.LAST_FAST_PATH = None
-        out, _ = mp.filter_blocks(blocks, plans, bc, jnp.asarray(0), geom=g,
-                                  params=params, plane_index=0, nplanes=1)
-        out.block_until_ready()
-        assert mp.LAST_FAST_PATH == "pallas-sep", mp.LAST_FAST_PATH
-    finally:
-        del os.environ["DSPFUN_PALLAS"]
-        mp.filter_blocks.clear_cache()
