@@ -122,6 +122,16 @@ def fused_filter_2d(
     p = precision or get_precision()
     h, w = x.shape[:2]
     fwd, inv, support = _unpack_plans(plans)
+    if p.intermediate == "i8" and x.ndim == 3:
+        # [C, H, W] layout: the i8 kernels contract the leading/batched
+        # and trailing axes directly, so the whole chain runs with zero
+        # internal transposes (ops/int8mm.py)
+        z = jax.numpy.moveaxis(x, -1, 0)
+        F = apply_plan_nd(z, fwd, (1, 2), p, split="mean")
+        mc = jax.numpy.moveaxis(_compact_mask(mask, support), -1, 0)
+        F = F * mc.astype(F.dtype)
+        y = apply_plan_nd(F, inv, (1, 2), p, split="zero0")
+        return jax.numpy.moveaxis(y, 0, -1) / (4.0 * w * h)
     # split hints engage the rank-1 DC-split fast path when p.tol is
     # set (see core/transforms.apply_plan); advisory otherwise
     F = apply_plan_nd(x, fwd, (0, 1), p, split="mean")

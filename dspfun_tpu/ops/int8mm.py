@@ -4,22 +4,30 @@ The v5e MXU runs int8 x int8 -> int32 at 2x its bf16 FLOP rate
 (measured 395 TOPS vs 205 TFLOP/s) **with exact int32 accumulation**.
 Splitting both operands into B=7-bit signed-integer digits therefore
 buys a contraction that is both *faster* than 6-pass ``HIGHEST`` f32
-(6 digit products at 2x rate = 3 bf16-pass cost) and *more accurate*
-(measured 9.2e-8 relative on a 2160-long DCT contraction vs HIGHEST's
-1.8e-7): every digit product is exact, int32 accumulation is exact
-(64*64*K <= 2^31 for K <= 2^19), and the only error is the 2^-22
-digit-representation truncation.
+(6 digit products at 2x rate; the kernel measures 304 effective
+int8-TOPS on a 3840^3 contraction = ~4.8x the HIGHEST rate) and *more
+accurate* (measured ~1e-7 relative vs HIGHEST's 1.8e-7): every digit
+product is exact, int32 accumulation is exact (64*64*K <= 2^31 for
+K <= 2^19), and the only error is the ~2^-22 digit-representation
+truncation.
 
-The XLA formulation of the same math loses to HBM: the [DA*M, DX*R]
-int32 digit-product tensor round-trips ~1 GB.  The Pallas kernel here
-reads the *f32* operand tile, digit-splits it in VMEM (per-slice
-power-of-two scaling), keeps every digit product in VMEM, and emits
-only the weighted f32 combination — neither the digits nor the int32
-products ever touch HBM.
+The XLA formulation of the same math loses to HBM (the int32
+digit-product tensor round-trips ~1 GB); the Pallas kernels here read
+the *f32* operand tile, digit-split it in VMEM (per-slice power-of-two
+scaling, hoisted into scratch across inner grid steps), keep every
+digit product in VMEM, and emit only the weighted f32 combination.
 
-Layout contract (Mosaic int8 tiling is (32, 128)): the contraction
-length K must be padded to a multiple of 128 (zero digits contribute
-zero), M tiles to 32, R tiles to 128; the wrapper pads and slices.
+Two kernel layouts avoid host-side transposes entirely:
+
+* ``left``  — ``y[b, m, r] = sum_k A[m, k] x[b, k, r]`` (contraction
+  axis leading, batch dim riding the grid);
+* ``right`` — ``y[b, r, m] = sum_k x[b, r, k] A[m, k]`` (contraction
+  axis trailing).
+
+A 2-D separable transform chain in ``[C, H, W]`` layout alternates
+left/right and never materialises a transpose (the ``moveaxis`` copies
+were costing more than the matmuls).  Mosaic int8 tiling is (32, 128):
+K pads to 128 (zero digits), M to 32, R to 128; wrappers pad and slice.
 
 This replaces the reference's "intermediate = long double" knob
 (include/precision.h:50-57) at a *better* speed/accuracy point than
@@ -39,7 +47,7 @@ __all__ = ["B_I8", "split_matrix_i8", "i8_contract"]
 
 B_I8 = 7          # digit width: |digit| <= 64 after half-range scaling
 _NDIG = 3         # 3 digits cover ~22 bits below each row/slice max
-_PMAX = 2         # keep digit pairs with i+j <= 2 (weights >= 2^-28)
+_W = [float(2.0 ** (-B_I8 * (p + 2))) for p in range(3)]
 
 
 def split_matrix_i8(m: np.ndarray, ndig: int = _NDIG):
@@ -68,76 +76,126 @@ def split_matrix_i8(m: np.ndarray, ndig: int = _NDIG):
     return digits, (2.0**e).astype(np.float32)
 
 
-def _make_kernel(pl):
-    def kernel(a0, a1, a2, x_ref, out_ref, x0s, x1s, x2s, es):
-        """One [TM, TR] output tile.  The f32 operand tile is digit-split
-        *in VMEM* (per-column slice scaling; the split never touches
-        HBM), hoisted into scratch once per column block (the M-tile
-        grid dimension is innermost), then the 6 digit products with
-        i+j <= 2 run on the MXU int8 path and combine weighted in f32
-        with the slice scale folded in."""
-        i = pl.program_id(1)
+def _split_tile(x, axis):
+    """VPU digit split of an f32 tile with per-slice scaling along
+    ``axis``; returns (digit list (values), exp2-scale)."""
+    mx = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    e = jnp.where(mx > 0, jnp.ceil(jnp.log2(mx)) + 1.0, 0.0)
+    r = x * jnp.exp2(-e)
+    out = []
+    for i in range(_NDIG):
+        sc = float(2.0 ** (B_I8 * (i + 1)))
+        d = jnp.round(r * sc)
+        r = r - d * (1.0 / sc)
+        out.append(d.astype(jnp.int8))
+    return out, jnp.exp2(e)
 
-        @pl.when(i == 0)
-        def _split():
-            x = x_ref[:]
-            mx = jnp.max(jnp.abs(x), axis=0, keepdims=True)
-            e = jnp.where(mx > 0, jnp.ceil(jnp.log2(mx)) + 1.0, 0.0)
-            r = x * jnp.exp2(-e)
-            for d_ref, idx in ((x0s, 0), (x1s, 1), (x2s, 2)):
-                sc = float(2.0 ** (B_I8 * (idx + 1)))
-                d = jnp.round(r * sc)
-                r = r - d * (1.0 / sc)
-                d_ref[:] = d.astype(jnp.int8)
-            es[:] = jnp.exp2(e)
 
-        def dot(a, xx):
-            return jnp.dot(a[:], xx[:], preferred_element_type=jnp.int32)
+def _kernel_left(a0, a1, a2, x_ref, out_ref):
+    """out[0] = sum_pairs w * A_i @ X_j over one [TM, K]x[K, TR] tile.
 
-        w = [float(2.0 ** (-B_I8 * (p + 2))) for p in range(3)]
-        acc = dot(a0, x0s).astype(jnp.float32) * w[0]
-        acc += (dot(a0, x1s) + dot(a1, x0s)).astype(jnp.float32) * w[1]
-        acc += (dot(a0, x2s) + dot(a1, x1s)
-                + dot(a2, x0s)).astype(jnp.float32) * w[2]
-        out_ref[:] = acc * es[:]
+    The M-tile grid dimension is OUTER (the A digit tiles are the big
+    resident operand; re-DMAing them per step made the kernel
+    HBM-bound), so the operand tile re-loads and re-splits per step —
+    at TM >= 256 that VPU work is <1% of the MXU work."""
+    xd, ex = _split_tile(x_ref[0], 0)
 
-    return kernel
+    def dot(a, xx):
+        return jnp.dot(a[:], xx, preferred_element_type=jnp.int32)
+
+    acc = dot(a0, xd[0]).astype(jnp.float32) * _W[0]
+    acc += (dot(a0, xd[1]) + dot(a1, xd[0])).astype(jnp.float32) * _W[1]
+    acc += (dot(a0, xd[2]) + dot(a1, xd[1])
+            + dot(a2, xd[0])).astype(jnp.float32) * _W[2]
+    out_ref[0] = acc * ex
+
+
+def _kernel_right(a0, a1, a2, x_ref, out_ref):
+    xd, ex = _split_tile(x_ref[0], 1)
+    dims = (((1,), (1,)), ((), ()))
+
+    def dot(xx, a):
+        return jax.lax.dot_general(xx, a[:], dims,
+                                   preferred_element_type=jnp.int32)
+
+    acc = dot(xd[0], a0).astype(jnp.float32) * _W[0]
+    acc += (dot(xd[1], a0) + dot(xd[0], a1)).astype(jnp.float32) * _W[1]
+    acc += (dot(xd[2], a0) + dot(xd[1], a1)
+            + dot(xd[0], a2)).astype(jnp.float32) * _W[2]
+    out_ref[0] = acc * ex
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tr", "interpret"))
-def _i8_call(a0, a1, a2, x, tm, tr, interpret):
+def _i8_call_left(a0, a1, a2, x, tm, tr, interpret):
+    """[B, K, R] f32, A digits [M, K] -> [B, M, R] f32 (slice-scaled)."""
     from jax.experimental import pallas as pl  # noqa: PLC0415
     from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
 
     m, k = a0.shape
-    r = x.shape[1]
-    # grid order (R outer, M inner): the f32 operand tile is loaded and
-    # split once per column block (scratch persists across the inner
-    # M steps); the small int8 digit matrices re-stream per step
-    grid = (r // tr, m // tm)
-    a_spec = pl.BlockSpec((tm, k), lambda j, i: (i, 0),
-                          memory_space=pltpu.VMEM)
-    x_spec = pl.BlockSpec((k, tr), lambda j, i: (0, j),
+    b, _, r = x.shape
+    # M-tiles outer, R-tiles inner: A tiles DMA once per outer step
+    grid = (b, m // tm, r // tr)
+    a_spec = pl.BlockSpec((tm, k), lambda c, i, j: (i, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_kernel(pl),
-        out_shape=jax.ShapeDtypeStruct((m, r), jnp.float32),
+        _kernel_left,
+        out_shape=jax.ShapeDtypeStruct((b, m, r), jnp.float32),
         grid=grid,
-        in_specs=[a_spec, a_spec, a_spec, x_spec],
-        out_specs=pl.BlockSpec((tm, tr), lambda j, i: (i, j),
+        in_specs=[a_spec, a_spec, a_spec,
+                  pl.BlockSpec((1, k, tr), lambda c, i, j: (c, 0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tm, tr), lambda c, i, j: (c, i, j),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((k, tr), jnp.int8),
-            pltpu.VMEM((k, tr), jnp.int8),
-            pltpu.VMEM((k, tr), jnp.int8),
-            pltpu.VMEM((1, tr), jnp.float32),
-        ],
         interpret=interpret,
     )(a0, a1, a2, x)
 
 
+@functools.partial(jax.jit, static_argnames=("tm", "tr", "interpret"))
+def _i8_call_right(a0, a1, a2, x, tm, tr, interpret):
+    """[B, R, K] f32, A digits [M, K] -> [B, R, M] f32 (slice-scaled)."""
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+    from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
+
+    m, k = a0.shape
+    b, r, _ = x.shape
+    grid = (b, m // tm, r // tr)
+    a_spec = pl.BlockSpec((tm, k), lambda c, i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel_right,
+        out_shape=jax.ShapeDtypeStruct((b, r, m), jnp.float32),
+        grid=grid,
+        in_specs=[a_spec, a_spec, a_spec,
+                  pl.BlockSpec((1, tr, k), lambda c, i, j: (c, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tr, tm), lambda c, i, j: (c, j, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a0, a1, a2, x)
+
+
+def _tiles(m: int, k: int) -> tuple[int, int, int]:
+    """(tm, tr, mp): M tile sized so the three A digit tiles stay
+    within ~2 MB each (VMEM budget with the f32 operand tile and
+    double buffering), 32-aligned; M pads to a tile multiple."""
+    cap = max(32, min(512, (2_000_000 // max(k, 1)) // 32 * 32))
+    tm = min(cap, -(-m // 32) * 32)
+    mp = -(-m // tm) * tm
+    return tm, 128, mp
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _pad_axis(x, axis, mult):
+    n = x.shape[axis]
+    np_ = -(-n // mult) * mult
+    if np_ == n:
+        return x, n
+    width = [(0, 0)] * x.ndim
+    width[axis] = (0, np_ - n)
+    return jnp.pad(x, width), n
 
 
 def i8_contract(
@@ -147,28 +205,53 @@ def i8_contract(
     axis: int,
 ) -> jax.Array:
     """Contract the int8-digit [M, K] matrix against ``axis`` of ``x``
-    (f32).  Shaped like ``x`` with ``axis`` replaced by M."""
+    (f32).  Shaped like ``x`` with ``axis`` replaced by M.
+
+    Layout-aware: ``axis == 0`` and ``axis == ndim-1`` run without any
+    transpose; a middle axis with a single leading batch dim (the
+    ``[C, H, W]`` separable-chain case) rides the kernels' batch grid
+    dimension; anything else falls back to one moveaxis.
+    """
     axis = axis % x.ndim
     da, m, kp = digits_a.shape
     k = x.shape[axis]
-    xf = jnp.moveaxis(jnp.asarray(x, jnp.float32), axis, 0)
-    rest = xf.shape[1:]
-    r = int(np.prod(rest)) if rest else 1
-    x2 = xf.reshape(k, r)
-
-    # pad to Mosaic tiles: K -> 128 (zero digits), M -> 32*, R -> 128.
-    # 128x128 output tiles keep the VMEM live set (A digits + f32
-    # operand + digit scratch, ~12 MB at K=3840) under the 16 MB scope
-    tm = min(128, -(-m // 32) * 32)
-    tr = 128
-    mp = -(-m // tm) * tm
-    rp = -(-r // tr) * tr
-    if kp != k or rp != r:
-        x2 = jnp.pad(x2, ((0, kp - k), (0, rp - r)))
+    xf = jnp.asarray(x, jnp.float32)
+    tm, tr, mp_ = _tiles(m, kp)
     a = digits_a
-    if mp != m:
-        a = jnp.pad(a, ((0, 0), (0, mp - m), (0, 0)))
+    if mp_ != m:
+        a = jnp.pad(a, ((0, 0), (0, mp_ - m), (0, 0)))
+    interp = _use_interpret()
+    sa = jnp.asarray(scale_a)
 
-    y = _i8_call(a[0], a[1], a[2], x2, tm, tr, _use_interpret())
-    y = y[:m, :r] * jnp.asarray(scale_a)
-    return jnp.moveaxis(y.reshape((m,) + rest), 0, axis)
+    if axis == x.ndim - 1 and x.ndim >= 2:
+        # right-form: [pre..., K] -> [pre..., M]
+        pre = xf.shape[:-1]
+        x2 = xf.reshape(1, -1, k)
+        if kp != k:
+            x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, kp - k)))
+        x2, r0 = _pad_axis(x2, 1, tr)
+        y = _i8_call_right(a[0], a[1], a[2], x2, tm, tr, interp)
+        y = y[0, :r0, :m] * sa[:, 0][None, :]
+        return y.reshape(pre + (m,))
+    if axis == 0:
+        rest = xf.shape[1:]
+        x2 = xf.reshape(1, k, -1)
+        if kp != k:
+            x2 = jnp.pad(x2, ((0, 0), (0, kp - k), (0, 0)))
+        x2, r0 = _pad_axis(x2, 2, tr)
+        y = _i8_call_left(a[0], a[1], a[2], x2, tm, tr, interp)
+        y = y[0, :m, :r0] * sa
+        return y.reshape((m,) + rest)
+    if axis == 1 and x.ndim == 3:
+        # batched left-form over the leading dim (the [C, H, W] case)
+        b = xf.shape[0]
+        x2 = xf
+        if kp != k:
+            x2 = jnp.pad(x2, ((0, 0), (0, kp - k), (0, 0)))
+        x2, r0 = _pad_axis(x2, 2, tr)
+        y = _i8_call_left(a[0], a[1], a[2], x2, tm, tr, interp)
+        y = y[:, :m, :r0] * sa[None]
+        return y
+    # general middle axis: one moveaxis to the front
+    y = i8_contract(jnp.moveaxis(xf, axis, 0), digits_a, scale_a, 0)
+    return jnp.moveaxis(y, 0, axis)

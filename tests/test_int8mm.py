@@ -1,0 +1,103 @@
+"""ops.int8mm: int8 Ozaki digit contraction (Pallas, interpret mode on
+CPU; the TPU engagement/throughput numbers live in CLAUDE.md and the
+checked-in benchmark artifacts).
+
+Oracle is float64 numpy; the digit scheme's only error is the ~2^-22
+per-slice representation truncation, so everything here asserts
+~1e-6-class accuracy.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dspfun_tpu.core import basis as basis_mod
+from dspfun_tpu.core.precision import Precision
+from dspfun_tpu.core.transforms import apply_plan, plan_axis
+from dspfun_tpu.ops.int8mm import B_I8, i8_contract, split_matrix_i8
+
+
+def test_split_matrix_digits_reconstruct():
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((24, 200)) * 5.0
+    digits, scale = split_matrix_i8(m)
+    assert digits.dtype == np.int8
+    assert digits.shape[2] % 128 == 0          # K lane-padded
+    assert np.max(np.abs(digits.astype(np.int32))) <= 65
+    rec = np.zeros((24, digits.shape[2]))
+    for i in range(digits.shape[0]):
+        rec += digits[i].astype(np.float64) * 2.0 ** (-B_I8 * (i + 1))
+    rec = rec[:, :200] * scale
+    # ~20 bits below each row max (the ceil+1 half-range scaling can
+    # cost up to 2 bits vs the ideal normalisation)
+    err = np.max(np.abs(rec - m) / np.max(np.abs(m), axis=1, keepdims=True))
+    assert err <= 2.0**-20
+
+
+@pytest.mark.parametrize("axis,shape", [
+    (0, (160, 70)),          # left form
+    (1, (3, 160, 70)),       # batched left form ([C, H, W] case)
+    (2, (3, 50, 160)),       # right form
+    (1, (2, 160, 5, 7)),     # general middle axis (moveaxis fallback)
+])
+def test_i8_contract_forms(axis, shape):
+    k = shape[axis]
+    rng = np.random.default_rng(1)
+    m = basis_mod.dct2_matrix(k)
+    x = (rng.random(shape).astype(np.float32) - 0.3) * 4
+    digits, scale = split_matrix_i8(m)
+    y = np.asarray(jax.jit(
+        lambda xx: i8_contract(xx, jnp.asarray(digits), jnp.asarray(scale),
+                               axis))(x), np.float64)
+    ref = np.moveaxis(
+        np.tensordot(m, x.astype(np.float64), axes=[[1], [axis]]), 0, axis)
+    rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+    assert rel <= 1e-6, rel
+
+
+def test_i8_apply_plan_roundtrip():
+    n = 256
+    p = Precision(intermediate="i8")
+    rng = np.random.default_rng(2)
+    x = rng.random((n, n)).astype(np.float32)
+    f = apply_plan(jnp.asarray(x), plan_axis(n, "dct2", p), 0, p)
+    y = apply_plan(f, plan_axis(n, "dct3", p), 0, p) / (2.0 * n)
+    # bare i8 (no DC-split hints): ~2^-20 per slice amplified by the
+    # DC-dominated spectrum; the fused chains pass split hints and land
+    # ~1e-6 (see test_i8_fused_chain_pruned)
+    assert np.max(np.abs(np.asarray(y, np.float64) - x)) <= 1e-4
+
+
+def test_i8_fused_chain_pruned():
+    import scipy.fft
+
+    from dspfun_tpu.models.fused import filter_plans, fused_filter_2d, lowpass_mask
+
+    h, w = 96, 128
+    rng = np.random.default_rng(3)
+    x = rng.random((h, w, 3)).astype(np.float32)
+    mask = lowpass_mask((h, w), cutoff=0.25, boost=1.25)[:, :, None].astype(np.float32)
+    ref = scipy.fft.dctn(x.astype(np.float64), type=2, axes=(0, 1))
+    ref *= mask
+    ref = scipy.fft.dctn(ref, type=3, axes=(0, 1)) / (4.0 * w * h)
+    p = Precision(intermediate="i8")
+    plans = jax.device_put(filter_plans((h, w), p, mask=mask))
+    y = jax.jit(lambda a, m_, pl: fused_filter_2d(a, m_, pl, p))(x, mask, plans)
+    assert np.max(np.abs(np.asarray(y, np.float64) - ref)) <= 1e-5
+
+
+def test_i8_zero_and_constant_slices():
+    """Zero slices (mx=0) and constant slices must not produce NaNs."""
+    k = 128
+    m = basis_mod.dct2_matrix(k)
+    digits, scale = split_matrix_i8(m)
+    x = np.zeros((k, 4), np.float32)
+    x[:, 1] = 3.0
+    y = np.asarray(i8_contract(jnp.asarray(x), jnp.asarray(digits),
+                               jnp.asarray(scale), 0), np.float64)
+    assert np.all(np.isfinite(y))
+    np.testing.assert_allclose(y[:, 0], 0.0)
+    ref = m @ x.astype(np.float64)
+    assert np.max(np.abs(y - ref)) <= 1e-4
