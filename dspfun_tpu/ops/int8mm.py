@@ -11,11 +11,14 @@ product is exact, int32 accumulation is exact (64*64*K <= 2^31 for
 K <= 2^19), and the only error is the ~2^-22 digit-representation
 truncation.
 
-The XLA formulation of the same math loses to HBM (the int32
-digit-product tensor round-trips ~1 GB); the Pallas kernels here read
-the *f32* operand tile, digit-split it in VMEM (per-slice power-of-two
-scaling, hoisted into scratch across inner grid steps), keep every
-digit product in VMEM, and emit only the weighted f32 combination.
+The all-XLA formulation of the same math loses to HBM (the int32
+digit-product tensor round-trips ~1 GB); conversely, splitting *inside*
+the kernel loses to the VPU (~18 full-tile vector passes per grid step
+vs ~8 us of MXU work — the VPU runs at ~1 Top/s).  The division of
+labour that wins: the operand digit split runs as fused XLA elementwise
+passes (HBM-cheap), and the Pallas kernels do pure MXU work — six int8
+digit products per tile, weighted-combined in f32 in VMEM, one f32
+write; the per-slice scales multiply on afterwards (fused by XLA).
 
 Two kernel layouts avoid host-side transposes entirely:
 
@@ -76,9 +79,12 @@ def split_matrix_i8(m: np.ndarray, ndig: int = _NDIG):
     return digits, (2.0**e).astype(np.float32)
 
 
-def _split_tile(x, axis):
-    """VPU digit split of an f32 tile with per-slice scaling along
-    ``axis``; returns (digit list (values), exp2-scale)."""
+def _split_operand_xla(x: jax.Array, axis: int):
+    """XLA (pre-kernel) digit split of an f32 operand with per-slice
+    scaling along ``axis``: a handful of fused elementwise HBM passes —
+    far cheaper than splitting on the VPU inside the kernel (the ~18
+    full-tile VPU passes per grid step were the kernel bottleneck).
+    Returns (3 int8 digit arrays, exp2-scale with ``axis`` kept)."""
     mx = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
     e = jnp.where(mx > 0, jnp.ceil(jnp.log2(mx)) + 1.0, 0.0)
     r = x * jnp.exp2(-e)
@@ -91,97 +97,97 @@ def _split_tile(x, axis):
     return out, jnp.exp2(e)
 
 
-def _kernel_left(a0, a1, a2, x_ref, out_ref):
-    """out[0] = sum_pairs w * A_i @ X_j over one [TM, K]x[K, TR] tile.
-
-    The M-tile grid dimension is OUTER (the A digit tiles are the big
-    resident operand; re-DMAing them per step made the kernel
-    HBM-bound), so the operand tile re-loads and re-splits per step —
-    at TM >= 256 that VPU work is <1% of the MXU work."""
-    xd, ex = _split_tile(x_ref[0], 0)
-
+def _kernel_left(a0, a1, a2, x0, x1, x2, out_ref):
+    """out[0] = sum_pairs w * A_i @ X_j over one [TM, K]x[K, TR] tile —
+    pure MXU work; the digit split happened in XLA.  The M-tile grid
+    dimension is OUTER (the A digit tiles are the big resident operand;
+    re-DMAing them per step made the kernel HBM-bound)."""
     def dot(a, xx):
-        return jnp.dot(a[:], xx, preferred_element_type=jnp.int32)
+        return jnp.dot(a[:], xx[0], preferred_element_type=jnp.int32)
 
-    acc = dot(a0, xd[0]).astype(jnp.float32) * _W[0]
-    acc += (dot(a0, xd[1]) + dot(a1, xd[0])).astype(jnp.float32) * _W[1]
-    acc += (dot(a0, xd[2]) + dot(a1, xd[1])
-            + dot(a2, xd[0])).astype(jnp.float32) * _W[2]
-    out_ref[0] = acc * ex
+    acc = dot(a0, x0).astype(jnp.float32) * _W[0]
+    acc += (dot(a0, x1) + dot(a1, x0)).astype(jnp.float32) * _W[1]
+    acc += (dot(a0, x2) + dot(a1, x1)
+            + dot(a2, x0)).astype(jnp.float32) * _W[2]
+    out_ref[0] = acc
 
 
-def _kernel_right(a0, a1, a2, x_ref, out_ref):
-    xd, ex = _split_tile(x_ref[0], 1)
+def _kernel_right(a0, a1, a2, x0, x1, x2, out_ref):
     dims = (((1,), (1,)), ((), ()))
 
     def dot(xx, a):
-        return jax.lax.dot_general(xx, a[:], dims,
+        return jax.lax.dot_general(xx[0], a[:], dims,
                                    preferred_element_type=jnp.int32)
 
-    acc = dot(xd[0], a0).astype(jnp.float32) * _W[0]
-    acc += (dot(xd[1], a0) + dot(xd[0], a1)).astype(jnp.float32) * _W[1]
-    acc += (dot(xd[2], a0) + dot(xd[1], a1)
-            + dot(xd[0], a2)).astype(jnp.float32) * _W[2]
-    out_ref[0] = acc * ex
+    acc = dot(x0, a0).astype(jnp.float32) * _W[0]
+    acc += (dot(x1, a0) + dot(x0, a1)).astype(jnp.float32) * _W[1]
+    acc += (dot(x2, a0) + dot(x1, a1)
+            + dot(x0, a2)).astype(jnp.float32) * _W[2]
+    out_ref[0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tr", "interpret"))
-def _i8_call_left(a0, a1, a2, x, tm, tr, interpret):
-    """[B, K, R] f32, A digits [M, K] -> [B, M, R] f32 (slice-scaled)."""
+def _i8_call_left(a0, a1, a2, x0, x1, x2, tm, tr, interpret):
+    """A digits [M, K] x operand digits [B, K, R] int8 -> [B, M, R] f32
+    (unscaled digit combination)."""
     from jax.experimental import pallas as pl  # noqa: PLC0415
     from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
 
     m, k = a0.shape
-    b, _, r = x.shape
+    b, _, r = x0.shape
     # M-tiles outer, R-tiles inner: A tiles DMA once per outer step
     grid = (b, m // tm, r // tr)
     a_spec = pl.BlockSpec((tm, k), lambda c, i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, k, tr), lambda c, i, j: (c, 0, j),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _kernel_left,
         out_shape=jax.ShapeDtypeStruct((b, m, r), jnp.float32),
         grid=grid,
-        in_specs=[a_spec, a_spec, a_spec,
-                  pl.BlockSpec((1, k, tr), lambda c, i, j: (c, 0, j),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[a_spec, a_spec, a_spec, x_spec, x_spec, x_spec],
         out_specs=pl.BlockSpec((1, tm, tr), lambda c, i, j: (c, i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(a0, a1, a2, x)
+    )(a0, a1, a2, x0, x1, x2)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tr", "interpret"))
-def _i8_call_right(a0, a1, a2, x, tm, tr, interpret):
-    """[B, R, K] f32, A digits [M, K] -> [B, R, M] f32 (slice-scaled)."""
+def _i8_call_right(a0, a1, a2, x0, x1, x2, tm, tr, interpret):
+    """A digits [M, K] x operand digits [B, R, K] int8 -> [B, R, M] f32
+    (unscaled digit combination)."""
     from jax.experimental import pallas as pl  # noqa: PLC0415
     from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
 
     m, k = a0.shape
-    b, r, _ = x.shape
+    b, r, _ = x0.shape
     grid = (b, m // tm, r // tr)
     a_spec = pl.BlockSpec((tm, k), lambda c, i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, tr, k), lambda c, i, j: (c, j, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _kernel_right,
         out_shape=jax.ShapeDtypeStruct((b, r, m), jnp.float32),
         grid=grid,
-        in_specs=[a_spec, a_spec, a_spec,
-                  pl.BlockSpec((1, tr, k), lambda c, i, j: (c, j, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[a_spec, a_spec, a_spec, x_spec, x_spec, x_spec],
         out_specs=pl.BlockSpec((1, tr, tm), lambda c, i, j: (c, j, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(a0, a1, a2, x)
+    )(a0, a1, a2, x0, x1, x2)
 
 
 def _tiles(m: int, k: int) -> tuple[int, int, int]:
-    """(tm, tr, mp): M tile sized so the three A digit tiles stay
-    within ~2 MB each (VMEM budget with the f32 operand tile and
-    double buffering), 32-aligned; M pads to a tile multiple."""
-    cap = max(32, min(512, (2_000_000 // max(k, 1)) // 32 * 32))
+    """(tm, tr, mp): tiles sized for the digit-only VMEM live set
+    (2x3 A tiles + 2x3 operand-digit tiles + out, all int8 but out;
+    ~13 MB at K=3840 under the 16 MB scope), 32/128-aligned; M pads to
+    a tile multiple.  256-wide R tiles amortise the per-step grid
+    overhead that dominated at 128."""
+    tr = 256
+    cap = max(32, min(512, (1_200_000 // max(k, 1)) // 32 * 32))
     tm = min(cap, -(-m // 32) * 32)
     mp = -(-m // tm) * tm
-    return tm, 128, mp
+    return tm, tr, mp
 
 
 def _use_interpret() -> bool:
@@ -230,8 +236,9 @@ def i8_contract(
         if kp != k:
             x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, kp - k)))
         x2, r0 = _pad_axis(x2, 1, tr)
-        y = _i8_call_right(a[0], a[1], a[2], x2, tm, tr, interp)
-        y = y[0, :r0, :m] * sa[:, 0][None, :]
+        xd, ex = _split_operand_xla(x2, 2)
+        y = _i8_call_right(a[0], a[1], a[2], *xd, tm, tr, interp)
+        y = y[0, :r0, :m] * ex[0, :r0, :] * sa[:, 0][None, :]
         return y.reshape(pre + (m,))
     if axis == 0:
         rest = xf.shape[1:]
@@ -239,18 +246,19 @@ def i8_contract(
         if kp != k:
             x2 = jnp.pad(x2, ((0, 0), (0, kp - k), (0, 0)))
         x2, r0 = _pad_axis(x2, 2, tr)
-        y = _i8_call_left(a[0], a[1], a[2], x2, tm, tr, interp)
-        y = y[0, :m, :r0] * sa
+        xd, ex = _split_operand_xla(x2, 1)
+        y = _i8_call_left(a[0], a[1], a[2], *xd, tm, tr, interp)
+        y = y[0, :m, :r0] * ex[0, :, :r0] * sa
         return y.reshape((m,) + rest)
     if axis == 1 and x.ndim == 3:
         # batched left-form over the leading dim (the [C, H, W] case)
-        b = xf.shape[0]
         x2 = xf
         if kp != k:
             x2 = jnp.pad(x2, ((0, 0), (0, kp - k), (0, 0)))
         x2, r0 = _pad_axis(x2, 2, tr)
-        y = _i8_call_left(a[0], a[1], a[2], x2, tm, tr, interp)
-        y = y[:, :m, :r0] * sa[None]
+        xd, ex = _split_operand_xla(x2, 1)
+        y = _i8_call_left(a[0], a[1], a[2], *xd, tm, tr, interp)
+        y = y[:, :m, :r0] * ex[:, :, :r0] * sa[None]
         return y
     # general middle axis: one moveaxis to the front
     y = i8_contract(jnp.moveaxis(xf, axis, 0), digits_a, scale_a, 0)

@@ -4,6 +4,10 @@
 # unset it to run on the TPU.
 set -e
 export DSPFUN_PLATFORM="${DSPFUN_PLATFORM:-cpu}"
+# make the repo importable from the temp working dir (append, don't
+# replace — the TPU plugin also rides PYTHONPATH; see CLAUDE.md)
+repo_dir="$(CDPATH= cd -- "$(dirname -- "$0")/.." && pwd)"
+export PYTHONPATH="${repo_dir}${PYTHONPATH:+:$PYTHONPATH}"
 cd "$(mktemp -d)"
 echo "working in $PWD"
 
