@@ -30,12 +30,15 @@ def main() -> int:
     x_np = rng.random((h, w, c)).astype(np.float32)
     mask_np = lowpass_mask((h, w), cutoff=0.25, boost=1.25, damp=0.0)[:, :, None]
 
-    # tol=1e-6 keeps 6-pass HIGHEST matmuls but engages the rank-1
-    # DC-split (mean/zero0) contraction; the mask enables support
-    # pruning — only the pass-band coefficients are computed (the
-    # fused-chain generalisation of scan's pruned IDCT, reference
-    # scan/scan.c:20-41; result is identical algebra).
-    precision = Precision(coeff="float32", intermediate="f32", tol=1e-6)
+    # i8 = int8 Ozaki digit contraction on the MXU's 2x-rate int8 path
+    # (ops/int8mm.py Pallas kernels; exact int32 accumulation, ~2e-6
+    # chain error) + rank-1 DC-split (mean/zero0 applied analytically)
+    # + mask-support pruning — only the pass-band coefficients are
+    # computed (the fused-chain generalisation of scan's pruned IDCT,
+    # reference scan/scan.c:20-41; identical algebra).  The f32
+    # fallback at tol=1e-6 (pruned + split + HIGHEST) measures
+    # 1,932 MP/s at 2.5e-7 if i8 ever regresses.
+    precision = Precision(coeff="float32", intermediate="i8", tol=1e-5)
     # plans are host numpy; ship them to HBM once (they are the FFTW-plan
     # analogue and must not be re-uploaded per call)
     plans = jax.device_put(filter_plans((h, w), precision, mask=mask_np))

@@ -184,8 +184,10 @@ def _tiles(m: int, k: int) -> tuple[int, int, int]:
     a tile multiple.  256-wide R tiles amortise the per-step grid
     overhead that dominated at 128."""
     tr = 256
-    cap = max(32, min(512, (1_200_000 // max(k, 1)) // 32 * 32))
-    tm = min(cap, -(-m // 32) * 32)
+    # tm rides the output LANE dim in the right-form kernel -> must be
+    # a multiple of 128
+    cap = max(128, min(512, (1_200_000 // max(k, 1)) // 128 * 128))
+    tm = min(cap, -(-m // 128) * 128)
     mp = -(-m // tm) * tm
     return tm, tr, mp
 
