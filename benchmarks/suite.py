@@ -172,6 +172,7 @@ def bench_zoom(quick):
     import jax
     import scipy.fft
 
+    from dspfun_tpu.core.precision import Precision, get_precision, set_precision
     from dspfun_tpu.io.color import srgb_decode, srgb_encode
     from dspfun_tpu.models import zoom_pipeline as zp
 
@@ -181,16 +182,46 @@ def bench_zoom(quick):
     spec = jax.device_put(jax.numpy.asarray(
         zp.forward_spectrum(srgb_decode(img)), jax.numpy.float32))
 
-    # two-point timing: the synthesis output shape differs from the
-    # input, so chain a scalar carry perturbing the spectrum by ~1e-38
-    # (numerically nil, but keeps XLA from hoisting the loop body)
-    def step(carry):
-        f = zp.zoom_frame_device(spec + carry * 1e-38, "interpolated",
-                                 (4, 1), (4, 1), 0, 0, w * 2, h * 2,
-                                 encode_trc=True)
-        return f[0, 0, 0]
+    # the display-bound synthesis runs the int8 digit path under a
+    # 1e-5 budget (models/zoom_pipeline._synth; ~2^-20 relative, far
+    # below 8-bit display precision); err vs a f64 oracle is reported
+    prev = get_precision()
+    set_precision(Precision(coeff="float32", intermediate="i8", tol=1e-5))
+    try:
+        # two-point timing: the synthesis output shape differs from the
+        # input, so chain a scalar carry perturbing the spectrum by
+        # ~1e-38 (numerically nil, but keeps XLA from hoisting the body)
+        def step(carry):
+            f = zp.zoom_frame_device(spec + carry * 1e-38, "interpolated",
+                                     (4, 1), (4, 1), 0, 0, w * 2, h * 2,
+                                     encode_trc=True)
+            return f[0, 0, 0]
 
-    dt = _time_fori(step, jax.numpy.zeros((), jax.numpy.float32), iters=4)
+        dt = _time_fori(step, jax.numpy.zeros((), jax.numpy.float32), iters=4)
+        frame = np.asarray(zp.zoom_frame_device(
+            spec, "interpolated", (4, 1), (4, 1), 0, 0, w * 2, h * 2,
+            encode_trc=True), np.float64)
+    finally:
+        set_precision(prev)
+
+    # f64 oracle of the same continuous-basis synthesis (first rows)
+    nv = 64
+    F64 = np.asarray(spec, np.float64)
+
+    def hb(nvec, length):
+        b = np.arange(nvec, dtype=np.float64)[:, None]
+        j = np.arange(length, dtype=np.float64)[None, :]
+        k = b / 4.0
+        ncomp = min(length, round(length * 4.0))
+        m = np.cos(np.pi * (k + 0.5) * j / length)
+        m[:, 0] = 0.5
+        return np.where(np.arange(length)[None, :] < ncomp, m, 0.0)
+
+    yb, xb = hb(nv, h), hb(2 * w, w)
+    from dspfun_tpu.io.color import srgb_encode as _enc64
+
+    ref = _enc64(np.einsum("jv,vuc,iu->jic", yb, F64, xb) / (h * w))
+    err = float(np.max(np.abs(frame[:nv] - ref)))
 
     # single-core pocketfft proxy baseline: cosine upsampling to the
     # same output pixels = IDCT of the zero-padded spectrum (+ the
@@ -210,6 +241,7 @@ def bench_zoom(quick):
     return {
         "metric": f"zoom 4x of {w}x{h} linear-light (per {w*2}x{h*2} frame)",
         "value": round(out_mp / dt, 2), "unit": "out MP/s",
+        "max_abs_err_vs_f64": err,
         "baseline_MP/s": round(out_mp / base_dt, 2),
         "vs_baseline": round(base_dt / dt, 1),
         "baseline": "pocketfft f64 1-core zero-pad cosine upsample + trc",

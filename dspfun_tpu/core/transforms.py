@@ -182,7 +182,13 @@ def apply_plan(
                       if plan.lo is not None else None)
         return resid, piv, vec_hi, vec_lo
 
-    if plan.digits is not None and jnp.asarray(plan.digits).dtype == jnp.int8:
+    if (plan.digits is not None and jnp.asarray(plan.digits).dtype == jnp.int8
+            and x.shape[axis] < 256):
+        # tiny contractions (blockwise DCTs, K <= 16) would pad K to
+        # the 128-lane tile and waste the int8 rate; 6-pass HIGHEST on
+        # the f32 matrix is both faster and more accurate there
+        y = tdot(plan.hi, x.astype(jnp.float32))
+    elif plan.digits is not None and jnp.asarray(plan.digits).dtype == jnp.int8:
         from dspfun_tpu.ops.int8mm import i8_contract  # noqa: PLC0415
 
         xf = x.astype(jnp.float32)

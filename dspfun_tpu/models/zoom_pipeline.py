@@ -119,17 +119,55 @@ def _device_basis(scaling_id, num, den, offset, nvectors, sampling_len, dtype):
     k = jnp.where(scaling_id == 0, k_interp,
                   jnp.where(scaling_id == 1, k_center, k_native))
     big_n = jnp.where(scaling_id == 2, l * num / den, float(l))
-    m = jnp.cos(jnp.pi * (k + 0.5) * j / big_n)
+    # cos(pi*(k+0.5)*j/N): the naive f32 phase loses ~1.6e-4 absolute
+    # once (k+0.5)*j grows past ~2^13 (f32 ulp of the product times pi).
+    # For the integral-period scalings (interpolated/centered: N == l,
+    # a static int) fold the integer part of the phase EXACTLY in int32
+    # — ki*j mod 2l is exact for ki*j < 2^31 — so only the fractional
+    # product (magnitude <= j, which then divides by l) carries f32
+    # rounding: basis error drops from ~4e-4 to ~1e-6 at 1080p.
+    # "native" can have a fractional period and keeps the direct form.
+    kk = k + 0.5
+    ki = jnp.floor(kk)
+    kf = kk - ki
+    mi = jnp.mod(ki.astype(jnp.int32) * j.astype(jnp.int32), 2 * l)
+    ph_folded = (mi.astype(dtype) + kf * j) / float(l)
+    ph_direct = kk * j / big_n
+    ph = jnp.where(scaling_id == 2, ph_direct, ph_folded)
+    m = jnp.cos(jnp.pi * jnp.mod(ph, 2.0))
     m = jnp.where(j == 0, 0.5, m)
     return jnp.where(j < ncomp, m, 0.0)
 
 
 def _synth(spectrum, yb, xb, encode_trc):
     """Separable synthesis tail shared by the device and sharded paths
-    (keep in one place so the two cannot drift)."""
+    (keep in one place so the two cannot drift).
+
+    When the runtime precision policy is ``i8`` with a tolerance set,
+    the two contractions run as int8 digit matmuls with the in-graph
+    basis split on device (ops/int8mm.i8_contract_rt — ~2x the HIGHEST
+    rate at ~2^-20 relative, far below display precision); HIGHEST
+    otherwise (the reference computes zoom in long double)."""
     h, w = spectrum.shape[:2]
-    out = jnp.einsum("jv,vuc,iu->jic", yb, spectrum, xb, optimize=True,
-                     precision=jax.lax.Precision.HIGHEST)
+    p = get_precision()
+    if (p.intermediate == "i8" and p.tol is not None
+            and min(h, w) >= 256):
+        from dspfun_tpu.ops.int8mm import i8_contract_rt  # noqa: PLC0415
+
+        # zero0-style DC peel (see core/transforms.apply_plan): the DC
+        # row/column dominate the spectrum's dynamic range and both
+        # basis matrices have an exactly-0.5 column 0, so the dominant
+        # terms are plain broadcast adds and the int8 digits only carry
+        # the balanced residual
+        z = jnp.moveaxis(spectrum, -1, 0)            # [c, h, w]
+        row0 = z[:, 0:1, :]
+        t = i8_contract_rt(z.at[:, 0, :].set(0.0), yb, 1) + 0.5 * row0
+        col0 = t[:, :, 0:1]
+        o = i8_contract_rt(t.at[:, :, 0].set(0.0), xb, 2) + 0.5 * col0
+        out = jnp.moveaxis(o, 0, -1)
+    else:
+        out = jnp.einsum("jv,vuc,iu->jic", yb, spectrum, xb, optimize=True,
+                         precision=jax.lax.Precision.HIGHEST)
     out = out / (h * w)
     if encode_trc:
         from dspfun_tpu.io.color import srgb_encode  # noqa: PLC0415

@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["B_I8", "split_matrix_i8", "i8_contract"]
+__all__ = ["B_I8", "split_matrix_i8", "i8_contract", "i8_contract_rt"]
 
 B_I8 = 7          # digit width: |digit| <= 64 after half-range scaling
 _NDIG = 3         # 3 digits cover ~22 bits below each row/slice max
@@ -220,16 +220,35 @@ def i8_contract(
     ``[C, H, W]`` separable-chain case) rides the kernels' batch grid
     dimension; anything else falls back to one moveaxis.
     """
-    axis = axis % x.ndim
     da, m, kp = digits_a.shape
+    return _i8_dispatch(x, [digits_a[i] for i in range(da)],
+                        jnp.asarray(scale_a), axis, m, kp)
+
+
+def i8_contract_rt(x: jax.Array, a_f32: jax.Array, axis: int) -> jax.Array:
+    """Like :func:`i8_contract` but the [M, K] matrix is a *runtime*
+    f32 array — the digit split runs on device (fused XLA elementwise).
+    For in-graph-generated bases (zoom's continuous DCT basis is built
+    from four traced scalars per frame, models/zoom_pipeline.py)."""
+    af = jnp.asarray(a_f32, jnp.float32)
+    m, k = af.shape
+    kp = -(-k // 128) * 128
+    if kp != k:
+        af = jnp.pad(af, ((0, 0), (0, kp - k)))
+    ad, ea = _split_operand_xla(af, 1)     # per-row slice scaling
+    return _i8_dispatch(x, ad, ea, axis, m, kp)
+
+
+def _i8_dispatch(x, a_digits, scale_a, axis, m, kp):
+    axis = axis % x.ndim
     k = x.shape[axis]
     xf = jnp.asarray(x, jnp.float32)
     tm, tr, mp_ = _tiles(m, kp)
-    a = digits_a
+    a = a_digits
     if mp_ != m:
-        a = jnp.pad(a, ((0, 0), (0, mp_ - m), (0, 0)))
+        a = [jnp.pad(d, ((0, mp_ - m), (0, 0))) for d in a]
     interp = _use_interpret()
-    sa = jnp.asarray(scale_a)
+    sa = scale_a
 
     if axis == x.ndim - 1 and x.ndim >= 2:
         # right-form: [pre..., K] -> [pre..., M]
@@ -263,5 +282,5 @@ def i8_contract(
         y = y[:, :m, :r0] * ex[:, :, :r0] * sa[None]
         return y
     # general middle axis: one moveaxis to the front
-    y = i8_contract(jnp.moveaxis(xf, axis, 0), digits_a, scale_a, 0)
+    y = _i8_dispatch(jnp.moveaxis(xf, axis, 0), a_digits, scale_a, 0, m, kp)
     return jnp.moveaxis(y, 0, axis)
