@@ -482,14 +482,12 @@ def bench_spec_wholeimage(quick):
     # raw-spectrum template: measures the transform, not the +-0.5
     # display encoding (see tests/test_exact.py)
     params = SpecChainParams.template("copy")
-    # hilo auto-upgrades to exact at >=256 px; force exact in quick
-    # mode.  tol=1e-5 engages the tolerance-budgeted digit contraction
-    # (core/exact.py budget_bits) — ~2x fewer MXU passes than the full
-    # f64-tail split, still well under the BASELINE 1e-5 target
-    # (measured 3.0e-7 at 512^2 on the chip).
-    prec = Precision(coeff="float32",
-                     intermediate="hilo" if n >= 256 else "exact",
-                     tol=1e-5)
+    # the fastest mode that meets the BASELINE <=1e-5 target: int8
+    # digit contraction + rank-1 DC splits (spec_pipeline._whole_dct);
+    # measured 5.9e-6 at 512^2.  The bf16 budgeted-exact path
+    # (intermediate="hilo"/"exact" with tol, auto-upgraded) measures
+    # 457 MP/s at 3.1e-7 and stays the conservative tool default.
+    prec = Precision(coeff="float32", intermediate="i8", tol=1e-5)
 
     @jax.jit
     def roundtrip(x):
@@ -516,7 +514,7 @@ def bench_spec_wholeimage(quick):
     oracle = base()
     err = float(np.max(np.abs(got - oracle)))
     return {
-        "metric": f"spec+ispec whole-image round trip {n}x{n} RGB (exact path)",
+        "metric": f"spec+ispec whole-image round trip {n}x{n} RGB (int8 digit path)",
         "value": round(n * n / dt / 1e6, 2), "unit": "MP/s",
         "max_abs_err_vs_f64": err,
         "baseline_MP/s": round(n * n / base_dt / 1e6, 2),

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dspfun_tpu.core.precision import Precision, get_precision
-from dspfun_tpu.core.transforms import dct2_nd, dct3_nd, uniform_grid
+from dspfun_tpu.core.transforms import apply_plan, plan_axis, uniform_grid
 
 __all__ = ["SpecChainParams", "spec_forward", "spec_inverse", "compute_gain"]
 
@@ -75,6 +75,23 @@ def _whole_image_precision(precision: Precision | None, shape) -> Precision:
     return p
 
 
+def _whole_dct(x: jnp.ndarray, kind: str, p: Precision) -> jnp.ndarray:
+    """Whole-image separable DCT over [H, W, C] with the rank-1
+    DC-split hints (mean on forward, zero0 on inverse — exact algebra,
+    see core/transforms.apply_plan).  The i8 mode runs channel-first so
+    both contractions hit the transpose-free int8 kernel forms."""
+    h, w = x.shape[:2]
+    split = "mean" if kind == "dct2" else "zero0"
+    ph, pw = plan_axis(h, kind, p), plan_axis(w, kind, p)
+    if p.intermediate == "i8" and x.ndim == 3:
+        z = jnp.moveaxis(x, -1, 0)
+        z = apply_plan(z, ph, 1, p, split=split)
+        z = apply_plan(z, pw, 2, p, split=split)
+        return jnp.moveaxis(z, 0, -1)
+    x = apply_plan(x, ph, 0, p, split=split)
+    return apply_plan(x, pw, 1, p, split=split)
+
+
 def compute_gain(params: SpecChainParams, w: int, h: int) -> float:
     """reference spec/spec.c:81-90."""
     if params.gaintype == "native":
@@ -110,7 +127,7 @@ def spec_forward(
     h, w, d = x.shape
     gain = compute_gain(params, w, h)
 
-    F = dct2_nd(x, (0, 1), p)
+    F = _whole_dct(x, "dct2", p)
     grid = uniform_grid((h, w))[:, :, None]
     # uniform range +-1, then gain (spec.c:70-90); constants folded.
     f = F * jnp.asarray(grid * (gain / (4.0 * w * h)), dtype=F.dtype)
@@ -201,4 +218,4 @@ def spec_inverse(
             raise ValueError("DC required for preserve_dc")
         f = f.at[0, 0, :].set(jnp.asarray(dc, dtype=f.dtype))
 
-    return dct3_nd(f, (0, 1), p)
+    return _whole_dct(f, "dct3", p)
