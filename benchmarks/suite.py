@@ -220,7 +220,8 @@ def bench_zoom(quick):
     yb, xb = hb(nv, h), hb(2 * w, w)
     from dspfun_tpu.io.color import srgb_encode as _enc64
 
-    ref = _enc64(np.einsum("jv,vuc,iu->jic", yb, F64, xb) / (h * w))
+    ref = _enc64(np.einsum("jv,vuc,iu->jic", yb, F64, xb,
+                            optimize=True) / (h * w))
     err = float(np.max(np.abs(frame[:nv] - ref)))
 
     # single-core pocketfft proxy baseline: cosine upsampling to the

@@ -22,8 +22,10 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import numpy as np
+
 from dspfun_tpu.core.precision import Precision
-from dspfun_tpu.core.transforms import apply_plan, plan_axis
+from dspfun_tpu.core.transforms import apply_plan, plan_axis, plan_matrix
 from dspfun_tpu.models.spec_pipeline import (
     SpecChainParams, _whole_image_precision, compute_gain,
 )
@@ -52,6 +54,19 @@ def _psum(x):
     return jax.lax.psum(x, "space")
 
 
+def _padded_plan(n0: int, n: int, kind: str, p):
+    """Plan for an axis zero-padded from n0 to n: extra basis COLUMNS
+    are zero (padded inputs contribute nothing) and extra ROWS are zero
+    (padded outputs are zero and sliced off) — identical algebra to the
+    unpadded transform, but every shard size divides the mesh."""
+    if n == n0:
+        return plan_axis(n0, kind, p)
+    from dspfun_tpu.core import basis as basis_mod  # noqa: PLC0415
+
+    m = basis_mod.dct2_matrix(n0) if kind == "dct2" else basis_mod.dct3_matrix(n0)
+    return plan_matrix(np.pad(m, ((0, n - n0), (0, n - n0))), p)
+
+
 def _grid_factors(h, xg):
     """uniform-range sqrt(2)^(#nonzero) factors for a [H, W/s] shard
     (the column factors come entirely from the global coords xg)."""
@@ -65,19 +80,27 @@ def spec_forward_sharded(
     params: SpecChainParams,
     mesh: Mesh,
     precision: Precision | None = None,
+    true_shape: tuple[int, int] | None = None,
 ):
     """Sharded spec_forward.  Returns (spectrum [H, W, C] with
-    spectrum_sharding, dc [C] replicated)."""
+    spectrum_sharding, dc [C] replicated).
+
+    ``x`` may be zero-padded up to the mesh (rows AND columns); pass
+    the true image dims via ``true_shape`` — the chain computes
+    gain/normalisation from them and the padded region comes back as
+    garbage to slice off (its basis rows/columns are zero).
+    """
     p = _whole_image_precision(precision, x.shape)
     h, w, c = (int(s) for s in x.shape)
-    return _forward_fn(params, mesh, p, h, w, c)(x)
+    h0, w0 = true_shape if true_shape is not None else (h, w)
+    return _forward_fn(params, mesh, p, h, w, c, h0, w0)(x)
 
 
 @functools.lru_cache(maxsize=32)
-def _forward_fn(params, mesh, p, h, w, c):
-    gain = compute_gain(params, w, h)
-    plan_h = plan_axis(h, "dct2", p)
-    plan_w = plan_axis(w, "dct2", p)
+def _forward_fn(params, mesh, p, h, w, c, h0, w0):
+    gain = compute_gain(params, w0, h0)
+    plan_h = _padded_plan(h0, h, "dct2", p)
+    plan_w = _padded_plan(w0, w, "dct2", p)
 
     def local(shard):
         F = apply_plan(shard, plan_w, 1, p)      # W local
@@ -87,7 +110,7 @@ def _forward_fn(params, mesh, p, h, w, c):
         si = jax.lax.axis_index("space")
         lw = F.shape[1]
         xg = si * lw + jnp.arange(lw)
-        f = F * (_grid_factors(h, xg) * (gain / (4.0 * w * h))).astype(F.dtype)
+        f = F * (_grid_factors(h, xg) * (gain / (4.0 * w0 * h0))).astype(F.dtype)
 
         origin = ((jnp.arange(h) == 0)[:, None] & (xg == 0)[None, :])[..., None]
         dc_gained = _psum(jnp.sum(jnp.where(origin, f, 0.0), axis=(0, 1)))
@@ -133,23 +156,26 @@ def spec_inverse_sharded(
     dc=None,
     preserve_dc: bool = False,
     precision: Precision | None = None,
+    true_shape: tuple[int, int] | None = None,
 ):
     """Sharded spec_inverse (signmap handling stays host-side — it is a
     one-shot elementwise pre-pass the caller applies before sharding).
     Returns the image [H, W, C] with image_sharding."""
     p = _whole_image_precision(precision, f.shape)
     h, w, c = (int(s) for s in f.shape)
-    fn = _inverse_fn(params, mesh, p, h, w, c, dc is None, preserve_dc)
+    h0, w0 = true_shape if true_shape is not None else (h, w)
+    fn = _inverse_fn(params, mesh, p, h, w, c, dc is None, preserve_dc,
+                     h0, w0)
     dc_arr = (jnp.zeros((c,), jnp.float32) if dc is None
               else jnp.asarray(dc, jnp.float32))
     return fn(f, dc_arr)
 
 
 @functools.lru_cache(maxsize=32)
-def _inverse_fn(params, mesh, p, h, w, c, dc_missing, preserve_dc):
-    gain = compute_gain(params, w, h)
-    plan_h = plan_axis(h, "dct3", p)
-    plan_w = plan_axis(w, "dct3", p)
+def _inverse_fn(params, mesh, p, h, w, c, dc_missing, preserve_dc, h0, w0):
+    gain = compute_gain(params, w0, h0)
+    plan_h = _padded_plan(h0, h, "dct3", p)
+    plan_w = _padded_plan(w0, w, "dct3", p)
 
     def local(shard, dc_arr):
         si = jax.lax.axis_index("space")

@@ -53,8 +53,16 @@ def main(argv: list[str] | None = None) -> int:
     if mesh is not None:
         from dspfun_tpu.parallel import spec_sharded as ss  # noqa: PLC0415
 
-        xs = jax.device_put(np.asarray(x, np.float32), ss.image_sharding(mesh))
-        f, dc = ss.spec_forward_sharded(xs, opts.params, mesh)
+        h0, w0 = x.shape[:2]
+        ns = mesh.shape["space"]
+        hp, wp = -(-h0 // ns) * ns, -(-w0 // ns) * ns
+        xp = np.asarray(x, np.float32)
+        if (hp, wp) != (h0, w0):  # zero-pad; the padded basis rows/cols
+            xp = np.pad(xp, ((0, hp - h0), (0, wp - w0), (0, 0)))  # are zero
+        xs = jax.device_put(xp, ss.image_sharding(mesh))
+        f, dc = ss.spec_forward_sharded(xs, opts.params, mesh,
+                                        true_shape=(h0, w0))
+        f = np.asarray(f)[:h0, :w0]
     else:
         fwd = jax.jit(spec_forward, static_argnums=(1,))
         f, dc = fwd(x, opts.params)
@@ -92,10 +100,6 @@ def _resolve_mesh(mesh_spec, shape):
     s = mesh.shape["space"] * mesh.shape.get("time", 1)
     if mesh.shape.get("time", 1) != 1:
         print("spec mesh uses the space axis only; pass -M N", file=sys.stderr)
-        return None
-    if shape[0] % s or shape[1] % s:
-        print(f"image {shape[1]}x{shape[0]} does not divide mesh "
-              f"space={s}; running single-device", file=sys.stderr)
         return None
     return mesh
 

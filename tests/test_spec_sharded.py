@@ -96,17 +96,33 @@ def test_spec_cli_mesh_roundtrip(tmp_path):
     assert np.sqrt(np.mean((got - orig / 255.0) ** 2)) < 2e-3
 
 
-def test_spec_cli_mesh_indivisible_falls_back(tmp_path, capsys):
+def test_spec_cli_mesh_indivisible_pads(tmp_path):
+    """Round 3: an image that does not divide the mesh pads internally
+    (zero basis rows/columns keep the transform exact) instead of
+    falling back to single-device."""
     from PIL import Image
 
+    from dspfun_tpu.io import images
+    from dspfun_tpu.tools import ispec as ispec_tool
     from dspfun_tpu.tools import spec as spec_tool
 
     rng = np.random.default_rng(4)
+    orig = rng.integers(0, 256, (30, 50, 3)).astype(np.uint8)
     src = str(tmp_path / "s.png")
-    Image.fromarray(rng.integers(0, 256, (30, 50, 3)).astype(np.uint8)).save(src)
-    out = str(tmp_path / "o.png")
-    assert spec_tool.main(["-t", "shift", "-M", "8", src, out]) == 0
-    assert "single-device" in capsys.readouterr().err
+    Image.fromarray(orig).save(src)
+    one = str(tmp_path / "one.png")
+    meshed = str(tmp_path / "mesh.png")
+    back = str(tmp_path / "back.png")
+    assert spec_tool.main(["-t", "shift", src, one]) == 0
+    assert spec_tool.main(["-t", "shift", "-M", "8", src, meshed]) == 0
+    a = images.read_image(one).pixels
+    b = images.read_image(meshed).pixels
+    assert b.shape == a.shape
+    np.testing.assert_allclose(b, a, atol=2.0 / 65535)
+    assert ispec_tool.main(["-t", "shift", "-M", "8", meshed, back]) == 0
+    got = images.read_image(back).pixels
+    assert got.shape == orig.shape
+    assert np.sqrt(np.mean((got - orig / 255.0) ** 2)) < 2e-3
 
 
 def test_zoom_cli_mesh_matches_single(tmp_path):
