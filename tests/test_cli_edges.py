@@ -233,3 +233,63 @@ def test_scan_resume_rejects_changed_method(tmp_path):
                            "--resume-file", state, src, out2]) == 0
     st2 = json.load(open(state))
     assert st2["cfg"][6] == "zigzag"
+
+
+def test_spec_cli_i8_precision_env(tmp_path, monkeypatch):
+    """DSPFUN_PRECISION=i8@1e-5 reaches the tools via the policy env
+    (the runtime replacement for the reference's compile-time
+    COEFF/INTERMEDIATE_PRECISION) and round-trips within tolerance."""
+    import importlib
+
+    import numpy as np
+    from PIL import Image
+
+    from dspfun_tpu.core import precision as prec_mod
+    from dspfun_tpu.io import images
+    from dspfun_tpu.tools import ispec as ispec_tool
+    from dspfun_tpu.tools import spec as spec_tool
+
+    rng = np.random.default_rng(9)
+    orig = rng.integers(0, 256, (64, 48, 3)).astype(np.uint8)
+    src = str(tmp_path / "s.png")
+    Image.fromarray(orig).save(src)
+    monkeypatch.setenv("DSPFUN_PRECISION", "i8@1e-5")
+    prec_mod.set_precision(prec_mod._from_env())
+    try:
+        assert prec_mod.get_precision().intermediate == "i8"
+        assert prec_mod.get_precision().tol == 1e-5
+        spng, back = str(tmp_path / "f.png"), str(tmp_path / "b.png")
+        assert spec_tool.main(["-t", "flat", "-G", "1000", src, spng]) == 0
+        assert ispec_tool.main(["-t", "flat", "-G", "1000", spng, back]) == 0
+        got = images.read_image(back).pixels
+        assert np.sqrt(np.mean((got - orig / 255.0) ** 2)) < 2e-3
+    finally:
+        monkeypatch.delenv("DSPFUN_PRECISION")
+        prec_mod.set_precision(prec_mod._from_env())
+
+
+def test_transcode_16bit_y4m_preserves_depth(tmp_path):
+    """A 16-bit y4m survives transcode at full depth (round 3: the
+    high-depth C-tags ride the native container both directions)."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from dspfun_tpu.io import video
+    from dspfun_tpu.tools import transcode as transcode_tool
+
+    src = str(tmp_path / "in.y4m")
+    props = video.parse_color_props(
+        "pixel_format=yuv444p16le:color_range=jpeg")
+    rng = np.random.default_rng(11)
+    frames = rng.random((2, 8, 16)).astype(np.float64)
+    with video.open_output(src, 16, 8, Fraction(25), props) as w:
+        for f in frames:
+            w.write_frame([f, np.full((8, 16), 0.5), np.full((8, 16), 0.5)])
+    out = str(tmp_path / "out.y4m")
+    assert transcode_tool.main([src, out]) == 0
+    with video.open_input(out) as r:
+        assert r.pix_fmt.name == "yuv444p16le"
+        got = [r.read_frame()[0] for _ in range(2)]
+    err = np.max(np.abs(np.stack(got) - frames))
+    assert err <= 1.5 / 65535.0, err
