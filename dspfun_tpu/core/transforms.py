@@ -145,8 +145,11 @@ def apply_plan(
       and DCT-III column 0 is exactly ones, so the DC coefficient is a
       plain broadcast add.
 
-    This is what lets the fused 4K chain hit <=1e-5 vs f64 at half the
-    MXU passes of HIGHEST (the round-3 tolerance-budgeted fast path).
+    The split also composes with the exact-int8 digit mode (which keeps
+    6-pass HIGHEST-class accuracy at ~half the cost): the balanced
+    residual keeps each contraction slice's digit scaling tight around
+    the signal instead of the DC — the fused 4K chain lands at ~2e-6
+    vs f64 because of it.
     """
     p = precision or get_precision()
     axis = axis % x.ndim

@@ -40,7 +40,6 @@ bf16 re-passes — a TPU-native design, not a port.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -221,6 +220,8 @@ def i8_contract(
     dimension; anything else falls back to one moveaxis.
     """
     da, m, kp = digits_a.shape
+    if da != _NDIG:
+        raise ValueError(f"expected {_NDIG} digit planes, got {da}")
     return _i8_dispatch(x, [digits_a[i] for i in range(da)],
                         jnp.asarray(scale_a), axis, m, kp)
 
