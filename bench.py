@@ -49,9 +49,20 @@ def main() -> int:
 
     probe = jax.jit(lambda a: a.reshape(-1)[0])
 
-    # warmup / compile (both the pipeline and the probe)
-    y = fn(x, m, plans)
-    _ = jax.device_get(probe(y))
+    # warmup / compile (both the pipeline and the probe); if the Mosaic
+    # int8 kernel cannot compile in this environment, fall back to the
+    # pruned f32 chain rather than failing the bench
+    try:
+        y = fn(x, m, plans)
+        _ = jax.device_get(probe(y))
+    except Exception as e:  # noqa: BLE001
+        print(f"i8 path unavailable ({str(e)[:120]}); f32 fallback",
+              file=sys.stderr)
+        precision = Precision(coeff="float32", intermediate="f32", tol=1e-6)
+        plans = jax.device_put(filter_plans((h, w), precision, mask=mask_np))
+        fn = jax.jit(lambda a, mm, pl: fused_filter_2d(a, mm, pl, precision))
+        y = fn(x, m, plans)
+        _ = jax.device_get(probe(y))
 
     # True on-device per-iteration time via two-point subtraction:
     # iterations chain inside ONE jitted lax.fori_loop (output feeds
