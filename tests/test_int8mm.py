@@ -101,3 +101,61 @@ def test_i8_zero_and_constant_slices():
     np.testing.assert_allclose(y[:, 0], 0.0)
     ref = m @ x.astype(np.float64)
     assert np.max(np.abs(y - ref)) <= 1e-4
+
+
+def test_i8_inside_shard_map_volume_path():
+    """The i8 Pallas kernels run inside shard_map (per-device local
+    shards): the motion whole-volume path under DSPFUN_PRECISION=i8
+    matches the default-precision single-device chain to pel noise."""
+    from dspfun_tpu.core.precision import set_precision
+    from dspfun_tpu.models import motion_pipeline as mp
+    from dspfun_tpu.parallel import motion_sharded as msh
+    from dspfun_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, space=2, time=4)
+    t, h, w = 8, 256, 256  # K >= 256 so the i8 plans engage
+    g = mp.plan_geometry(w, h, t, 1, block=mp.Dims(w, h, t))[0]
+    params = mp.MotionParams(boost=1.25, damp=0.1)
+    rng = np.random.default_rng(12)
+    vol = rng.random((t, h, w)).astype(np.float32) * 255
+
+    set_precision(Precision(intermediate="i8", tol=1e-5))
+    try:
+        vs = jax.device_put(jnp.asarray(vol), msh.volume_sharding(mesh))
+        out, _ = msh.motion_filter_volume_sharded(
+            vs, mesh, geom=g, params=params, plane_index=0, nplanes=1)
+        out = np.asarray(out)
+    finally:
+        set_precision(Precision())
+
+    ref, _ = mp.filter_blocks(
+        jnp.asarray(mp.frames_to_blocks(vol, g)), mp.make_plans(g),
+        (jnp.zeros(1, jnp.int32),) * 2, jnp.asarray(0), geom=g,
+        params=params, plane_index=0, nplanes=1)
+    ref = mp.blocks_to_frames(np.asarray(ref), g)
+    # ~2^-20-class contraction error on 0..255 pels
+    assert np.max(np.abs(out - ref)) < 0.1
+
+
+def test_i8_fused_chain_engages_on_tpu():
+    """TPU-gated: the bench configuration's i8 kernels compile and run
+    on real hardware at <=1e-5 vs the f32 HIGHEST chain."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs a TPU backend")
+    import scipy.fft
+
+    from dspfun_tpu.models.fused import filter_plans, fused_filter_2d, lowpass_mask
+
+    h, w = 512, 768
+    rng = np.random.default_rng(13)
+    x = rng.random((h, w, 3)).astype(np.float32)
+    mask = lowpass_mask((h, w), cutoff=0.25, boost=1.25)[:, :, None].astype(np.float32)
+    p = Precision(intermediate="i8", tol=1e-5)
+    plans = jax.device_put(filter_plans((h, w), p, mask=mask))
+    y = np.asarray(jax.jit(
+        lambda a, m_, pl: fused_filter_2d(a, m_, pl, p))(x, mask, plans),
+        np.float64)
+    ref = scipy.fft.dctn(x.astype(np.float64), type=2, axes=(0, 1))
+    ref *= mask
+    ref = scipy.fft.dctn(ref, type=3, axes=(0, 1)) / (4.0 * w * h)
+    assert np.max(np.abs(y - ref)) <= 1e-5
