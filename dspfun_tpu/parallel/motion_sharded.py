@@ -21,9 +21,9 @@ Chain parity notes vs models.motion_pipeline.filter_blocks:
   (any global winner is its shard's local winner), candidates are
   all_gathered, and the k-th (value desc, flat-index asc) candidate —
   lax.top_k's own tie order — becomes the keep threshold;
-* Floyd-Steinberg dithering is not supported here (its error diffusion
-  is sequential across the row axis, which is sharded); callers fall
-  back to the single-device path.
+* Floyd-Steinberg dithering (round 3): rows all_gather per time shard
+  and the sequential diffusion runs on whole local frames (redundant
+  across the space axis — cheap VPU work next to the DCTs).
 """
 
 from __future__ import annotations
@@ -53,8 +53,10 @@ def volume_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def supports_volume_params(params) -> bool:
-    """Chain features the sharded whole-volume path can run."""
-    return not params.dither
+    """Chain features the sharded whole-volume path can run (round 3:
+    all of them — dither gathers rows per time shard and runs the
+    sequential diffusion on whole local frames)."""
+    return True
 
 
 def volume_mesh_compatible(dims, mesh: Mesh) -> bool:
@@ -101,8 +103,6 @@ def motion_filter_volume_sharded(
     t, h, w = (int(d) for d in volume.shape)
     if (g.block.d, g.block.h, g.block.w) != (t, h, w) or g.block != g.scaled:
         raise ValueError("volume path requires block == scaled == volume dims")
-    if not supports_volume_params(p):
-        raise ValueError("dither is not supported on the sharded volume path")
     if not volume_mesh_compatible((t, h, w), mesh):
         raise ValueError(f"volume {t}x{h}x{w} does not divide mesh {dict(mesh.shape)}")
     fn = _volume_fn(mesh, geom, params, plane_index, nplanes, int(bz),
@@ -317,6 +317,20 @@ def _volume_fn(mesh, geom, params, plane_index, nplanes, bz, prec, t, h, w):
 
         if p.float_pixels or p.spec:
             out = pel
+        elif p.dither:
+            # Floyd-Steinberg error diffusion is sequential per frame;
+            # frames are local to a time shard but their rows shard
+            # over 'space' — all_gather the rows, dither whole local
+            # frames (each space shard redundantly dithers its time
+            # slab; the dither is VPU work dwarfed by the DCTs), and
+            # keep this shard's row block
+            from dspfun_tpu.models.motion_pipeline import _dither_blocks  # noqa: PLC0415
+
+            full = jax.lax.all_gather(pel, "space", axis=1, tiled=True)
+            dth = _dither_blocks(full[None], 1.0)[0]
+            si = jax.lax.axis_index("space")
+            lh = pel.shape[1]
+            out = jax.lax.dynamic_slice_in_dim(dth, si * lh, lh, axis=1)
         else:
             out = jnp.clip(jnp.floor(pel + 0.5), 0.0, 255.0)
         return out, coded

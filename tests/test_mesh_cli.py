@@ -143,13 +143,29 @@ def test_volume_sharded_ispec_roundtrip(whole_clip_geom, vol_frames, mesh42):
     )
 
 
-def test_volume_rejects_dither(whole_clip_geom, vol_frames, mesh42):
-    with pytest.raises(ValueError):
-        msh.motion_filter_volume_sharded(
-            jnp.asarray(vol_frames), mesh42, geom=whole_clip_geom,
-            params=mp.MotionParams(dither=True, float_pixels=False),
-            plane_index=0, nplanes=1,
-        )
+def test_volume_dither_matches_single(whole_clip_geom, vol_frames, mesh42):
+    """Round 3: the sharded volume path supports Floyd-Steinberg dither
+    (rows all_gather per time shard; sequential diffusion on whole
+    frames).  f32 rounding-order differences can flip isolated pels by
+    one quantum through the chaotic diffusion — assert the flips are
+    rare and never exceed 1."""
+    params = mp.MotionParams(boost=1.25, damp=0.2, dither=True,
+                             float_pixels=False)
+    vs = jax.device_put(jnp.asarray(vol_frames),
+                        msh.volume_sharding(mesh42))
+    out, _ = msh.motion_filter_volume_sharded(
+        vs, mesh42, geom=whole_clip_geom, params=params,
+        plane_index=0, nplanes=1)
+    out = np.asarray(out)
+    g = whole_clip_geom
+    ref, _ = mp.filter_blocks(
+        jnp.asarray(mp.frames_to_blocks(np.asarray(vol_frames), g)),
+        mp.make_plans(g), (jnp.zeros(1, jnp.int32),) * 2, jnp.asarray(0),
+        geom=g, params=params, plane_index=0, nplanes=1)
+    ref = mp.blocks_to_frames(np.asarray(ref), g)
+    d = np.abs(out - ref)
+    assert d.max() <= 1.0
+    assert (d > 0).mean() < 0.01
 
 
 # ---------------------------------------------------------------------------
