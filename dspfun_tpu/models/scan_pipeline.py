@@ -288,6 +288,11 @@ def _scan_chunk(
             mx = jnp.max(base.reshape(f, -1, base.shape[-1]), axis=1)
             rng = jnp.where(mx - mn == 0, 1.0, mx - mn)
             inter = (base - mn[:, None, None, :]) / rng[:, None, None, :]
+        elif inter_mode == "raw":
+            # row-sharded minmax: the caller owns the global extrema
+            # reduction + normalisation + encoding
+            return sums[-1], _enc(sums), (delta if want_deltas else None), \
+                base, parity
         else:  # "unit": fixed 0..1 window
             inter = base
         inter = _enc(inter)
@@ -302,13 +307,11 @@ def _shard_chunk_fn(mesh, h, use_pruned, want_deltas, measure_parity,
     axis; the coefficient image replicates, each shard reconstructs its
     own rows (the pruned gather takes its own basis *rows*, the dense
     IDCT its own plan rows) — no collectives except the parity
-    reduction.  ``minmax`` intermediates need global per-frame extrema
-    and are not supported here (callers fall back)."""
+    reduction and (round 3) the pmin/pmax pair that gives ``minmax``
+    intermediates their global per-frame extrema."""
     from jax import shard_map  # noqa: PLC0415
     from jax.sharding import PartitionSpec as P  # noqa: PLC0415
 
-    if inter_mode == "minmax":
-        raise ValueError("minmax intermediates are global; no sharded path")
     row = P("space", None, None)
 
     def local(carry_l, coeffs_nodc, ys, xs, valid, plan_h_l, plan_w,
@@ -317,9 +320,32 @@ def _shard_chunk_fn(mesh, h, use_pruned, want_deltas, measure_parity,
             carry_l, coeffs_nodc, ys, xs, valid, (plan_h_l, plan_w),
             orig_l, dc, parity_scale=parity_scale, use_pruned=use_pruned,
             want_deltas=want_deltas, measure_parity=measure_parity,
-            encode_trc=encode_trc, inter_mode=inter_mode, grid_h=h,
+            encode_trc=encode_trc, grid_h=h,
+            inter_mode="raw" if inter_mode == "minmax" else inter_mode,
         )
         carry_n, disp, deltas, inter, parity = out
+        if inter_mode == "minmax":
+            # global per-frame extrema: mask this shard's padding rows
+            # (odd heights pad to the space axis; their deltas are zero
+            # but base = dc would contaminate the minimum), reduce over
+            # the mesh, then normalise + encode like the single path
+            f = inter.shape[0]
+            lh = inter.shape[1]
+            si = jax.lax.axis_index("space")
+            validr = (si * lh + jnp.arange(lh)) < h
+            vm = jnp.broadcast_to(validr[None, :, None, None], inter.shape)
+            flat = inter.reshape(f, -1, inter.shape[-1])
+            vflat = vm.reshape(f, -1, inter.shape[-1])
+            mn = jax.lax.pmin(
+                jnp.min(jnp.where(vflat, flat, jnp.inf), axis=1), "space")
+            mx = jax.lax.pmax(
+                jnp.max(jnp.where(vflat, flat, -jnp.inf), axis=1), "space")
+            rng = jnp.where(mx - mn == 0, 1.0, mx - mn)
+            inter = (inter - mn[:, None, None, :]) / rng[:, None, None, :]
+            if encode_trc:
+                from dspfun_tpu.io.color import srgb_encode  # noqa: PLC0415
+
+                inter = srgb_encode(inter, jnp)
         if measure_parity:
             # frame parity = every shard's rows match
             parity = jax.lax.psum(

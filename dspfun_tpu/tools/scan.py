@@ -334,13 +334,9 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError as e:
             print(f"mesh unavailable ({e}); running single-device",
                   file=sys.stderr)
-        if mesh is not None and (
-            mesh.shape.get("time", 1) != 1
-            or max_intermediates
-        ):
-            print("mesh requires time=1 and no --max-intermediates; "
-                  "running single-device",
-                  file=sys.stderr)
+        if mesh is not None and mesh.shape.get("time", 1) != 1:
+            print("scan --mesh shards space only (time=1); "
+                  "running single-device", file=sys.stderr)
             mesh = None
 
         # the reconstruction panes come back display-ready: sRGB

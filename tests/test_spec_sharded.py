@@ -333,3 +333,34 @@ def test_scan_chunks_sharded_odd_height_parity():
     assert s1.shape == s2.shape == (9, h, w, 3)
     np.testing.assert_allclose(s2, s1, atol=1e-5, rtol=1e-5)
     np.testing.assert_array_equal(p2, p1)
+
+
+def test_scan_sharded_minmax_intermediates():
+    """Round 3: minmax intermediates get their global per-frame extrema
+    from a pmin/pmax over the mesh (was a single-device fallback);
+    parity with the single-device path at an odd height (the padding
+    rows must not contaminate the minimum)."""
+    from dspfun_tpu.models import scan_pipeline as sp
+    from dspfun_tpu.ops import scan_methods as sm
+    from dspfun_tpu.parallel.mesh import make_mesh
+
+    mesh8 = make_mesh(8, space=8, time=1)
+    h, w = 21, 16
+    rng = np.random.default_rng(18)
+    img = rng.random((h, w, 3))
+    order = sm.get_method("zigzag").build(w, h)
+    coeffs = sp.forward_coeffs(img, PREC)
+    plan = sp.plan_scan(order, w, h, 3, step=30, nframes=8, chunk=4,
+                        precision=PREC)
+
+    def collect(mesh):
+        inter = []
+        for _, res in sp.scan_chunks(plan, coeffs, inter_mode="minmax",
+                                     mesh=mesh):
+            inter.append(res.inter)
+        return np.concatenate(inter)
+
+    i1 = collect(None)
+    i2 = collect(mesh8)
+    assert i1.shape == i2.shape == (8, h, w, 3)
+    np.testing.assert_allclose(i2, i1, atol=1e-5, rtol=1e-5)
