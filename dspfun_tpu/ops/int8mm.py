@@ -184,10 +184,19 @@ def _tiles(m: int, k: int) -> tuple[int, int, int]:
     overhead that dominated at 128."""
     tr = 256
     # tm rides the output LANE dim in the right-form kernel -> must be
-    # a multiple of 128
+    # a multiple of 128.  Among the admissible tile sizes, minimise the
+    # padded-M compute (mp/m waste can reach 90% for pruned row counts)
+    # with a mild penalty for small tiles (per-step grid overhead).
     cap = max(128, min(512, (1_200_000 // max(k, 1)) // 128 * 128))
-    tm = min(cap, -(-m // 128) * 128)
-    mp = -(-m // tm) * tm
+    best = None
+    for tm_c in (512, 384, 256, 128):
+        if tm_c > cap:
+            continue
+        mp_c = -(-m // tm_c) * tm_c
+        score = mp_c * (1.0 + 32.0 / tm_c)
+        if best is None or score < best[0]:
+            best = (score, tm_c, mp_c)
+    _, tm, mp = best
     return tm, tr, mp
 
 
