@@ -55,3 +55,35 @@ def test_spec_gain_range_matrix(tmp_path, gaintype, rangetype):
     a = images.read_image(src).pixels
     b = images.read_image(back).pixels
     assert np.sqrt(((a - b) ** 2).mean()) < 0.05, (gaintype, rangetype)
+
+
+@pytest.mark.parametrize("mode,tol_p", [
+    ("f32", None), ("hilo", None), ("exact", 1e-5), ("i8", 1e-5),
+    ("f32", 1e-4),
+])
+def test_spec_roundtrip_across_precision_modes(mode, tol_p):
+    """Every accumulation mode (and budget) round-trips the whole-image
+    spec chain within its accuracy class — guards the mode dispatch in
+    apply_plan (split hints, digit paths, budget sizing)."""
+    import jax
+
+    from dspfun_tpu.core.precision import Precision
+    from dspfun_tpu.models.spec_pipeline import (
+        SpecChainParams, spec_forward, spec_inverse,
+    )
+
+    n = 96
+    rng = np.random.default_rng(42)
+    img = rng.random((n, n, 3)).astype(np.float32)
+    params = SpecChainParams.template("copy")
+    p = Precision(coeff="float32", intermediate=mode, tol=tol_p)
+
+    @jax.jit
+    def rt(x):
+        f, dc = spec_forward(x, params, p)
+        return spec_inverse(f, params, dc=dc, precision=p)
+
+    err = float(np.max(np.abs(np.asarray(rt(img), np.float64) - img)))
+    # CPU matmuls are true f32, so every mode lands ~1e-5-class here;
+    # the bound guards against gross dispatch/algebra regressions
+    assert err <= 1e-4, (mode, tol_p, err)
