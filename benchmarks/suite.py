@@ -182,23 +182,26 @@ def bench_zoom(quick):
     spec = jax.device_put(jax.numpy.asarray(
         zp.forward_spectrum(srgb_decode(img)), jax.numpy.float32))
 
-    # the display-bound synthesis runs the int8 digit path under a
-    # 1e-5 budget (models/zoom_pipeline._synth; ~2^-20 relative, far
-    # below 8-bit display precision); err vs a f64 oracle is reported
+    # stills ride the *planned* path (tools/zoom.py static_basis): host
+    # float64 basis built once -> deep+tail-corrected int8 digit
+    # contraction (~1e-7 relative with exact accumulation,
+    # ops/int8mm.i8_contract) — the post-OETF error budget is 1e-5
+    # (BASELINE.md) and the dark-end sRGB slope is ~12.9x, so the
+    # linear budget is ~8e-7 (VERDICT r3 item 1)
     prev = get_precision()
-    set_precision(Precision(coeff="float32", intermediate="i8", tol=1e-5))
+    set_precision(Precision(coeff="float32", intermediate="i8", tol=8e-7))
     try:
         # two-point timing: the synthesis output shape differs from the
         # input, so chain a scalar carry perturbing the spectrum by
         # ~1e-38 (numerically nil, but keeps XLA from hoisting the body)
         def step(carry):
-            f = zp.zoom_frame_device(spec + carry * 1e-38, "interpolated",
-                                     (4, 1), (4, 1), 0, 0, w * 2, h * 2,
-                                     encode_trc=True)
+            f = zp.zoom_frame(spec + carry * 1e-38, "interpolated",
+                              (4, 1), (4, 1), 0, 0, w * 2, h * 2,
+                              encode_trc=True)
             return f[0, 0, 0]
 
         dt = _time_fori(step, jax.numpy.zeros((), jax.numpy.float32), iters=4)
-        frame = np.asarray(zp.zoom_frame_device(
+        frame = np.asarray(zp.zoom_frame(
             spec, "interpolated", (4, 1), (4, 1), 0, 0, w * 2, h * 2,
             encode_trc=True), np.float64)
     finally:

@@ -126,9 +126,15 @@ def fused_filter_2d(
         # [C, H, W] layout: the i8 kernels contract the leading/batched
         # and trailing axes directly, so the whole chain runs with zero
         # internal transposes (ops/int8mm.py)
+        if mask.ndim not in (x.ndim - 1, x.ndim):
+            raise ValueError(
+                f"mask rank {mask.ndim} incompatible with input rank {x.ndim}")
         z = jax.numpy.moveaxis(x, -1, 0)
         F = apply_plan_nd(z, fwd, (1, 2), p, split="mean")
-        mc = jax.numpy.moveaxis(_compact_mask(mask, support), -1, 0)
+        mc = _compact_mask(mask, support)
+        if mc.ndim == x.ndim - 1:  # [H, W] mask: add the channel axis
+            mc = mc[..., None]
+        mc = jax.numpy.moveaxis(mc, -1, 0)
         F = F * mc.astype(F.dtype)
         y = apply_plan_nd(F, inv, (1, 2), p, split="zero0")
         return jax.numpy.moveaxis(y, 0, -1) / (4.0 * w * h)

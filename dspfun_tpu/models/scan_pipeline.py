@@ -355,16 +355,21 @@ def _shard_chunk_fn(mesh, h, use_pruned, want_deltas, measure_parity,
     def plan_spec(plan):
         # shard the plan by OUTPUT rows: [M, K] matrix leaves (hi/lo)
         # split their rows; exact-mode digit leaves are [D, M, K] (rows
-        # on axis 1); rowsum is [2, M] (rows on axis 1); the scalar
-        # scale replicates.  Field-aware so new AxisPlan leaves cannot
-        # silently pick a wrong spec.
+        # on axis 1); rowsum is [2, M] (rows on axis 1); exact-mode
+        # scale is a scalar (replicates) but i8-mode scale is per-row
+        # [M, 1] (rows on axis 0).  Field-aware so new AxisPlan leaves
+        # cannot silently pick a wrong spec.
         from dspfun_tpu.core.transforms import AxisPlan  # noqa: PLC0415
 
+        scale_spec = None
+        if plan.scale is not None:
+            scale_spec = (P("space", None)
+                          if np.ndim(plan.scale) == 2 else P())
         return AxisPlan(
             hi=P("space", None),
             lo=None if plan.lo is None else P("space", None),
             digits=None if plan.digits is None else P(None, "space", None),
-            scale=None if plan.scale is None else P(),
+            scale=scale_spec,
             rowsum=None if plan.rowsum is None else P(None, "space"),
         )
 
@@ -413,7 +418,11 @@ def _pad_plan_rows(plan, rows: int):
         hi=pad(plan.hi, 0),
         lo=pad(plan.lo, 0),
         digits=pad(plan.digits, 1),
-        scale=plan.scale,
+        # i8 plans carry a per-row [M, 1] scale; the zero pad value is
+        # irrelevant since padded digit rows are all-zero
+        scale=(pad(plan.scale, 0)
+               if plan.scale is not None and np.ndim(plan.scale) == 2
+               else plan.scale),
         rowsum=pad(plan.rowsum, 1),
     )
 

@@ -20,6 +20,7 @@ zooms with varying scale keep a single compiled program (ncomponents
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,7 @@ from dspfun_tpu.core.transforms import apply_plan_nd, dct2_nd, plan_matrix
 __all__ = [
     "forward_spectrum",
     "padded_zoom_basis",
+    "zoom_plan",
     "zoom_frame",
     "zoom_frame_device",
     "clamp_scale",
@@ -74,30 +76,118 @@ def padded_zoom_basis(
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("precision",))
-def _synthesize(spectrum, plan_y, plan_x, precision=None):
-    out = apply_plan_nd(spectrum, (plan_y, plan_x), (0, 1), precision)
+@functools.partial(jax.jit, static_argnames=("precision", "encode_trc"))
+def _synthesize(spectrum, plan_y, plan_x, precision=None,
+                encode_trc: bool = False):
+    """Planned separable synthesis: ``plan_y``/``plan_x`` are AxisPlans
+    of the continuous basis matrices (host float64 -> digit split, so
+    accuracy is set by the contraction mode alone: i8 digits land
+    ~2^-22 relative — the path that holds BASELINE.md's <=1e-5 post-OETF
+    budget on 4K stills).  ``split="zero0"`` peels the dominant DC
+    row/column analytically: basis column 0 is exactly 0.5 in every
+    scaling convention (zoom/zoom.c:364,369)."""
     h, w = spectrum.shape[:2]
-    return out / (h * w)
+    p = precision or get_precision()
+    if p.intermediate == "i8" and spectrum.ndim == 3:
+        # [C, H, W] layout: both i8 contractions run transpose-free
+        # (batched-left then right kernel form — ops/int8mm.py)
+        z = jnp.moveaxis(spectrum, -1, 0)
+        t = apply_plan_nd(z, (plan_y, plan_x), (1, 2), p, split="zero0")
+        out = jnp.moveaxis(t, 0, -1)
+    else:
+        out = apply_plan_nd(spectrum, (plan_y, plan_x), (0, 1), p,
+                            split="zero0")
+    out = out / (h * w)
+    if encode_trc:
+        from dspfun_tpu.io.color import srgb_encode  # noqa: PLC0415
+
+        out = srgb_encode(out, jnp)
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def _zoom_plan_cached(scaling_type, xnum, xden, ynum, yden, vx, vy,
+                      vw, vh, w, h, precision):
+    xb = padded_zoom_basis(scaling_type, *clamp_scale(w, xnum, xden),
+                           vx, vw, w)
+    yb = padded_zoom_basis(scaling_type, *clamp_scale(h, ynum, yden),
+                           vy, vh, h)
+    # device-resident once per plan: as host numpy jit args these would
+    # re-upload on every dispatch (CLAUDE.md environment note)
+    return jax.device_put((plan_matrix(yb, precision),
+                           plan_matrix(xb, precision)))
+
+
+def zoom_plan(
+    scaling_type: str,
+    xscale: tuple[float, float],
+    yscale: tuple[float, float],
+    vx: float,
+    vy: float,
+    vw: int,
+    vh: int,
+    w: int,
+    h: int,
+    precision: Precision | None = None,
+):
+    """(plan_y, plan_x) AxisPlans of the host-float64 continuous basis
+    for a fixed (scale, offset, view) — the FFTW-plan analogue for zoom
+    stills and constant-parameter animations.  Cached: a still's basis
+    is built and digit-split once, then every dispatch is two planned
+    contractions (faster than the in-graph basis path *and* exact in
+    the basis)."""
+    p = precision or get_precision()
+    return _zoom_plan_cached(scaling_type, float(xscale[0]), float(xscale[1]),
+                             float(yscale[0]), float(yscale[1]),
+                             float(vx), float(vy), int(vw), int(vh),
+                             int(w), int(h), p)
 
 
 _SCALING_IDS = {"interpolated": 0, "centered": 1, "native": 2}
 
 
-def device_basis_accurate(vw, vh, vx, vy, xscale, yscale, w, h) -> bool:
-    """True when the in-graph f32 basis keeps the cosine argument
-    product (k+0.5)*j below ~2^21 on both axes, i.e. its rounding stays
-    under ~1/8 ulp-of-argument and basis entries stay ~1e-6 accurate.
-    Past that (very large stills), callers should use the host float64
-    basis path (:func:`zoom_frame`) — f32 loses whole units in
-    (k+0.5)*j at 4K+ sizes (measured 1.3e-3 basis error at 4096 px)."""
+def device_basis_accurate(vw, vh, vx, vy, xscale, yscale, w, h,
+                          scaling_type: str = "interpolated") -> bool:
+    """True when the in-graph f32 basis stays ~1e-6-class accurate:
+
+    1. the cosine argument product (k+0.5)*j stays below ~2^21 on both
+       axes (f32 loses whole units in the product at 4K+ sizes —
+       measured 1.3e-3 basis error at 4096 px), and
+    2. the per-vector index k itself is (near-)exactly representable in
+       f32 — the int32 phase fold starts from the f32-rounded k, so an
+       inexact k (centered mode's rational factor, fractional scales)
+       floors the basis at ~pi*|f32(k)-k| regardless of the fold
+       (measured ~4.8e-5 for centered at 1080p; ADVICE r3).
+
+    The check is a direct host-side measurement of max |f32(k)-k| over
+    the view's basis vectors (O(vw+vh) numpy).  Callers falling outside
+    use the host float64 basis path (:func:`zoom_frame`)."""
     def kmax(n, off, num, den):
         num, den = clamp_scale(n, num, den)
         return (abs(off) + max(vw, vh)) * (den / num) + 1.0
 
     bx = kmax(w, vx, *xscale) * max(w - 1, 1)
     by = kmax(h, vy, *yscale) * max(h - 1, 1)
-    return max(bx, by) <= float(1 << 21)
+    if max(bx, by) > float(1 << 21):
+        return False
+    if scaling_type == "native":
+        # direct (unfolded) phase: covered by the product bound alone
+        return True
+
+    def k_err(n, off, num, den, nvec):
+        num, den = clamp_scale(n, num, den)
+        b = np.arange(nvec, dtype=np.float64)
+        if scaling_type == "centered":
+            denom = n * num - den
+            if denom == 0:
+                return np.inf
+            k = (b + off) * (n - 1) * den / denom
+        else:
+            k = (b + off) * (den / num)
+        return float(np.max(np.abs(k.astype(np.float32).astype(np.float64) - k)))
+
+    err = max(k_err(w, vx, *xscale, vw), k_err(h, vy, *yscale, vh))
+    return math.pi * err <= 3e-6
 
 
 def _device_basis(scaling_id, num, den, offset, nvectors, sampling_len, dtype):
@@ -125,7 +215,13 @@ def _device_basis(scaling_id, num, den, offset, nvectors, sampling_len, dtype):
     # a static int) fold the integer part of the phase EXACTLY in int32
     # — ki*j mod 2l is exact for ki*j < 2^31 — so only the fractional
     # product (magnitude <= j, which then divides by l) carries f32
-    # rounding: basis error drops from ~4e-4 to ~1e-6 at 1080p.
+    # rounding.  The fold starts from the f32-rounded k, so its benefit
+    # is bounded by k's representability: with exact k (dyadic scales,
+    # integer offsets) basis error drops ~4e-4 -> ~5e-7 at 1080p, but
+    # an inexact k (centered mode's rational factor, fractional scales)
+    # floors at ~pi*|f32(k)-k| (~5e-5 measured for centered at 1080p).
+    # device_basis_accurate() measures k representability host-side and
+    # routes inexact-k frames to the float64 basis (tools/zoom.py).
     # "native" can have a fractional period and keeps the direct form.
     kk = k + 0.5
     ki = jnp.floor(kk)
@@ -139,17 +235,20 @@ def _device_basis(scaling_id, num, den, offset, nvectors, sampling_len, dtype):
     return jnp.where(j < ncomp, m, 0.0)
 
 
-def _synth(spectrum, yb, xb, encode_trc):
+def _synth(spectrum, yb, xb, encode_trc, precision):
     """Separable synthesis tail shared by the device and sharded paths
     (keep in one place so the two cannot drift).
 
-    When the runtime precision policy is ``i8`` with a tolerance set,
-    the two contractions run as int8 digit matmuls with the in-graph
-    basis split on device (ops/int8mm.i8_contract_rt — ~2x the HIGHEST
-    rate at ~2^-20 relative, far below display precision); HIGHEST
-    otherwise (the reference computes zoom in long double)."""
+    When the precision policy is ``i8`` with a tolerance set, the two
+    contractions run as int8 digit matmuls with the in-graph basis
+    split on device (ops/int8mm.i8_contract_rt — ~2x the HIGHEST rate
+    at ~2^-20 relative, far below display precision); HIGHEST otherwise
+    (the reference computes zoom in long double).  ``precision`` is a
+    *static* (hashable) Precision resolved by the caller at dispatch
+    time, so changing the runtime policy retraces instead of silently
+    reusing a same-shape compiled program (ADVICE r3)."""
     h, w = spectrum.shape[:2]
-    p = get_precision()
+    p = precision
     if (p.intermediate == "i8" and p.tol is not None
             and min(h, w) >= 256):
         from dspfun_tpu.ops.int8mm import i8_contract_rt  # noqa: PLC0415
@@ -176,14 +275,16 @@ def _synth(spectrum, yb, xb, encode_trc):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("vw", "vh", "encode_trc"))
+@functools.partial(jax.jit,
+                   static_argnames=("vw", "vh", "encode_trc", "precision"))
 def _zoom_frame_device(spectrum, scaling_id, xnum, xden, ynum, yden,
-                       vx, vy, vw: int, vh: int, encode_trc: bool = False):
+                       vx, vy, vw: int, vh: int, encode_trc: bool = False,
+                       precision: Precision | None = None):
     h, w = spectrum.shape[:2]
     dtype = spectrum.dtype
     xb = _device_basis(scaling_id, xnum, xden, vx, vw, w, dtype)
     yb = _device_basis(scaling_id, ynum, yden, vy, vh, h, dtype)
-    return _synth(spectrum, yb, xb, encode_trc)
+    return _synth(spectrum, yb, xb, encode_trc, precision)
 
 
 def zoom_frame_device(
@@ -207,13 +308,16 @@ def zoom_frame_device(
         jnp.asarray(float(xscale[0])), jnp.asarray(float(xscale[1])),
         jnp.asarray(float(yscale[0])), jnp.asarray(float(yscale[1])),
         jnp.asarray(float(vx)), jnp.asarray(float(vy)), vw, vh, encode_trc,
+        get_precision(),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("vw", "vh", "mesh", "encode_trc"))
+@functools.partial(jax.jit, static_argnames=("vw", "vh", "mesh",
+                                             "encode_trc", "precision"))
 def _zoom_frame_sharded(spectrum, scaling_id, xnum, xden, ynum, yden,
                         vx, vy, vw: int, vh: int, mesh,
-                        encode_trc: bool = False):
+                        encode_trc: bool = False,
+                        precision: Precision | None = None):
     from jax import shard_map  # noqa: PLC0415
     from jax.sharding import PartitionSpec as P  # noqa: PLC0415
 
@@ -229,7 +333,7 @@ def _zoom_frame_sharded(spectrum, scaling_id, xnum, xden, ynum, yden,
         # count per shard (the basis is affine in b + offset)
         yb = _device_basis(scaling_id, ynum, yden,
                            vy + si.astype(dtype) * float(vhl), vhl, h, dtype)
-        return _synth(spec, yb, xb, encode_trc)
+        return _synth(spec, yb, xb, encode_trc, precision)
 
     fn = shard_map(local, mesh=mesh, in_specs=P(),
                    out_specs=P("space", None, None), check_vma=False)
@@ -262,7 +366,7 @@ def zoom_frame_sharded(
         jnp.asarray(float(xscale[0])), jnp.asarray(float(xscale[1])),
         jnp.asarray(float(yscale[0])), jnp.asarray(float(yscale[1])),
         jnp.asarray(float(vx)), jnp.asarray(float(vy)), vw, vhp, mesh,
-        encode_trc,
+        encode_trc, get_precision(),
     )
     return out[:vh] if vhp != vh else out
 
@@ -277,13 +381,18 @@ def zoom_frame(
     vw: int,
     vh: int,
     precision: Precision | None = None,
+    encode_trc: bool = False,
 ) -> jax.Array:
-    """One output frame [vh, vw, C] of the continuous zoom."""
+    """One output frame [vh, vw, C] of the continuous zoom via the
+    planned host-float64 basis (the accuracy path: basis exact, error =
+    contraction mode only; ~2^-22 relative in i8 mode).  Plans cache,
+    so repeated frames at fixed (scale, offset, view) — stills and
+    constant animations — cost just two contractions per dispatch."""
     p = precision or get_precision()
     h, w = spectrum.shape[:2]
-    xb = padded_zoom_basis(scaling_type, *clamp_scale(w, *xscale), vx, vw, w)
-    yb = padded_zoom_basis(scaling_type, *clamp_scale(h, *yscale), vy, vh, h)
-    return _synthesize(spectrum, plan_matrix(yb, p), plan_matrix(xb, p), p)
+    plan_y, plan_x = zoom_plan(scaling_type, xscale, yscale, vx, vy,
+                               vw, vh, w, h, p)
+    return _synthesize(spectrum, plan_y, plan_x, p, encode_trc)
 
 
 def showsamples_coords(start: float, scale: float, limit: int) -> list[int]:

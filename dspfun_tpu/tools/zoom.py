@@ -283,31 +283,35 @@ def main(argv: list[str] | None = None) -> int:
                 continue
 
             accurate = zp.device_basis_accurate(vw, vh, vx, vy, xscale,
-                                                yscale, width, height)
+                                                yscale, width, height,
+                                                scaling_type)
+            # static basis params (a still, or an animation whose
+            # expressions are absent): the planned host-float64 basis
+            # is both the accuracy path (basis exact; contraction-only
+            # error) and the fast path (plans cache; each dispatch is
+            # two planned contractions, no in-graph basis generation)
+            static_basis = not any(
+                (xexpr, yexpr, scaleexpr, xscaleexpr, yscaleexpr))
             if mesh is not None and accurate:
                 dev = zp.zoom_frame_sharded(spectrum, scaling_type, xscale,
                                             yscale, vx, vy, vw, vh, mesh,
                                             encode_trc=trc_encode)
-            elif accurate:
-                dev = zp.zoom_frame_device(spectrum, scaling_type, xscale,
-                                           yscale, vx, vy, vw, vh,
-                                           encode_trc=trc_encode)
-            else:
-                # very large frames: the in-graph f32 basis loses
-                # accuracy (cos argument products > 2^21); generate the
-                # basis host-side in float64 instead
-                if mesh is not None and not quiet and d == 0:
+            elif static_basis or not accurate:
+                # per-frame-varying params land here only when the
+                # in-graph basis would be inaccurate (cos products >
+                # 2^21 or f32-inexact k); the basis is then generated
+                # host-side in float64 each frame
+                if (mesh is not None and not accurate and not quiet
+                        and d == start_frame):
                     print("mesh path needs the in-graph basis; falling "
                           "back to the host float64 basis for this size",
                           file=sys.stderr)
                 dev = zp.zoom_frame(spectrum, scaling_type, xscale, yscale,
-                                    vx, vy, vw, vh)
-                if trc_encode:
-                    import jax.numpy as _jnp  # noqa: PLC0415
-
-                    from dspfun_tpu.io import color as _c  # noqa: PLC0415
-
-                    dev = _c.srgb_encode(dev, _jnp)
+                                    vx, vy, vw, vh, encode_trc=trc_encode)
+            else:
+                dev = zp.zoom_frame_device(spectrum, scaling_type, xscale,
+                                           yscale, vx, vy, vw, vh,
+                                           encode_trc=trc_encode)
             frame = np.asarray(dev, dtype=np.float64)
             frame = zp.overlay_showsamples(
                 frame, showsamples, env["xs"], env["ys"], vx, vy

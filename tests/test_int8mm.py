@@ -88,6 +88,35 @@ def test_i8_fused_chain_pruned():
     assert np.max(np.abs(np.asarray(y, np.float64) - ref)) <= 1e-5
 
 
+def test_i8_fused_chain_2d_mask_rect():
+    """Regression (ADVICE r3): a rank-2 [H, W] mask on a rank-3 input
+    must broadcast over channels, not be transposed by the i8 branch's
+    channel-first moveaxis.  H != W and an asymmetric mask make a
+    silent transpose a measurable error."""
+    import scipy.fft
+
+    from dspfun_tpu.models.fused import filter_plans, fused_filter_2d
+
+    h, w = 64, 96
+    rng = np.random.default_rng(7)
+    x = rng.random((h, w, 3)).astype(np.float32)
+    # asymmetric mask: pass-box wider than tall
+    mask = np.zeros((h, w), np.float32)
+    mask[: h // 4, : w // 2] = 1.0
+    ref = scipy.fft.dctn(x.astype(np.float64), type=2, axes=(0, 1))
+    ref *= mask[:, :, None]
+    ref = scipy.fft.dctn(ref, type=3, axes=(0, 1)) / (4.0 * w * h)
+    p = Precision(intermediate="i8")
+    plans = jax.device_put(filter_plans((h, w), p, mask=mask))
+    y = fused_filter_2d(jnp.asarray(x), jnp.asarray(mask), plans, p)
+    assert np.max(np.abs(np.asarray(y, np.float64) - ref)) <= 1e-5
+    # and an outright rank mismatch raises instead of mis-broadcasting
+    import pytest
+
+    with pytest.raises(ValueError, match="mask rank"):
+        fused_filter_2d(jnp.asarray(x), jnp.asarray(mask[0]), plans, p)
+
+
 def test_i8_zero_and_constant_slices():
     """Zero slices (mx=0) and constant slices must not produce NaNs."""
     k = 128

@@ -242,6 +242,40 @@ def test_scan_chunks_sharded_exact_precision():
     np.testing.assert_allclose(s2, s1, atol=1e-5, rtol=1e-5)
 
 
+def test_scan_chunks_sharded_i8_padded_rows():
+    """Regression (ADVICE r3): i8-mode AxisPlans carry a per-row [M, 1]
+    scale; _pad_plan_rows must pad it along axis 0 and the plan spec
+    must shard it by rows, or scan --mesh with intermediate="i8" crashes
+    at trace time (broadcast [hp, W] vs [h, 1]) whenever the height
+    pads.  h=260 engages the i8 branch (K >= 256) and 260 % 8 != 0
+    forces padding to 264 rows."""
+    from dspfun_tpu.models import scan_pipeline as sp
+    from dspfun_tpu.ops import scan_methods as sm
+    from dspfun_tpu.parallel.mesh import make_mesh
+
+    mesh8 = make_mesh(8, space=8, time=1)
+    prec = Precision(coeff="float32", intermediate="i8")
+    h, w = 260, 16
+    rng = np.random.default_rng(21)
+    img = rng.random((h, w, 3))
+    order = sm.get_method("zigzag").build(h, w)
+    coeffs = sp.forward_coeffs(img, prec)
+    plan = sp.plan_scan(order, h, w, 3, step=64, nframes=4, chunk=2,
+                        use_pruned=False, precision=prec)
+    assert plan.plans_inv[0].scale is not None
+    assert np.ndim(plan.plans_inv[0].scale) == 2  # per-row i8 scale
+
+    def collect(mesh_arg):
+        out = []
+        for _, res in sp.scan_chunks(plan, coeffs, mesh=mesh_arg):
+            out.append(res.sums)
+        return np.concatenate(out)
+
+    s1 = collect(None)
+    s2 = collect(mesh8)
+    np.testing.assert_allclose(s2, s1, atol=1e-4, rtol=1e-4)
+
+
 def test_zoom_cli_mesh_odd_height(tmp_path):
     """Round 3 (VERDICT r2 weak 5): an output height that does not
     divide the space axis pads internally instead of falling back."""

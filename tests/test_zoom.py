@@ -192,3 +192,102 @@ def test_large_frame_host_basis_matches_f64_oracle(tmp_path):
                                    "interpolated", (2, 1), (2, 1),
                                    0, 0, 2 * n, 2 * n))
     np.testing.assert_allclose(got, oracle, atol=5e-6)
+
+
+def test_i8_deep_tail_contraction_accuracy():
+    """The tail-corrected i8 mode (deep kernel pairs + two bf16 tail
+    corrections, ops/int8mm.i8_contract) must beat HIGHEST-class
+    accuracy: ~1e-7 relative with exact accumulation (VERDICT r3
+    item 1's contraction requirement)."""
+    import jax.numpy as jnp
+
+    from dspfun_tpu.ops.int8mm import (
+        i8_contract, i8_matrix_tail, split_matrix_i8,
+    )
+
+    rng = np.random.default_rng(0)
+    K, M = 480, 960
+    m = np.cos(np.pi * (np.arange(M)[:, None] / 4.0 + 0.5)
+               * np.arange(K)[None, :] / K)
+    x = rng.standard_normal((K, 300)).astype(np.float32) * 50
+    ref = m @ x.astype(np.float64)
+    digits, rs = split_matrix_i8(m)
+    tail = i8_matrix_tail(m, digits, rs)
+    y = np.asarray(i8_contract(
+        jnp.asarray(x), jnp.asarray(digits), jnp.asarray(rs), 0,
+        a_hi=jnp.asarray(m.astype(np.float32)), a_tail=jnp.asarray(tail)),
+        np.float64)
+    rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+    assert rel <= 2e-7, rel
+
+
+def test_planned_still_meets_post_oetf_budget():
+    """Suite config 2's accuracy contract (BASELINE.md <=1e-5 vs f64
+    *post-OETF*) at a reduced size: planned host-f64 basis + tail-
+    corrected i8 synthesis (the still path in tools/zoom.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dspfun_tpu.core.precision import Precision
+    from dspfun_tpu.io.color import srgb_decode, srgb_encode
+
+    h, w = 270, 480
+    rng = np.random.default_rng(1)
+    img = rng.random((h, w, 3))
+    spec = jax.device_put(jnp.asarray(
+        zp.forward_spectrum(srgb_decode(img)), jnp.float32))
+    p = Precision(coeff="float32", intermediate="i8", tol=8e-7)
+    frame = np.asarray(zp.zoom_frame(spec, "interpolated", (4, 1), (4, 1),
+                                     0, 0, w * 2, h * 2, precision=p,
+                                     encode_trc=True), np.float64)
+    nv = 64
+    F64 = np.asarray(spec, np.float64)
+
+    def hb(nvec, length):
+        b = np.arange(nvec, dtype=np.float64)[:, None]
+        j = np.arange(length, dtype=np.float64)[None, :]
+        m = np.cos(np.pi * (b / 4.0 + 0.5) * j / length)
+        m[:, 0] = 0.5
+        return m
+
+    ref = srgb_encode(np.einsum("jv,vuc,iu->jic", hb(nv, h), F64,
+                                hb(2 * w, w), optimize=True) / (h * w))
+    err = float(np.max(np.abs(frame[:nv] - ref)))
+    assert err <= 1e-5, err
+
+
+def test_precision_change_retraces_device_path():
+    """Regression (ADVICE r3): the jitted device-basis synthesis must
+    key on the precision policy — changing it between same-shape calls
+    reaches a different compiled program, not the stale cache."""
+    from dspfun_tpu.core.precision import Precision, get_precision, set_precision
+
+    img = make_image(300, 300)
+    spec = zp.forward_spectrum(img)
+    prev = get_precision()
+    try:
+        set_precision(Precision(coeff="float32", intermediate="hilo"))
+        a = np.asarray(zp.zoom_frame_device(spec, "interpolated", (1, 1),
+                                            (1, 1), 0, 0, 300, 300))
+        set_precision(Precision(coeff="float32", intermediate="i8", tol=1e-5))
+        b = np.asarray(zp.zoom_frame_device(spec, "interpolated", (1, 1),
+                                            (1, 1), 0, 0, 300, 300))
+    finally:
+        set_precision(prev)
+    # both are accurate enough to match, but must not be bit-identical:
+    # the i8 program quantises differently from the hilo einsum
+    assert np.max(np.abs(a - img)) < 1e-4
+    assert np.max(np.abs(b - img)) < 1e-4
+    assert np.any(a != b)
+
+
+def test_device_basis_accurate_centered_inexact_k():
+    """Centered mode's rational k factor is almost never f32-exact; the
+    gate must route those frames to the host float64 basis (ADVICE r3:
+    measured ~4.8e-5 basis error at 1080p, far above the ~1e-6 claim)."""
+    # 1080p-class centered zoom: k = (b)*(1079)*1/(1080*4-1) inexact
+    assert not zp.device_basis_accurate(3840, 2160, 0, 0, (4, 1), (4, 1),
+                                        1920, 1080, "centered")
+    # dyadic interpolated zoom at the same size stays on-device
+    assert zp.device_basis_accurate(3840, 2160, 0, 0, (4, 1), (4, 1),
+                                    1920, 1080, "interpolated")
