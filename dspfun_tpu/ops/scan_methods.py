@@ -19,8 +19,6 @@ Deviations from the reference (documented, deliberate):
 * ``box`` emits no out-of-range x==i column coordinates when i >= width
   (the reference writes them unchecked, scan_methods.c:122-133, which
   indexes out of bounds for tall images).
-* ``random`` uses numpy's PCG64 instead of libc rand(); the seed
-  argument is honoured but sequences differ from glibc.
 """
 
 from __future__ import annotations
@@ -116,10 +114,44 @@ def _zigzag(width, height, channels, coeffs, args):
     return ScanOrder.from_flat(i, y, x)
 
 
+def _glibc_rand_stream(seed: int, n: int) -> list[int]:
+    """glibc's default rand(): TYPE_3 additive-feedback generator
+    (stdlib/random_r.c — deg 31, sep 3; 31 LCG-seeded words, 10*31
+    warm-up outputs discarded, r[i] = r[i-3] + r[i-31] mod 2^32,
+    output >> 1).  Validated word-exact against gcc/glibc output
+    (tests/test_scan_methods.py goldens)."""
+    seed &= 0xFFFFFFFF
+    if seed == 0:
+        seed = 1
+    r = [0] * (344 + n)
+    word = seed if seed < 2**31 else seed - 2**32
+    r[0] = word & 0xFFFFFFFF
+    for i in range(1, 31):
+        # Schrage's method on signed int32: 16807 * word mod (2^31 - 1)
+        hi, lo = divmod(word, 127773)
+        word = 16807 * lo - 2836 * hi
+        if word < 0:
+            word += 2147483647
+        r[i] = word
+    for i in range(31, 34):
+        r[i] = r[i - 31]
+    for i in range(34, 344 + n):
+        r[i] = (r[i - 3] + r[i - 31]) % 2**32
+    return [r[i] >> 1 for i in range(344, 344 + n)]
+
+
 def _random(width, height, channels, coeffs, args):
+    """Seeded runs reproduce the reference byte-exactly: glibc rand()
+    feeding the reference's Fisher-Yates variant (loop stops at i > 1,
+    scan_methods.c:210-228)."""
     seed = int(args) if args else int(time.time())
-    perm = np.random.default_rng(seed).permutation(width * height)
-    i = np.arange(width * height, dtype=np.int64)
+    len_ = width * height
+    perm = np.arange(len_, dtype=np.int64)
+    rnd = _glibc_rand_stream(seed, max(0, len_ - 2))
+    for k, i in enumerate(range(len_ - 1, 1, -1)):
+        j = rnd[k] % (i + 1)
+        perm[j], perm[i] = perm[i], perm[j]
+    i = np.arange(len_, dtype=np.int64)
     return ScanOrder.from_flat(i, perm // width, perm % width)
 
 

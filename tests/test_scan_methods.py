@@ -175,6 +175,38 @@ def test_random_seeded_reproducible():
     covers_all(o1, 4, 4)
 
 
+# goldens captured from gcc/glibc on this machine (VERDICT r3 item 7):
+# srand(seed); rand() stream, and the reference's init_random
+# Fisher-Yates (scan_methods.c:210-228) coordinate list for 8x6 seed 42
+_GLIBC_RAND_SEED1 = [1804289383, 846930886, 1681692777, 1714636915,
+                     1957747793]
+_GLIBC_RAND_SEED99 = [988039572, 1878189524, 2021321749, 1433394613,
+                      955675569, 1796974800, 458291713, 1457862107]
+_FY_8x6_SEED42 = [
+    (5, 6), (4, 5), (1, 2), (0, 5), (1, 6), (5, 7), (5, 2), (3, 4),
+    (1, 3), (2, 3), (5, 4), (0, 0), (4, 3), (4, 0), (2, 5), (2, 0),
+    (5, 1), (2, 1), (0, 2), (2, 6), (0, 7), (3, 3), (0, 1), (3, 1),
+    (1, 0), (4, 6), (4, 7), (2, 7), (5, 0), (4, 1), (1, 4), (0, 4),
+    (3, 5), (2, 2), (4, 2), (5, 5), (3, 0), (5, 3), (3, 2), (1, 7),
+    (3, 6), (3, 7), (0, 3), (2, 4), (4, 4), (1, 1), (1, 5), (0, 6),
+]
+
+
+def test_glibc_rand_stream_matches_glibc():
+    from dspfun_tpu.ops.scan_methods import _glibc_rand_stream
+
+    assert _glibc_rand_stream(1, 5) == _GLIBC_RAND_SEED1
+    assert _glibc_rand_stream(99, 8) == _GLIBC_RAND_SEED99
+
+
+def test_random_scan_matches_reference_bytes():
+    """Seeded `random` scans reproduce the reference's coordinate list
+    byte-exactly (glibc rand + the i > 1 Fisher-Yates quirk)."""
+    o = order_of("random", 8, 6, args="42")
+    got = list(zip(o.ys.tolist(), o.xs.tolist()))
+    assert got == _FY_8x6_SEED42
+
+
 def test_file_and_precomputed(tmp_path):
     o = order_of("zigzag", 4, 3)
     p = tmp_path / "scan.txt"
