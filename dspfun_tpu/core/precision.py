@@ -126,6 +126,9 @@ def _from_env() -> Precision:
 
 
 _default = _from_env()
+# whether the policy was chosen explicitly (env var or set_precision);
+# per-tool defaults only apply when it was not
+_explicit = bool(__import__("os").environ.get("DSPFUN_PRECISION"))
 
 
 def get_precision() -> Precision:
@@ -133,5 +136,47 @@ def get_precision() -> Precision:
 
 
 def set_precision(p: Precision) -> None:
-    global _default
+    global _default, _explicit
     _default = p
+    _explicit = True
+
+
+def _on_tpu() -> bool:
+    import jax  # noqa: PLC0415
+
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def tool_default(tool: str) -> Precision:
+    """Per-tool default policy, mirroring the reference's per-tool
+    compile-time defaults (motion/scan: COEFF=F INTERMEDIATE=L —
+    reference motion/Makefile:1-2, scan/Makefile:1-2; spec/zoom/
+    applybasis: COEFF=D INTERMEDIATE=L — include/precision.h:50-57):
+
+    * motion/scan/rotate/transcode: f32 storage + hilo contraction
+      (the F/L analogue; block-local transforms stay <=1e-5 there).
+    * spec/ispec: hilo, auto-upgraded to the error-free exact
+      contraction at >=256 px (models/spec_pipeline) — the D/L
+      whole-image accuracy class.
+    * zoom on TPU: the tail-corrected deep-i8 contraction (~1e-7
+      relative with exact accumulation — the D/L class at better than
+      HIGHEST speed); on CPU the i8 kernels only interpret, so the
+      hilo/HIGHEST einsum stays the default.
+    * applybasis/genbasis/draw: hilo (small closed-form bases; HIGHEST
+      einsums already sit at the f32 rounding floor).
+    """
+    if tool == "zoom" and _on_tpu():
+        return Precision(coeff="float32", intermediate="i8")
+    return Precision()
+
+
+def apply_tool_default(tool: str) -> None:
+    """Install the per-tool default policy unless the user already
+    chose one (DSPFUN_PRECISION or set_precision).  Called at each
+    tool's main() entry."""
+    global _default
+    if not _explicit:
+        _default = tool_default(tool)

@@ -23,6 +23,9 @@ HELP = """Usage: draw -b <WxH> [-f <XxY:strength> ...] <outfile>
 
 
 def main(argv: list[str] | None = None) -> int:
+    from dspfun_tpu.core.precision import apply_tool_default  # noqa: PLC0415
+
+    apply_tool_default("draw")
     argv = sys.argv[1:] if argv is None else argv
     try:
         flags, args = getopt.gnu_getopt(argv, "b:f:h")

@@ -64,6 +64,9 @@ def genbasis_realize(values: np.ndarray, plane: str) -> np.ndarray:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from dspfun_tpu.core.precision import apply_tool_default  # noqa: PLC0415
+
+    apply_tool_default("genbasis")
     argv = sys.argv[1:] if argv is None else argv
     try:
         flags, args = getopt.gnu_getopt(argv, SHORT, LONG)

@@ -72,6 +72,9 @@ def _parse_multi(arg: str, default: float) -> list[float]:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from dspfun_tpu.core.precision import apply_tool_default  # noqa: PLC0415
+
+    apply_tool_default("motion")
     argv = sys.argv[1:] if argv is None else argv
     argv = [a + "=" if a in _OPTIONAL_ARG else a for a in argv]
     try:

@@ -82,6 +82,9 @@ def rotate_volume(vol: np.ndarray, axmap: list[int], invert: list[bool]) -> np.n
 
 
 def main(argv: list[str] | None = None) -> int:
+    from dspfun_tpu.core.precision import apply_tool_default  # noqa: PLC0415
+
+    apply_tool_default("rotate")
     argv = sys.argv[1:] if argv is None else argv
     try:
         flags, args = getopt.gnu_getopt(argv, "o:O:f:F:c:e:l:r:s:hq")

@@ -84,6 +84,9 @@ def fullhelp() -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from dspfun_tpu.core.precision import apply_tool_default  # noqa: PLC0415
+
+    apply_tool_default("scan")
     argv = sys.argv[1:] if argv is None else argv
     try:
         flags, args = getopt.gnu_getopt(argv, SHORT, LONG)

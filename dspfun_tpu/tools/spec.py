@@ -20,6 +20,9 @@ USAGE = "Usage: spec -h -g -c csp -t (abs|shift|flat|sign|copy) -R (one|dc|dcs) 
 
 
 def main(argv: list[str] | None = None) -> int:
+    from dspfun_tpu.core.precision import apply_tool_default  # noqa: PLC0415
+
+    apply_tool_default("spec")
     argv = sys.argv[1:] if argv is None else argv
     opts = SpecOpts()
     mesh_spec = None

@@ -32,6 +32,9 @@ HELP = """Usage: transcode [options] <infile> <outfile>
 
 
 def main(argv: list[str] | None = None) -> int:
+    from dspfun_tpu.core.precision import apply_tool_default  # noqa: PLC0415
+
+    apply_tool_default("transcode")
     argv = sys.argv[1:] if argv is None else argv
     try:
         flags, args = getopt.gnu_getopt(argv, "o:O:f:F:c:e:l:r:s:qh")

@@ -293,3 +293,34 @@ def test_transcode_16bit_y4m_preserves_depth(tmp_path):
         got = [r.read_frame()[0] for _ in range(2)]
     err = np.max(np.abs(np.stack(got) - frames))
     assert err <= 1.5 / 65535.0, err
+
+
+def test_per_tool_precision_defaults(monkeypatch):
+    """VERDICT r3 item 8: per-tool defaults mirror the reference's
+    per-tool Makefile precisions; DSPFUN_PRECISION / set_precision
+    always win."""
+    from dspfun_tpu.core import precision as pr
+
+    # table: zoom gets the accuracy-class contraction on TPU, the
+    # hilo default on CPU; motion/scan keep the F/L analogue
+    monkeypatch.setattr(pr, "_on_tpu", lambda: True)
+    zp = pr.tool_default("zoom")
+    assert zp.intermediate == "i8" and zp.tol is None
+    monkeypatch.setattr(pr, "_on_tpu", lambda: False)
+    assert pr.tool_default("zoom").intermediate == "hilo"
+    assert pr.tool_default("motion") == pr.Precision()
+    assert pr.tool_default("scan").coeff_dtype == pr.Precision().coeff_dtype
+
+    # apply: installs only when nothing explicit was chosen
+    monkeypatch.setattr(pr, "_explicit", False)
+    monkeypatch.setattr(pr, "_on_tpu", lambda: True)
+    pr.apply_tool_default("zoom")
+    assert pr.get_precision().intermediate == "i8"
+    pr.apply_tool_default("motion")
+    assert pr.get_precision().intermediate == "hilo"
+
+    # explicit choice sticks
+    pr.set_precision(pr.Precision(coeff="float32", intermediate="exact"))
+    pr.apply_tool_default("zoom")
+    assert pr.get_precision().intermediate == "exact"
+    pr.set_precision(pr.Precision())  # restore for other tests
