@@ -191,19 +191,24 @@ def bench_zoom(quick):
     prev = get_precision()
     set_precision(Precision(coeff="float32", intermediate="i8", tol=8e-7))
     try:
+        # plans are built (and device_put) ONCE, eagerly — the timing
+        # loop then closes over the device-resident AxisPlans exactly
+        # like bench.py's fused chain
+        prec = get_precision()
+        plan_y, plan_x = zp.zoom_plan("interpolated", (4, 1), (4, 1),
+                                      0, 0, w * 2, h * 2, w, h, prec)
+
         # two-point timing: the synthesis output shape differs from the
         # input, so chain a scalar carry perturbing the spectrum by
         # ~1e-38 (numerically nil, but keeps XLA from hoisting the body)
         def step(carry):
-            f = zp.zoom_frame(spec + carry * 1e-38, "interpolated",
-                              (4, 1), (4, 1), 0, 0, w * 2, h * 2,
-                              encode_trc=True)
+            f = zp._synthesize(spec + carry * 1e-38, plan_y, plan_x,
+                               prec, True)
             return f[0, 0, 0]
 
         dt = _time_fori(step, jax.numpy.zeros((), jax.numpy.float32), iters=4)
-        frame = np.asarray(zp.zoom_frame(
-            spec, "interpolated", (4, 1), (4, 1), 0, 0, w * 2, h * 2,
-            encode_trc=True), np.float64)
+        frame = np.asarray(zp._synthesize(spec, plan_y, plan_x, prec, True),
+                           np.float64)
     finally:
         set_precision(prev)
 

@@ -106,16 +106,37 @@ def _synthesize(spectrum, plan_y, plan_x, precision=None,
 
 
 @functools.lru_cache(maxsize=4)
-def _zoom_plan_cached(scaling_type, xnum, xden, ynum, yden, vx, vy,
-                      vw, vh, w, h, precision):
+def _zoom_plan_host(scaling_type, xnum, xden, ynum, yden, vx, vy,
+                    vw, vh, w, h, precision):
     xb = padded_zoom_basis(scaling_type, *clamp_scale(w, xnum, xden),
                            vx, vw, w)
     yb = padded_zoom_basis(scaling_type, *clamp_scale(h, ynum, yden),
                            vy, vh, h)
+    return plan_matrix(yb, precision), plan_matrix(xb, precision)
+
+
+def _tracing() -> bool:
+    try:
+        from jax._src.core import trace_state_clean  # noqa: PLC0415
+
+        return not trace_state_clean()
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@functools.lru_cache(maxsize=4)
+def _zoom_plan_device(key):
     # device-resident once per plan: as host numpy jit args these would
     # re-upload on every dispatch (CLAUDE.md environment note)
-    return jax.device_put((plan_matrix(yb, precision),
-                           plan_matrix(xb, precision)))
+    return jax.device_put(_zoom_plan_host(*key))
+
+
+def _zoom_plan_cached(*key):
+    if _tracing():
+        # inside a jit trace device_put would return (and cache!)
+        # tracers; host plans become compile-time constants instead
+        return _zoom_plan_host(*key)
+    return _zoom_plan_device(key)
 
 
 def zoom_plan(
