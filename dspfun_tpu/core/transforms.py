@@ -93,16 +93,16 @@ def plan_matrix(m: np.ndarray, precision: Precision | None = None) -> AxisPlan:
         return AxisPlan(m.astype(np.float32), None, digits, scale, rowsum)
     if p.intermediate == "i8":
         from dspfun_tpu.ops.int8mm import (  # noqa: PLC0415
-            I8_TAIL_TOL, i8_matrix_tail, split_matrix_i8,
+            I8_DEEP_TOL, split_matrix_i8,
         )
 
-        digits, row_scale = split_matrix_i8(m)
-        # tight (or unset) accuracy budgets carry the digit-split
-        # truncation tail in ``lo``; apply_plan then adds two
-        # single-pass bf16 corrections -> ~1e-7-class contraction
-        lo = (i8_matrix_tail(m, digits, row_scale)
-              if p.tol is None or p.tol <= I8_TAIL_TOL else None)
-        return AxisPlan(m.astype(np.float32), lo, digits, row_scale, rowsum)
+        # tight (or unset) accuracy budgets carry a 4th digit plane:
+        # the deep 10-product kernel lands ~1e-8-class relative
+        # (~2^-28 truncation, exact int32 accumulation) at ~1.7x the
+        # 3-digit kernel's MXU work
+        ndig = 4 if p.tol is None or p.tol <= I8_DEEP_TOL else 3
+        digits, row_scale = split_matrix_i8(m, ndig)
+        return AxisPlan(m.astype(np.float32), None, digits, row_scale, rowsum)
     if p.intermediate == "hilo":
         hi, lo = split_hilo(m)
         return AxisPlan(hi, lo, rowsum=rowsum)
@@ -206,19 +206,12 @@ def apply_plan(
             # the split composes: balanced residual slices keep the
             # per-slice digit scaling tight around the signal
             resid, piv, vec_hi, vec_lo = rank1_split(xf)
-            y = i8_contract(resid, plan.digits, plan.scale, axis,
-                            a_hi=plan.hi, a_tail=plan.lo)
+            y = i8_contract(resid, plan.digits, plan.scale, axis)
             y = y + piv * vec_hi
-            # "mean"'s vec_lo is the true rowsum lo pair; "zero0"'s
-            # comes from plan.lo, which in i8 mode holds the digit
-            # tail, not a hilo compensation — skip it there (column 0
-            # of the DCT/zoom bases is f32-exact, so vec_hi is already
-            # the whole column)
-            if vec_lo is not None and split == "mean":
+            if vec_lo is not None:
                 y = y + piv * vec_lo
         else:
-            y = i8_contract(xf, plan.digits, plan.scale, axis,
-                            a_hi=plan.hi, a_tail=plan.lo)
+            y = i8_contract(xf, plan.digits, plan.scale, axis)
     elif plan.digits is not None:
         from dspfun_tpu.core.exact import exact_contract  # noqa: PLC0415
 

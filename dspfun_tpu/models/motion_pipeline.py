@@ -224,25 +224,49 @@ def _uniform_factor(md, mh, mw) -> np.ndarray:
 
 
 def _bandpass_mult(g: PlaneGeometry, boost: float, damp: float) -> np.ndarray:
-    """Multiplier array: boost inside [begin, end), damp in the six
-    face regions outside the box but inside active, 1 elsewhere
-    (reference motion.c:683-719)."""
+    """Multiplier array from the reference's six sequential face loops
+    plus the boost box (motion.c:683-719).
+
+    Computed as the *product* of the six face multipliers, not a single
+    region mask: when begin > end on an axis the reference's faces
+    overlap and damp applies twice (e.g. begin.h > end.h damps the full
+    height in the "top" loop and rows >= end.h again in "bottom") —
+    caught by the motion fuzz oracle (tests/test_motion_fuzz.py).  For
+    well-formed boxes the faces are disjoint and this reduces to the
+    usual boost-inside/damp-outside mask.  The boost loop is not
+    clipped to active dims (motion.c:715-719); the damp faces are."""
     md, mh, mw = g.minbuf.d, g.minbuf.h, g.minbuf.w
-    mult = np.ones((md, mh, mw), dtype=np.float64)
-    act = _region_mask(md, mh, mw, g.active)
     z = np.arange(md)[:, None, None]
     y = np.arange(mh)[None, :, None]
     x = np.arange(mw)[None, None, :]
-    inside = (
-        (z >= g.bp_begin.d) & (z < g.bp_end.d)
-        & (y >= g.bp_begin.h) & (y < g.bp_end.h)
-        & (x >= g.bp_begin.w) & (x < g.bp_end.w)
-    )
-    # boost covers the whole box even beyond active (the reference's
-    # boost loop is not clipped to active dims, motion.c:715-719);
-    # damp covers active \ box (the six face regions, motion.c:683-714)
-    mult = np.where(inside, boost, np.where(act, damp, 1.0))
-    return mult
+    return bandpass_mult_grid(z, y, x, g, boost, damp, np)
+
+
+def bandpass_mult_grid(z, y, x, g: PlaneGeometry, boost: float, damp: float,
+                       xp):
+    """The face-product bandpass multiplier over broadcastable global
+    coordinate grids ``z``/``y``/``x`` (numpy or jnp) — shared with the
+    sharded volume path, which evaluates it on each shard's global
+    coordinates."""
+    ad, ah, aw = g.active.d, g.active.h, g.active.w
+    bb, be = g.bp_begin, g.bp_end
+    act2 = (y < ah) & (x < aw)
+    mid_z = (z >= bb.d) & (z < be.d)
+    mid_y = (y >= bb.h) & (y < be.h)
+    faces = [
+        (z < bb.d) & act2,                                   # front
+        (z >= be.d) & (z < ad) & act2,                       # back
+        mid_z & (y < bb.h) & (x < aw),                       # top
+        mid_z & (y >= be.h) & (y < ah) & (x < aw),           # bottom
+        mid_z & mid_y & (x < bb.w),                          # left
+        mid_z & mid_y & (x >= be.w) & (x < aw),              # right
+    ]
+    mult = xp.ones(xp.broadcast_shapes(z.shape, y.shape, x.shape),
+                   dtype=xp.float64 if xp is np else None)
+    for f in faces:
+        mult = mult * xp.where(f, damp, 1.0)
+    inside = mid_z & mid_y & (x >= bb.w) & (x < be.w)
+    return mult * xp.where(inside, boost, 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "params", "plane_index", "nplanes"))

@@ -45,18 +45,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["B_I8", "I8_TAIL_TOL", "split_matrix_i8", "i8_matrix_tail",
-           "i8_contract", "i8_contract_rt"]
+__all__ = ["B_I8", "I8_DEEP_TOL", "split_matrix_i8", "i8_contract",
+           "i8_contract_rt"]
 
 B_I8 = 7          # digit width: |digit| <= 64 after half-range scaling
 _NDIG = 3         # 3 digits cover ~22 bits below each row/slice max
-_W = [float(2.0 ** (-B_I8 * (p + 2))) for p in range(3)]
-_W3 = float(2.0 ** (-B_I8 * 5))  # deep mode: the (1,2)/(2,1) digit pairs
+_W = [float(2.0 ** (-B_I8 * (p + 2))) for p in range(4)]
 
-# accuracy budgets at or below this engage the tail-corrected i8 path
-# (kernel + two single-pass bf16 corrections -> ~1e-7-class, see
-# i8_contract); looser budgets keep the plain 3-digit kernel
-I8_TAIL_TOL = 2e-6
+# accuracy budgets at or below this engage the 4-digit deep kernel
+# (10 digit-pair products, truncation ~2^-28 -> ~1e-8-class relative
+# with exact accumulation); looser budgets keep the 3-digit kernel
+I8_DEEP_TOL = 2e-6
 
 
 def split_matrix_i8(m: np.ndarray, ndig: int = _NDIG):
@@ -85,54 +84,18 @@ def split_matrix_i8(m: np.ndarray, ndig: int = _NDIG):
     return digits, (2.0**e).astype(np.float32)
 
 
-def i8_matrix_tail(m: np.ndarray, digits: np.ndarray,
-                   row_scale: np.ndarray) -> np.ndarray:
-    """f32 truncation tail of the host digit split:
-    ``m - row_scale * sum_i digits[i] * 2**(-B*(i+1))`` (entries are
-    <= row_scale * 2^-22).  Contracting the tail against the operand in
-    one DEFAULT bf16 pass recovers the matrix-side truncation of the
-    3-digit kernel — half of the tail-corrected i8 mode."""
-    m = np.asarray(m, np.float64)
-    k = m.shape[1]
-    recon = np.zeros_like(m)
-    for i in range(digits.shape[0]):
-        recon += digits[i][:, :k].astype(np.float64) * 2.0 ** (-B_I8 * (i + 1))
-    return (m - row_scale.astype(np.float64) * recon).astype(np.float32)
-
-
-def _operand_tail(xf: jax.Array, axis: int) -> jax.Array:
-    """f32 truncation tail of the device operand split (<= 2^-22 of the
-    per-slice max) — the operand-side half of the tail correction.
-    Recomputes the split on the unpadded operand; XLA fuses the
-    elementwise work, so the cost is HBM passes, not FLOPs."""
-    xd, ex = _split_operand_xla(xf, axis)
-    recon = sum(d.astype(jnp.float32) * float(2.0 ** (-B_I8 * (i + 1)))
-                for i, d in enumerate(xd))
-    return xf - recon * ex
-
-
-def _tdot_default(mat: jax.Array, x: jax.Array, axis: int) -> jax.Array:
-    """One single-pass (DEFAULT-precision bf16) contraction of an f32
-    matrix against ``axis`` — the correction-term matmul.  Error is
-    ~2^-9 relative to its *own* operands, which are already ~2^-22
-    tails, landing the correction error near 2^-31."""
-    y = jnp.tensordot(mat, x, axes=[[1], [axis]],
-                      precision=jax.lax.Precision.DEFAULT,
-                      preferred_element_type=jnp.float32)
-    return jnp.moveaxis(y, 0, axis)
-
-
-def _split_operand_xla(x: jax.Array, axis: int):
+def _split_operand_xla(x: jax.Array, axis: int, ndig: int = _NDIG):
     """XLA (pre-kernel) digit split of an f32 operand with per-slice
     scaling along ``axis``: a handful of fused elementwise HBM passes —
     far cheaper than splitting on the VPU inside the kernel (the ~18
     full-tile VPU passes per grid step were the kernel bottleneck).
-    Returns (3 int8 digit arrays, exp2-scale with ``axis`` kept)."""
+    Returns (``ndig`` int8 digit arrays, exp2-scale with ``axis``
+    kept)."""
     mx = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
     e = jnp.where(mx > 0, jnp.ceil(jnp.log2(mx)) + 1.0, 0.0)
     r = x * jnp.exp2(-e)
     out = []
-    for i in range(_NDIG):
+    for i in range(ndig):
         sc = float(2.0 ** (B_I8 * (i + 1)))
         d = jnp.round(r * sc)
         r = r - d * (1.0 / sc)
@@ -140,14 +103,11 @@ def _split_operand_xla(x: jax.Array, axis: int):
     return out, jnp.exp2(e)
 
 
-def _kernel_left(a0, a1, a2, x0, x1, x2, out_ref, *, deep=False):
+def _kernel_left(a0, a1, a2, x0, x1, x2, out_ref):
     """out[0] = sum_pairs w * A_i @ X_j over one [TM, K]x[K, TR] tile —
     pure MXU work; the digit split happened in XLA.  The M-tile grid
     dimension is OUTER (the A digit tiles are the big resident operand;
-    re-DMAing them per step made the kernel HBM-bound).  ``deep`` adds
-    the (1,2)/(2,1) digit pairs (8 of 9 products; the dropped (2,2)
-    pair sits at 2^-30) — the tail-corrected mode needs them because
-    they carry ~2^-23 each, the same order as the split truncation."""
+    re-DMAing them per step made the kernel HBM-bound)."""
     def dot(a, xx):
         return jnp.dot(a[:], xx[0], preferred_element_type=jnp.int32)
 
@@ -155,12 +115,29 @@ def _kernel_left(a0, a1, a2, x0, x1, x2, out_ref, *, deep=False):
     acc += (dot(a0, x1) + dot(a1, x0)).astype(jnp.float32) * _W[1]
     acc += (dot(a0, x2) + dot(a1, x1)
             + dot(a2, x0)).astype(jnp.float32) * _W[2]
-    if deep:
-        acc += (dot(a1, x2) + dot(a2, x1)).astype(jnp.float32) * _W3
     out_ref[0] = acc
 
 
-def _kernel_right(a0, a1, a2, x0, x1, x2, out_ref, *, deep=False):
+def _kernel_left4(a0, a1, a2, a3, x0, x1, x2, x3, out_ref):
+    """The deep (4-digit) variant: the 10 digit pairs with i+j <= 3.
+    Truncation sits at ~2^-28 of the slice maxes (the 4-digit split
+    tails plus the dropped i+j >= 4 pairs at 2^-30), so the contraction
+    lands ~1e-8-class relative with exact int32 accumulation — the
+    accuracy mode behind zoom's <=1e-5 post-OETF budget at ~1.7x the
+    3-digit kernel's MXU work (VERDICT r3 item 1)."""
+    def dot(a, xx):
+        return jnp.dot(a[:], xx[0], preferred_element_type=jnp.int32)
+
+    acc = dot(a0, x0).astype(jnp.float32) * _W[0]
+    acc += (dot(a0, x1) + dot(a1, x0)).astype(jnp.float32) * _W[1]
+    acc += (dot(a0, x2) + dot(a1, x1)
+            + dot(a2, x0)).astype(jnp.float32) * _W[2]
+    acc += (dot(a0, x3) + dot(a1, x2) + dot(a2, x1)
+            + dot(a3, x0)).astype(jnp.float32) * _W[3]
+    out_ref[0] = acc
+
+
+def _kernel_right(a0, a1, a2, x0, x1, x2, out_ref):
     dims = (((1,), (1,)), ((), ()))
 
     def dot(xx, a):
@@ -171,21 +148,36 @@ def _kernel_right(a0, a1, a2, x0, x1, x2, out_ref, *, deep=False):
     acc += (dot(x1, a0) + dot(x0, a1)).astype(jnp.float32) * _W[1]
     acc += (dot(x2, a0) + dot(x1, a1)
             + dot(x0, a2)).astype(jnp.float32) * _W[2]
-    if deep:
-        acc += (dot(x2, a1) + dot(x1, a2)).astype(jnp.float32) * _W3
     out_ref[0] = acc
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("tm", "tr", "interpret", "deep"))
-def _i8_call_left(a0, a1, a2, x0, x1, x2, tm, tr, interpret, deep=False):
+def _kernel_right4(a0, a1, a2, a3, x0, x1, x2, x3, out_ref):
+    dims = (((1,), (1,)), ((), ()))
+
+    def dot(xx, a):
+        return jax.lax.dot_general(xx[0], a[:], dims,
+                                   preferred_element_type=jnp.int32)
+
+    acc = dot(x0, a0).astype(jnp.float32) * _W[0]
+    acc += (dot(x1, a0) + dot(x0, a1)).astype(jnp.float32) * _W[1]
+    acc += (dot(x2, a0) + dot(x1, a1)
+            + dot(x0, a2)).astype(jnp.float32) * _W[2]
+    acc += (dot(x3, a0) + dot(x2, a1) + dot(x1, a2)
+            + dot(x0, a3)).astype(jnp.float32) * _W[3]
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tr", "interpret"))
+def _i8_call_left(*args, tm=None, tr=None, interpret=False):
     """A digits [M, K] x operand digits [B, K, R] int8 -> [B, M, R] f32
-    (unscaled digit combination)."""
+    (unscaled digit combination).  3- or 4-digit by arity."""
     from jax.experimental import pallas as pl  # noqa: PLC0415
     from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
 
-    m, k = a0.shape
-    b, _, r = x0.shape
+    nd = len(args) // 2
+    a, x = args[:nd], args[nd:]
+    m, k = a[0].shape
+    b, _, r = x[0].shape
     # M-tiles outer, R-tiles inner: A tiles DMA once per outer step
     grid = (b, m // tm, r // tr)
     a_spec = pl.BlockSpec((tm, k), lambda c, i, j: (i, 0),
@@ -193,54 +185,56 @@ def _i8_call_left(a0, a1, a2, x0, x1, x2, tm, tr, interpret, deep=False):
     x_spec = pl.BlockSpec((1, k, tr), lambda c, i, j: (c, 0, j),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel_left, deep=deep),
+        _kernel_left4 if nd == 4 else _kernel_left,
         out_shape=jax.ShapeDtypeStruct((b, m, r), jnp.float32),
         grid=grid,
-        in_specs=[a_spec, a_spec, a_spec, x_spec, x_spec, x_spec],
+        in_specs=[a_spec] * nd + [x_spec] * nd,
         out_specs=pl.BlockSpec((1, tm, tr), lambda c, i, j: (c, i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(a0, a1, a2, x0, x1, x2)
+    )(*a, *x)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("tm", "tr", "interpret", "deep"))
-def _i8_call_right(a0, a1, a2, x0, x1, x2, tm, tr, interpret, deep=False):
+@functools.partial(jax.jit, static_argnames=("tm", "tr", "interpret"))
+def _i8_call_right(*args, tm=None, tr=None, interpret=False):
     """A digits [M, K] x operand digits [B, R, K] int8 -> [B, R, M] f32
-    (unscaled digit combination)."""
+    (unscaled digit combination).  3- or 4-digit by arity."""
     from jax.experimental import pallas as pl  # noqa: PLC0415
     from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
 
-    m, k = a0.shape
-    b, r, _ = x0.shape
+    nd = len(args) // 2
+    a, x = args[:nd], args[nd:]
+    m, k = a[0].shape
+    b, r, _ = x[0].shape
     grid = (b, m // tm, r // tr)
     a_spec = pl.BlockSpec((tm, k), lambda c, i, j: (i, 0),
                           memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((1, tr, k), lambda c, i, j: (c, j, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel_right, deep=deep),
+        _kernel_right4 if nd == 4 else _kernel_right,
         out_shape=jax.ShapeDtypeStruct((b, r, m), jnp.float32),
         grid=grid,
-        in_specs=[a_spec, a_spec, a_spec, x_spec, x_spec, x_spec],
+        in_specs=[a_spec] * nd + [x_spec] * nd,
         out_specs=pl.BlockSpec((1, tr, tm), lambda c, i, j: (c, j, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(a0, a1, a2, x0, x1, x2)
+    )(*a, *x)
 
 
-def _tiles(m: int, k: int) -> tuple[int, int, int]:
+def _tiles(m: int, k: int, ndig: int = _NDIG) -> tuple[int, int, int]:
     """(tm, tr, mp): tiles sized for the digit-only VMEM live set
-    (2x3 A tiles + 2x3 operand-digit tiles + out, all int8 but out;
-    ~13 MB at K=3840 under the 16 MB scope), 32/128-aligned; M pads to
-    a tile multiple.  256-wide R tiles amortise the per-step grid
-    overhead that dominated at 128."""
+    (2 x ndig A tiles + 2 x ndig operand-digit tiles + out, all int8
+    but out; ~13 MB at K=3840 under the 16 MB scope), 32/128-aligned;
+    M pads to a tile multiple.  256-wide R tiles amortise the per-step
+    grid overhead that dominated at 128."""
     tr = 256
     # tm rides the output LANE dim in the right-form kernel -> must be
     # a multiple of 128.  Among the admissible tile sizes, minimise the
     # padded-M compute (mp/m waste can reach 90% for pruned row counts)
     # with a mild penalty for small tiles (per-step grid overhead).
-    cap = max(128, min(512, (1_200_000 // max(k, 1)) // 128 * 128))
+    budget = 1_200_000 * _NDIG // ndig
+    cap = max(128, min(512, (budget // max(k, 1)) // 128 * 128))
     best = None
     for tm_c in (512, 384, 256, 128):
         if tm_c > cap:
@@ -272,41 +266,27 @@ def i8_contract(
     digits_a: jax.Array,     # [D, M, Kp] int8 from split_matrix_i8
     scale_a,                 # [M, 1] f32 row scales
     axis: int,
-    a_hi: jax.Array | None = None,
-    a_tail: jax.Array | None = None,
 ) -> jax.Array:
     """Contract the int8-digit [M, K] matrix against ``axis`` of ``x``
     (f32).  Shaped like ``x`` with ``axis`` replaced by M.
+
+    3 digit planes run the 6-product kernel (~2^-21 truncation, the
+    budgeted fast mode); 4 planes run the deep 10-product kernel
+    (~2^-28 truncation, ~1e-8-class relative — the accuracy mode, still
+    exact int32 accumulation; see plan_matrix/I8_DEEP_TOL for the
+    selection policy).
 
     Layout-aware: ``axis == 0`` and ``axis == ndim-1`` run without any
     transpose; a middle axis with a single leading batch dim (the
     ``[C, H, W]`` separable-chain case) rides the kernels' batch grid
     dimension; anything else falls back to one moveaxis.
-
-    ``a_hi``/``a_tail`` (both [M, K] f32; ``a_tail`` from
-    :func:`i8_matrix_tail`) engage the tail-corrected mode:
-
-        A x ~= R X  +  T @ x  +  A @ (x - X)
-
-    where R/X are the 3-digit reconstructions and T = A - R.  The two
-    corrections are single-pass bf16 matmuls over ~2^-22-magnitude
-    tails, so total error drops from the digit truncation (~2^-21 of
-    slice maxes) to a few f32 roundings of the result (~1e-7-class,
-    matching the budgeted-exact path at a fraction of its passes).
     """
     da, m, kp = digits_a.shape
-    if da != _NDIG:
-        raise ValueError(f"expected {_NDIG} digit planes, got {da}")
-    deep = a_tail is not None
-    y = _i8_dispatch(x, [digits_a[i] for i in range(da)],
-                     jnp.asarray(scale_a), axis, m, kp, deep=deep)
-    if deep:
-        ax = axis % x.ndim
-        xf = jnp.asarray(x, jnp.float32)
-        k = xf.shape[ax]
-        y = (y + _tdot_default(a_tail[:, :k], xf, ax)
-             + _tdot_default(a_hi[:, :k], _operand_tail(xf, ax), ax))
-    return y
+    if da not in (_NDIG, _NDIG + 1):
+        raise ValueError(f"expected {_NDIG} or {_NDIG + 1} digit planes, "
+                         f"got {da}")
+    return _i8_dispatch(x, [digits_a[i] for i in range(da)],
+                        jnp.asarray(scale_a), axis, m, kp)
 
 
 def i8_contract_rt(x: jax.Array, a_f32: jax.Array, axis: int) -> jax.Array:
@@ -323,11 +303,12 @@ def i8_contract_rt(x: jax.Array, a_f32: jax.Array, axis: int) -> jax.Array:
     return _i8_dispatch(x, ad, ea, axis, m, kp)
 
 
-def _i8_dispatch(x, a_digits, scale_a, axis, m, kp, deep=False):
+def _i8_dispatch(x, a_digits, scale_a, axis, m, kp):
     axis = axis % x.ndim
+    nd = len(a_digits)
     k = x.shape[axis]
     xf = jnp.asarray(x, jnp.float32)
-    tm, tr, mp_ = _tiles(m, kp)
+    tm, tr, mp_ = _tiles(m, kp, nd)
     a = a_digits
     if mp_ != m:
         a = [jnp.pad(d, ((0, mp_ - m), (0, 0))) for d in a]
@@ -341,8 +322,8 @@ def _i8_dispatch(x, a_digits, scale_a, axis, m, kp, deep=False):
         if kp != k:
             x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, kp - k)))
         x2, r0 = _pad_axis(x2, 1, tr)
-        xd, ex = _split_operand_xla(x2, 2)
-        y = _i8_call_right(a[0], a[1], a[2], *xd, tm, tr, interp, deep)
+        xd, ex = _split_operand_xla(x2, 2, nd)
+        y = _i8_call_right(*a, *xd, tm=tm, tr=tr, interpret=interp)
         y = y[0, :r0, :m] * ex[0, :r0, :] * sa[:, 0][None, :]
         return y.reshape(pre + (m,))
     if axis == 0:
@@ -351,8 +332,8 @@ def _i8_dispatch(x, a_digits, scale_a, axis, m, kp, deep=False):
         if kp != k:
             x2 = jnp.pad(x2, ((0, 0), (0, kp - k), (0, 0)))
         x2, r0 = _pad_axis(x2, 2, tr)
-        xd, ex = _split_operand_xla(x2, 1)
-        y = _i8_call_left(a[0], a[1], a[2], *xd, tm, tr, interp, deep)
+        xd, ex = _split_operand_xla(x2, 1, nd)
+        y = _i8_call_left(*a, *xd, tm=tm, tr=tr, interpret=interp)
         y = y[0, :m, :r0] * ex[0, :, :r0] * sa
         return y.reshape((m,) + rest)
     if axis == 1 and x.ndim == 3:
@@ -361,11 +342,10 @@ def _i8_dispatch(x, a_digits, scale_a, axis, m, kp, deep=False):
         if kp != k:
             x2 = jnp.pad(x2, ((0, 0), (0, kp - k), (0, 0)))
         x2, r0 = _pad_axis(x2, 2, tr)
-        xd, ex = _split_operand_xla(x2, 1)
-        y = _i8_call_left(a[0], a[1], a[2], *xd, tm, tr, interp, deep)
+        xd, ex = _split_operand_xla(x2, 1, nd)
+        y = _i8_call_left(*a, *xd, tm=tm, tr=tr, interpret=interp)
         y = y[:, :m, :r0] * ex[:, :, :r0] * sa[None]
         return y
     # general middle axis: one moveaxis to the front
-    y = _i8_dispatch(jnp.moveaxis(xf, axis, 0), a_digits, scale_a, 0, m, kp,
-                     deep=deep)
+    y = _i8_dispatch(jnp.moveaxis(xf, axis, 0), a_digits, scale_a, 0, m, kp)
     return jnp.moveaxis(y, 0, axis)

@@ -247,17 +247,18 @@ def _volume_fn(mesh, geom, params, plane_index, nplanes, bz, prec, t, h, w):
             }
             M = (p.expr(env, jnp) * (255.0 / norm2)).astype(dtype)
 
-        # --- bandpass (motion.c:683-719) -------------------------------
+        # --- bandpass (motion.c:683-719): the face-product form shared
+        # with filter_blocks — overlapping faces double-damp when
+        # begin > end, matching the reference's sequential loops
         if p.damp != 1.0 or p.boost != 1.0:
-            inside = (
-                (zg >= g.bp_begin.d)[:, None, None]
-                & (zg < g.bp_end.d)[:, None, None]
-                & (yg >= g.bp_begin.h)[None, :, None]
-                & (yg < g.bp_end.h)[None, :, None]
-                & (xg >= g.bp_begin.w)[None, None, :]
-                & (xg < g.bp_end.w)[None, None, :]
+            from dspfun_tpu.models.motion_pipeline import (  # noqa: PLC0415
+                bandpass_mult_grid,
             )
-            M = M * jnp.where(inside, p.boost, p.damp).astype(dtype)
+
+            mult = bandpass_mult_grid(
+                zg[:, None, None], yg[None, :, None], xg[None, None, :],
+                g, p.boost, p.damp, jnp)
+            M = M * mult.astype(dtype)
 
         # --- threshold (motion.c:721-728) ------------------------------
         if p.threshold_max:

@@ -194,16 +194,13 @@ def test_large_frame_host_basis_matches_f64_oracle(tmp_path):
     np.testing.assert_allclose(got, oracle, atol=5e-6)
 
 
-def test_i8_deep_tail_contraction_accuracy():
-    """The tail-corrected i8 mode (deep kernel pairs + two bf16 tail
-    corrections, ops/int8mm.i8_contract) must beat HIGHEST-class
-    accuracy: ~1e-7 relative with exact accumulation (VERDICT r3
-    item 1's contraction requirement)."""
+def test_i8_deep_contraction_accuracy():
+    """The 4-digit deep i8 kernel (10 digit pairs, ops/int8mm) must
+    beat HIGHEST-class accuracy: ~1e-7 relative or better with exact
+    accumulation (VERDICT r3 item 1's contraction requirement)."""
     import jax.numpy as jnp
 
-    from dspfun_tpu.ops.int8mm import (
-        i8_contract, i8_matrix_tail, split_matrix_i8,
-    )
+    from dspfun_tpu.ops.int8mm import i8_contract, split_matrix_i8
 
     rng = np.random.default_rng(0)
     K, M = 480, 960
@@ -211,14 +208,18 @@ def test_i8_deep_tail_contraction_accuracy():
                * np.arange(K)[None, :] / K)
     x = rng.standard_normal((K, 300)).astype(np.float32) * 50
     ref = m @ x.astype(np.float64)
-    digits, rs = split_matrix_i8(m)
-    tail = i8_matrix_tail(m, digits, rs)
+    digits, rs = split_matrix_i8(m, 4)
     y = np.asarray(i8_contract(
-        jnp.asarray(x), jnp.asarray(digits), jnp.asarray(rs), 0,
-        a_hi=jnp.asarray(m.astype(np.float32)), a_tail=jnp.asarray(tail)),
+        jnp.asarray(x), jnp.asarray(digits), jnp.asarray(rs), 0),
         np.float64)
     rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
     assert rel <= 2e-7, rel
+    # right-form path too
+    y2 = np.asarray(i8_contract(
+        jnp.asarray(np.ascontiguousarray(x.T)), jnp.asarray(digits),
+        jnp.asarray(rs), 1), np.float64)
+    rel2 = np.max(np.abs(y2 - ref.T)) / np.max(np.abs(ref))
+    assert rel2 <= 2e-7, rel2
 
 
 def test_planned_still_meets_post_oetf_budget():
