@@ -665,6 +665,113 @@ class FvidWriter(VideoWriter):
         self._stream.write((hdr + "\n").encode("ascii"))
 
 
+class NutVideoReader(VideoReader):
+    """Native NUT demux (io/nut.py): rawvideo payloads, the reference's
+    default motion container family (FFV1-in-NUT at motion.c:447 —
+    here rawvideo-in-NUT, negotiated like the fvid path)."""
+
+    def __init__(self, stream, spec):
+        from dspfun_tpu.io import nut as _nut  # noqa: PLC0415
+
+        super().__init__(stream, spec, "nut")
+        self._nr = _nut.NutReader(stream)
+        st = self._nr.state
+        if not st.streams:
+            raise ValueError(f"{spec!r}: NUT stream header missing")
+        s0 = st.streams[0]
+        tag = bytes(s0["fourcc"])
+        if tag == b"DSPF":
+            name = s0["codec_specific"].decode("ascii", "replace")
+        else:
+            from dspfun_tpu.io.nut import _TAG_TO_FMT  # noqa: PLC0415
+
+            name = _TAG_TO_FMT.get(tag, "")
+        if name not in PIXEL_FORMATS:
+            raise ValueError(
+                f"{spec!r}: NUT codec {tag!r} is not native rawvideo; "
+                "use the ffmpeg bridge (--format nut) for foreign codecs")
+        self.pix_fmt = PIXEL_FORMATS[name]
+        self.width, self.height = s0["width"], s0["height"]
+        tb = (st.time_bases[s0["time_base_id"]]
+              if st.time_bases else Fraction(1, 25))
+        info = st.info
+        if "X-dspfun-rate" in info:
+            num, _, den = info["X-dspfun-rate"].partition("/")
+            self.rate = Fraction(int(num), int(den or 1))
+        elif tb:
+            self.rate = 1 / tb
+        self.props = ColorProps(
+            pix_fmt=name,
+            color_range=info.get("X-dspfun-color_range"),
+            color_primaries=info.get("X-dspfun-color_primaries"),
+            color_trc=info.get("X-dspfun-color_trc"),
+            color_space=info.get("X-dspfun-color_space"),
+            chroma_location=info.get("X-dspfun-chroma_location"),
+        )
+        if self.props.color_range is None:
+            # colorspace_type carries range class (nut.txt): >= 16 full
+            cs = s0.get("colorspace_type", 0)
+            self.props.color_range = "jpeg" if cs >= 16 or cs == 0 else "mpeg"
+        self.frames = self._nr.count_frames()
+
+    def read_frame(self, raw: bool = False):
+        got = self._nr.read_frame_bytes()
+        if got is None:
+            return None
+        _, data = got
+        pf = self.pix_fmt
+        need = pf.frame_bytes(self.width, self.height)
+        if len(data) < need:
+            raise ValueError(f"{self.spec!r}: short NUT frame")
+        out = []
+        off = 0
+        for i, (w, h) in enumerate(pf.plane_dims(self.width, self.height)):
+            nb = w * h * pf.dtype.itemsize
+            arr = np.frombuffer(data[off:off + nb], dtype=pf.dtype).reshape(h, w)
+            out.append(np.asarray(arr, np.float64) if raw
+                       else _dequantize_plane(arr, pf, i, self.props.color_range))
+            off += nb
+        self.frame_index += 1
+        return out
+
+
+class NutVideoWriter(VideoWriter):
+    """Native NUT mux (io/nut.py), rawvideo payloads."""
+
+    def __init__(self, stream, spec, width, height, rate, pix_fmt, props,
+                 start_index: int = 0):
+        from dspfun_tpu.io import nut as _nut  # noqa: PLC0415
+
+        super().__init__(stream, spec, "nut", width, height, rate,
+                         pix_fmt, props)
+        self._nw = _nut.NutWriter(stream, width, height, rate, pix_fmt,
+                                  props, start_index=start_index)
+        self.frame_index = start_index
+        self._wrote_header = start_index > 0  # appending: header exists
+
+    def _write_header(self):
+        if not self._nw._header_written:
+            self._nw.write_header()
+            self._nw._header_written = True
+
+    def write_frame(self, planes: list[np.ndarray], raw: bool = False) -> None:
+        self._write_header()
+        self._wrote_header = True
+        pf = self.pix_fmt
+        chunks = []
+        for i, p in enumerate(planes):
+            if raw and not pf.is_float:
+                maxv = (1 << pf.depth) - 1
+                q = np.clip(np.rint(p), 0, maxv).astype(pf.dtype)
+            elif raw:
+                q = np.asarray(p, dtype=pf.dtype)
+            else:
+                q = _quantize_plane(p, pf, i, self.props.color_range)
+            chunks.append(q.tobytes())
+        self._nw.write_frame_bytes(b"".join(chunks))
+        self.frame_index = self._nw.frame_index
+
+
 class RawReader(VideoReader):
     """Headerless fixed-size frames (ffmpeg ``-f rawvideo`` transport).
 
@@ -763,14 +870,14 @@ def _open_stream_out(path: str):
     return open(path, "wb")
 
 
-_FFMPEG_EXTS = ("nut", "avi", "mkv", "mp4", "mov", "m4v", "webm", "mpg",
+_FFMPEG_EXTS = ("avi", "mkv", "mp4", "mov", "m4v", "webm", "mpg",
                 "mpeg", "ts", "gif", "flv", "wmv", "ogv")
 
 
 def _sniff_format(path: str, fmt: str | None, for_output: bool) -> str:
     if fmt:
         aliases = {"yuv4mpegpipe": "y4m", "y4m": "y4m", "fvid": "fvid",
-                   "image2": "image2"}
+                   "image2": "image2", "nut": "nut"}
         # any other format name is an ffmpeg container/demuxer request,
         # served by the ffmpeg-binary bridge (reference --format passes
         # straight to libavformat)
@@ -778,6 +885,8 @@ def _sniff_format(path: str, fmt: str | None, for_output: bool) -> str:
     if _PATTERN_RE.search(path):
         return "image2"
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    if ext == "nut":
+        return "nut"
     if ext == "y4m":
         return "y4m"
     if ext == "fvid":
@@ -846,19 +955,30 @@ def open_input(spec: str, format: str | None = None,
     fmt = _sniff_format(spec, format, for_output=False)
     if fmt == "image2":
         return ImageSeqReader(spec, spec)
-    if fmt == "ffmpeg" and format is not None:
+    if fmt == "ffmpeg" and format is not None and format != "nut":
         from dspfun_tpu.io import ffmpeg_bridge  # noqa: PLC0415
 
         return ffmpeg_bridge.open_ffmpeg_input(spec, format, options=options)
     if fmt == "ffmpeg":
         fmt = "pipe"  # extension suggests ffmpeg, but trust magic first
     stream = _open_stream_in(spec)
-    if fmt == "pipe":
+    if fmt in ("pipe", "nut"):
         magic = stream.peek(9)[:9] if hasattr(stream, "peek") else b""
         if magic.startswith(b"DSPFVID"):
             fmt = "fvid"
         elif magic.startswith(b"YUV4MPEG"):
             fmt = "y4m"
+        elif magic.startswith(b"nut/"):
+            # native NUT demux; genuinely foreign codecs inside fall
+            # back to the ffmpeg-binary bridge
+            try:
+                return NutVideoReader(stream, spec)
+            except ValueError:
+                stream.close()
+                from dspfun_tpu.io import ffmpeg_bridge  # noqa: PLC0415
+
+                return ffmpeg_bridge.open_ffmpeg_input(spec, "nut",
+                                                       options=options)
         elif spec in ("-", "pipe:", "pipe:0"):
             if magic and not b"YUV4MPEG".startswith(magic[:8]) \
                     and not b"DSPFVID".startswith(magic[:7]):
@@ -871,6 +991,8 @@ def open_input(spec: str, format: str | None = None,
                     spec, options=options, stdin_stream=stream)
             fmt = "y4m"  # pipes default to y4m (reference ffapi.c:177)
         else:
+            # foreign magic (incl. a .nut extension over non-NUT
+            # content): the ffmpeg-binary bridge probes it
             stream.close()
             from dspfun_tpu.io import ffmpeg_bridge  # noqa: PLC0415
 
@@ -951,6 +1073,24 @@ def open_output(
         return w
 
     fmt = _sniff_format(spec, format, for_output=True)
+    if fmt == "nut" and codec not in (None, "", "rawvideo"):
+        # a genuinely foreign codec (e.g. -c ffv1): bridge territory
+        fmt = "ffmpeg"
+    if fmt == "nut":
+        pf = PIXEL_FORMATS[_negotiate_pix_fmt(fmt, props)]
+        _default_props(fmt, props)
+        start = 0
+        if append and spec not in ("-", "pipe:", "pipe:1") \
+                and os.path.exists(spec) and os.path.getsize(spec) > 0:
+            with open(spec, "rb") as f:
+                from dspfun_tpu.io.nut import NutReader  # noqa: PLC0415
+
+                start = NutReader(f).count_frames() or 0
+            stream = open(spec, "ab")
+        else:
+            stream = _open_stream_out(spec)
+        return NutVideoWriter(stream, spec, width, height, rate, pf, props,
+                              start_index=start)
     if fmt == "ffmpeg":
         if append:
             # resuming would re-run `ffmpeg -y` and destroy the frames

@@ -244,8 +244,9 @@ def test_bridge_frame_count_from_duration(tmp_path, shims, monkeypatch):
 def test_bridge_float_output_rawvideo(tmp_path, shims):
     """A float-negotiated output rides `-f rawvideo -pixel_format
     gbrpf32le` and round-trips float content exactly (the reference
-    writes GBRPF32 FFV1 — zoom/zoom.c:254,306)."""
-    out = str(tmp_path / "out.nut")
+    writes GBRPF32 FFV1 — zoom/zoom.c:254,306).  Round 4: `.nut` is a
+    native container, so the bridge case moves to `.mkv`."""
+    out = str(tmp_path / "out.mkv")
     props = video.parse_color_props("pixel_format=gbrpf32le")
     rng = np.random.default_rng(3)
     frames = rng.random((2, 8, 16, 3)).astype(np.float32)

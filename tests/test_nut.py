@@ -1,0 +1,192 @@
+"""Native NUT container (VERDICT r3 item 4): the reference's default
+`.nut` output paths (motion.c:447) must open and write with zero
+external binaries — rawvideo payloads, spec-exact packet structure."""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dspfun_tpu.io import video
+from dspfun_tpu.io.nut import (
+    FILE_ID, NutReader, crc32_nut, put_s, put_v, _Parser,
+)
+
+
+def test_value_coding_roundtrip():
+    buf = bytearray()
+    vals = [0, 1, 127, 128, 300, 2**21, 2**40]
+    for v in vals:
+        put_v(buf, v)
+    svals = [0, 1, -1, 2, -2, 1000, -1000, 2**30, -2**30]
+    for v in svals:
+        put_s(buf, v)
+    p = _Parser(bytes(buf))
+    assert [p.get_v() for _ in vals] == vals
+    assert [p.get_s() for _ in svals] == svals
+    assert p.remaining() == 0
+
+
+def test_crc32_nut_known_vector():
+    # poly 0x104C11DB7, init 0, MSB-first, no reflection/xor: "123456789"
+    # under CRC-32/MPEG-2 with init 0 (not 0xFFFFFFFF)
+    assert crc32_nut(b"") == 0
+    c1 = crc32_nut(b"123456789")
+    # incremental == one-shot
+    assert crc32_nut(b"456789", crc32_nut(b"123")) == c1
+
+
+def _roundtrip(path, frames, props_str, rate=Fraction(30)):
+    props = video.parse_color_props(props_str)
+    h, w = frames.shape[1:3]
+    with video.open_output(str(path), w, h, rate, props) as wr:
+        assert type(wr).__name__ == "NutVideoWriter"
+        for f in frames:
+            wr.write_frame_rgb(f)
+    with video.open_input(str(path)) as r:
+        assert type(r).__name__ == "NutVideoReader"
+        got = []
+        while True:
+            f = r.read_frame_rgb()
+            if f is None:
+                break
+            got.append(f)
+        return r, np.stack(got)
+
+
+def test_nut_float_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = rng.random((4, 10, 14, 3)).astype(np.float32)
+    r, got = _roundtrip(tmp_path / "a.nut", frames,
+                        "pixel_format=gbrpf32le:color_range=jpeg:"
+                        "color_trc=iec61966-2-1:colorspace=rgb")
+    np.testing.assert_allclose(got, frames, atol=1e-6)
+    assert r.frames == 4
+    assert r.rate == Fraction(30)
+    assert r.props.color_trc == "iec61966-2-1"
+    assert r.props.color_space == "rgb"
+
+
+def test_nut_yuv_tag_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    frames = rng.random((3, 8, 8, 3)).astype(np.float32)
+    r, got = _roundtrip(tmp_path / "b.nut", frames, "pixel_format=yuv444p")
+    assert r.pix_fmt.name == "yuv444p"
+    np.testing.assert_allclose(got, frames, atol=0.05)  # 8-bit yuv loss
+
+
+def test_nut_highdepth_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    frames = rng.random((2, 8, 8, 3)).astype(np.float32)
+    r, got = _roundtrip(tmp_path / "c.nut", frames,
+                        "pixel_format=yuv444p16le")
+    assert r.pix_fmt.name == "yuv444p16le"
+    np.testing.assert_allclose(got, frames, atol=2e-3)
+
+
+def test_nut_seek_and_append(tmp_path):
+    rng = np.random.default_rng(3)
+    frames = rng.random((5, 6, 8, 3)).astype(np.float32)
+    path = tmp_path / "d.nut"
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(str(path), 8, 6, Fraction(25), props) as wr:
+        for f in frames:
+            wr.write_frame_rgb(f)
+    with video.open_input(str(path)) as r:
+        r.seek_frame(3)
+        np.testing.assert_allclose(r.read_frame_rgb(), frames[3], atol=1e-6)
+    with video.open_output(str(path), 8, 6, Fraction(25), props,
+                           append=True) as wr:
+        assert wr.frame_index == 5
+        wr.write_frame_rgb(frames[0])
+    with video.open_input(str(path)) as r:
+        assert r.frames == 6
+
+
+def test_nut_magic_over_wrong_extension(tmp_path):
+    """Content sniffing: NUT bytes under a foreign name still open
+    natively; fvid bytes under .nut open as fvid."""
+    rng = np.random.default_rng(4)
+    frames = rng.random((2, 6, 8, 3)).astype(np.float32)
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    nut_as_avi = tmp_path / "x.avi"
+    with video.open_output(str(nut_as_avi), 8, 6, Fraction(25), props,
+                           format="nut") as wr:
+        for f in frames:
+            wr.write_frame_rgb(f)
+    with video.open_input(str(nut_as_avi)) as r:
+        assert type(r).__name__ == "NutVideoReader"
+        assert r.frames == 2
+    fvid_as_nut = tmp_path / "y.nut"
+    with video.open_output(str(fvid_as_nut), 8, 6, Fraction(25), props,
+                           format="fvid") as wr:
+        wr.write_frame_rgb(frames[0])
+    with video.open_input(str(fvid_as_nut)) as r:
+        assert "Fvid" in type(r).__name__ or "NativeBacked" in type(r).__name__
+
+
+def test_nut_foreign_codec_routes_to_bridge(tmp_path):
+    """-c ffv1 on a .nut output is a genuinely foreign codec: bridge
+    territory (which raises without an ffmpeg binary here)."""
+    props = video.parse_color_props("pixel_format=yuv420p")
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        video.open_output(str(tmp_path / "e.nut"), 8, 6, Fraction(25),
+                          props, codec="ffv1")
+
+
+def test_nut_headers_parse_standalone(tmp_path):
+    """The raw NutReader exposes spec-level structures (startcodes,
+    framecode table, stream header fields)."""
+    rng = np.random.default_rng(5)
+    frames = rng.random((2, 6, 8, 3)).astype(np.float32)
+    path = tmp_path / "f.nut"
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(str(path), 8, 6, Fraction(25), props) as wr:
+        for f in frames:
+            wr.write_frame_rgb(f)
+    raw = path.read_bytes()
+    assert raw.startswith(FILE_ID)
+    with open(path, "rb") as f:
+        nr = NutReader(f)
+        st = nr.state
+        assert st.streams[0]["width"] == 8
+        assert st.streams[0]["height"] == 6
+        assert st.flags[ord("N")] & 0x2000  # 'N' framecode invalid
+        assert st.time_bases == [Fraction(1, 25)]
+        pts0, data0 = nr.read_frame_bytes()
+        assert pts0 == 0 and len(data0) == 8 * 6 * 3 * 4
+
+
+@pytest.mark.parametrize("tool", ["motion", "zoom", "scan"])
+def test_tools_roundtrip_through_nut(tool, tmp_path):
+    """motion/zoom/scan write and (for motion) read .nut natively —
+    the reference's default output path with zero external binaries."""
+    from dspfun_tpu.tools import motion as motion_tool
+    from dspfun_tpu.tools import scan as scan_tool
+    from dspfun_tpu.tools import zoom as zoom_tool
+
+    rng = np.random.default_rng(6)
+    src_png = tmp_path / "src.png"
+    Image.fromarray(rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+                    ).save(src_png)
+    out = tmp_path / f"{tool}.nut"
+    if tool == "zoom":
+        assert zoom_tool.main(["-s", "2", "-q", str(src_png), str(out)]) == 0
+    elif tool == "scan":
+        assert scan_tool.main(["-q", "-m", "zig", "-S", "64",
+                               str(src_png), str(out)]) == 0
+    else:
+        clip = tmp_path / "clip.nut"
+        props = video.parse_color_props("pixel_format=gbrpf32le")
+        with video.open_output(str(clip), 16, 16, Fraction(25), props) as wr:
+            for _ in range(4):
+                wr.write_frame_rgb(rng.random((16, 16, 3)))
+        assert motion_tool.main(["-Q", "-b", "8x8x2", "-D", "0.5",
+                                 str(clip), str(out)]) == 0
+    with video.open_input(str(out)) as r:
+        assert type(r).__name__ == "NutVideoReader"
+        n = 0
+        while r.read_frame_rgb() is not None:
+            n += 1
+        assert n >= 1
