@@ -107,10 +107,12 @@ def _split_operand_digits(x: jnp.ndarray, B: int, axis: int,
     contraction *slice* (max along ``axis``, the Ozaki blocking), so
     dynamic range across output elements costs nothing; returns
     (digit list, log2-scale array with ``axis`` kept as size 1)."""
+    from dspfun_tpu.ops.int8mm import exp2i  # noqa: PLC0415
+
     x = jnp.asarray(x, jnp.float32)
     m = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
     e = jnp.where(m > 0, jnp.floor(jnp.log2(m)) + 1.0, 0.0)
-    r = x * jnp.exp2(-e)
+    r = x * exp2i(-e)
     nd = -(-x_bits // B)
     out = []
     for j in range(nd):
@@ -174,5 +176,7 @@ def exact_contract(
             s = z
     # per-slice power-of-two scales: ex has size 1 at ``axis``; move it
     # to the front to broadcast over the M output axis
-    y = (s + err) * (jnp.float32(scale_a) * jnp.exp2(jnp.moveaxis(ex, axis, 0)))
+    from dspfun_tpu.ops.int8mm import exp2i  # noqa: PLC0415
+
+    y = (s + err) * (jnp.float32(scale_a) * exp2i(jnp.moveaxis(ex, axis, 0)))
     return jnp.moveaxis(y, 0, axis)

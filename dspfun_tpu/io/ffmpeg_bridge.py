@@ -140,22 +140,28 @@ def _parse_rate(st: dict) -> Fraction:
     return Fraction(25, 1)
 
 
-def _apply_probe_metadata(reader, st: dict) -> None:
+def _apply_probe_metadata(reader, st: dict, fmt: dict | None = None) -> None:
     """Probe metadata beats container defaults (frame count, color
-    properties incl. chroma siting — reference ffapi.c:255-269)."""
+    properties incl. chroma siting — reference ffapi.c:255-269).
+    Frame count: stream nb_frames, else stream duration * rate, else
+    container (format-level) duration * rate — matroska streams carry
+    no nb_frames or duration field (the DURATION tag is textual), so
+    the container duration is the real-world path for mkv (caught by
+    the ffprobe goldens, tests/goldens/ffprobe_ffv1_10bit_mkv.json)."""
     if not st:
         return
     nb = st.get("nb_frames")
+    duration = st.get("duration") or (fmt or {}).get("duration")
     if nb is not None:
         try:
             reader.frames = int(nb)
         except ValueError:
             pass
-    elif st.get("duration") and st.get("avg_frame_rate"):
+    elif duration and st.get("avg_frame_rate"):
         try:
             rate = Fraction(st["avg_frame_rate"])
             if rate > 0:
-                reader.frames = int(float(st["duration"]) * rate)
+                reader.frames = int(float(duration) * rate)
         except (ValueError, ZeroDivisionError):
             pass
     rng = _PROBE_RANGE.get(st.get("color_range", ""))
@@ -262,7 +268,7 @@ def open_ffmpeg_input(spec: str, format: str | None = None,
         raise
     reader.format = "ffmpeg"
     reader._proc = proc
-    _apply_probe_metadata(reader, st)
+    _apply_probe_metadata(reader, st, (meta or {}).get("format"))
 
     orig_close = reader.close
 

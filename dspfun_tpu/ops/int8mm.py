@@ -84,6 +84,18 @@ def split_matrix_i8(m: np.ndarray, ndig: int = _NDIG):
     return digits, (2.0**e).astype(np.float32)
 
 
+def exp2i(e: jax.Array) -> jax.Array:
+    """EXACT 2^e for integer-valued f32 ``e`` (|e| <= 126), built by
+    bit-casting the biased exponent.  The TPU's ``jnp.exp2`` is a
+    polynomial approximation whose ~1-ulp error makes scale/unscale
+    pairs non-reciprocal — a multiplicative ~1.2e-7 error on every
+    element that capped the deep-i8 mode at ~1.7e-7 relative on chip
+    (CPU libm exp2 is exact for integer args, which hid it in
+    interpret-mode tests)."""
+    bits = (jnp.clip(e, -126.0, 126.0).astype(jnp.int32) + 127) << 23
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
 def _split_operand_xla(x: jax.Array, axis: int, ndig: int = _NDIG):
     """XLA (pre-kernel) digit split of an f32 operand with per-slice
     scaling along ``axis``: a handful of fused elementwise HBM passes —
@@ -93,14 +105,14 @@ def _split_operand_xla(x: jax.Array, axis: int, ndig: int = _NDIG):
     kept)."""
     mx = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
     e = jnp.where(mx > 0, jnp.ceil(jnp.log2(mx)) + 1.0, 0.0)
-    r = x * jnp.exp2(-e)
+    r = x * exp2i(-e)
     out = []
     for i in range(ndig):
         sc = float(2.0 ** (B_I8 * (i + 1)))
         d = jnp.round(r * sc)
         r = r - d * (1.0 / sc)
         out.append(d.astype(jnp.int8))
-    return out, jnp.exp2(e)
+    return out, exp2i(e)
 
 
 def _kernel_left(a0, a1, a2, x0, x1, x2, out_ref):

