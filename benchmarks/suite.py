@@ -368,11 +368,20 @@ def bench_scan(quick):
     plan = sp.plan_scan(order, n, n, 3, step=4, nframes=nframes,
                         chunk=64, precision=prec)
 
+    # tool-path emission: frames pack to y4m payload bytes ON DEVICE
+    # (uint8 — 12x less D2H than float RGB) and the host only writes
+    # bytes, exactly like `scan out.y4m` (tools/scan.py packed path)
+    from dspfun_tpu.io import video as _video
+    from dspfun_tpu.io.device_pack import make_packer
+
+    props = _video.parse_color_props("pixel_format=yuv444p:color_range=tv")
+    packer = make_packer(_video.PIXEL_FORMATS["yuv444p"], props, n, n)
+
     def run():
-        frames = 0
-        for _, res in sp.scan_chunks(plan, coeffs):
-            frames += res.sums.shape[0]
-        return None
+        nbytes = 0
+        for _, res in sp.scan_chunks(plan, coeffs, packer=packer):
+            nbytes += res.payload.nbytes
+        return nbytes
 
     run()
     t0 = time.perf_counter()

@@ -1,0 +1,118 @@
+"""Device-side frame packing: RGB float frames -> container payload
+bytes on the TPU.
+
+The frame-emitting tools (scan/zoom) are bound by device->host
+bandwidth (~20 MB/s through this environment's tunnel; still a real
+cost on attached chips): transferring float RGB costs 12 bytes/px even
+when the output container stores 3 (yuv444p y4m) or 1 (gray).  Packing
+on device — YCbCr matrix, chroma box-filter, range quantisation to
+uint8/uint16, planar layout — cuts the transfer 4-12x and moves the
+per-frame host conversion work (numpy matmuls in the writers) onto the
+accelerator, overlapping it with the next chunk's compute
+(VERDICT r3 item 9).
+
+The packed payload is bit-compatible with the host writers'
+``rgb_to_planes`` + ``_quantize_plane`` path up to f32-vs-f64 rounding
+at exact .5 boundaries (asserted <= 1 LSB in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["make_packer"]
+
+
+def _matrix_for(space):
+    from dspfun_tpu.io.video import _matrix_for as mf  # noqa: PLC0415
+
+    return mf(space)
+
+
+def make_packer(pf, props, height: int, width: int):
+    """A jitted ``frames [F, H, W, 3] float RGB -> [F, S] payload``
+    packer for ``pf``/``props``, or None when the format has no packed
+    fast path (then callers keep the host writer path).
+
+    Supported: 8/16-bit gray + planar YCbCr (with chroma subsampling)
+    and float gbrp/gray (layout reorder only).
+    """
+    from dspfun_tpu.io import color as _color  # noqa: PLC0415
+
+    if pf.is_float:
+        if pf.is_rgb:       # gbrpf32le: planar G, B, R
+            @jax.jit
+            def pack_gbrp(frames):
+                f = jnp.asarray(frames, jnp.float32)
+                n = f.shape[0]
+                return jnp.concatenate(
+                    [f[..., 1].reshape(n, -1), f[..., 2].reshape(n, -1),
+                     f[..., 0].reshape(n, -1)], axis=1)
+
+            return pack_gbrp
+        if pf.ncomp == 1:   # grayf32le
+            @jax.jit
+            def pack_grayf(frames):
+                f = jnp.asarray(frames, jnp.float32)
+                y = (0.299 * f[..., 0] + 0.587 * f[..., 1]
+                     + 0.114 * f[..., 2])
+                return y.reshape(f.shape[0], -1)
+
+            return pack_grayf
+        return None
+
+    maxv = (1 << pf.depth) - 1
+    scale8 = 1 << (pf.depth - 8)
+    dtype = jnp.uint8 if pf.depth <= 8 else jnp.uint16
+    mpeg = props.color_range == "mpeg"
+
+    def quant(p, chroma):
+        if mpeg:
+            v = (p * (224.0 if chroma else 219.0) + 16.0) * scale8
+        else:
+            v = p * maxv
+        return jnp.clip(jnp.rint(v), 0, maxv).astype(dtype)
+
+    if pf.ncomp == 1:       # gray / gray16le
+        @jax.jit
+        def pack_gray(frames):
+            f = jnp.asarray(frames, jnp.float32)
+            y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+            return quant(y, False).reshape(f.shape[0], -1)
+
+        return pack_gray
+
+    if not pf.name.startswith("yuv"):
+        return None
+
+    m = jnp.asarray(_color.ycbcr_matrix(_matrix_for(props.color_space)),
+                    jnp.float32)
+    sx, sy = pf.chroma_shift
+    fx, fy = 1 << sx, 1 << sy
+    ph, pw = (height + fy - 1) // fy, (width + fx - 1) // fx
+
+    @jax.jit
+    def pack_yuv(frames):
+        f = jnp.asarray(frames, jnp.float32)
+        n = f.shape[0]
+        ycc = jnp.einsum("fhwc,kc->fhwk", f, m)
+        y = ycc[..., 0]
+        cb = ycc[..., 1] + 0.5
+        cr = ycc[..., 2] + 0.5
+        if sx or sy:
+            def down(p):
+                pad = jnp.pad(p, ((0, 0), (0, ph * fy - height),
+                                  (0, pw * fx - width)), mode="edge")
+                return pad.reshape(n, ph, fy, pw, fx).mean(axis=(2, 4))
+
+            cb, cr = down(cb), down(cr)
+        return jnp.concatenate(
+            [quant(y, False).reshape(n, -1),
+             quant(cb, True).reshape(n, -1),
+             quant(cr, True).reshape(n, -1)], axis=1)
+
+    return pack_yuv

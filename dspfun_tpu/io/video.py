@@ -622,6 +622,22 @@ class VideoWriter:
     def write_frame_rgb(self, rgb: np.ndarray) -> None:
         self.write_frame(rgb_to_planes(rgb, self.pix_fmt, self.props))
 
+    def supports_payload(self) -> bool:
+        """True when :meth:`write_frame_payload` is available (raw
+        plane-payload framing — y4m/fvid/nut/rawvideo)."""
+        return True
+
+    def write_frame_payload(self, payload: bytes) -> None:
+        """Write one frame from pre-packed plane-payload bytes (the
+        device-side packer's output, io/device_pack.py) — skips the
+        host-side RGB->planes conversion and quantisation entirely."""
+        if not self._wrote_header:
+            self._write_header()
+            self._wrote_header = True
+        self._stream.write(b"FRAME\n")
+        self._stream.write(payload)
+        self.frame_index += 1
+
     def plane_dims(self) -> list[tuple[int, int]]:
         return self.pix_fmt.plane_dims(self.width, self.height)
 
@@ -754,6 +770,12 @@ class NutVideoWriter(VideoWriter):
             self._nw.write_header()
             self._nw._header_written = True
 
+    def write_frame_payload(self, payload: bytes) -> None:
+        self._write_header()
+        self._wrote_header = True
+        self._nw.write_frame_bytes(payload)
+        self.frame_index = self._nw.frame_index
+
     def write_frame(self, planes: list[np.ndarray], raw: bool = False) -> None:
         self._write_header()
         self._wrote_header = True
@@ -798,6 +820,10 @@ class RawReader(VideoReader):
 class RawWriter(VideoWriter):
     """Headerless fixed-size frame writer (ffmpeg ``-f rawvideo``)."""
 
+    def write_frame_payload(self, payload: bytes) -> None:
+        self._stream.write(payload)
+        self.frame_index += 1
+
     def write_frame(self, planes: list[np.ndarray], raw: bool = False) -> None:
         pf = self.pix_fmt
         for i, p in enumerate(planes):
@@ -817,6 +843,9 @@ class ImageSeqWriter(VideoWriter):
         super().__init__(None, spec, "image2", width, height, rate, pix_fmt, props)
         self.pattern = pattern
         self._single = _PATTERN_RE.search(pattern) is None
+
+    def supports_payload(self) -> bool:
+        return False
 
     def write_frame(self, planes, raw: bool = False):
         if raw:

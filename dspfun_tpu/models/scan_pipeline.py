@@ -186,12 +186,15 @@ def plan_scan(
 
 @dataclasses.dataclass
 class ScanChunkResult:
-    sums: np.ndarray           # [F, H, W, C] running reconstruction
+    sums: np.ndarray | None    # [F, H, W, C] running reconstruction
+    #                            (None in packed mode)
     deltas: np.ndarray | None  # [F, H, W, C] per-frame contribution
     parity: np.ndarray | None  # [F] bool
     inter: np.ndarray | None = None  # [F, H, W, C] display-ready
     #                                  intermediates pane (device-side
     #                                  normalised/encoded)
+    payload: np.ndarray | None = None  # [F, S] packed container bytes
+    #                                    (io/device_pack packer output)
 
 
 def _lround(x):
@@ -436,6 +439,7 @@ def scan_chunks(
     encode_trc: bool = False,
     inter_mode: str | None = None,
     mesh=None,
+    packer=None,
 ):
     """Generator over chunks of frames.
 
@@ -445,7 +449,11 @@ def scan_chunks(
     ("unit" | "minmax") produces the display-ready intermediates pane
     on device (``ScanChunkResult.inter``).  With ``mesh``, output rows
     shard over the mesh 'space' axis (requires H %% space == 0 and
-    inter_mode != "minmax").
+    inter_mode != "minmax").  ``packer`` (io/device_pack.make_packer)
+    packs frames to container payload bytes ON DEVICE and the result
+    carries ``payload`` instead of float ``sums`` — 4-12x less
+    device->host traffic for integer-format outputs (the emission
+    bottleneck, VERDICT r3 item 9).
     """
     h, w, c = plan.height, plan.width, plan.channels
     dc = np.asarray(coeffs[0, 0, :])
@@ -514,29 +522,34 @@ def scan_chunks(
                 measure_parity=measure_parity, encode_trc=encode_trc,
                 inter_mode=inter_mode,
             )
+        packed = None
+        if packer is not None:
+            packed = packer(disp[:, :h] if hp != h else disp)
+            disp = None
         # start the device->host copies early so the next chunk's
         # compute overlaps this chunk's download (the tunnel/D2H path
         # is the bottleneck for the frame-emitting tools)
-        for arr in (disp, deltas, inter, parity):
+        for arr in (disp, deltas, inter, parity, packed):
             if arr is not None:
                 try:
                     arr.copy_to_host_async()
                 except AttributeError:
                     pass
-        return disp, deltas, inter, parity
+        return disp, deltas, inter, parity, packed
 
     def materialise(start, bufs):
-        disp, deltas, inter, parity = bufs
+        disp, deltas, inter, parity, packed = bufs
         nvalid = min(plan.chunk, plan.nframes - start)
 
         def rows(a):  # drop the mesh padding rows
             return np.asarray(a[:nvalid, :h]) if hp != h else np.asarray(a[:nvalid])
 
         return start, ScanChunkResult(
-            sums=rows(disp),
+            sums=rows(disp) if disp is not None else None,
             deltas=rows(deltas) if deltas is not None else None,
             parity=np.asarray(parity[:nvalid]) if parity is not None else None,
             inter=rows(inter) if inter is not None else None,
+            payload=np.asarray(packed[:nvalid]) if packed is not None else None,
         )
 
     pending = None

@@ -342,6 +342,16 @@ def main(argv: list[str] | None = None) -> int:
                   "running single-device", file=sys.stderr)
             mesh = None
 
+        # pane-free runs pack frames to container payload bytes ON
+        # DEVICE (io/device_pack): 4-12x less device->host traffic —
+        # the emission bottleneck — and zero host-side conversion work
+        packer = None
+        if not visualize and not intermediates and writer.supports_payload():
+            from dspfun_tpu.io.device_pack import make_packer  # noqa: PLC0415
+
+            packer = make_packer(writer.pix_fmt, writer.props,
+                                 height, width)
+
         # the reconstruction panes come back display-ready: sRGB
         # encoding and intermediates normalisation run on device per
         # chunk (the host loop only assembles panes and writes bytes)
@@ -353,9 +363,21 @@ def main(argv: list[str] | None = None) -> int:
             inter_mode=(("minmax" if max_intermediates else "unit")
                         if intermediates else None),
             mesh=mesh,
+            packer=packer,
         ):
-            for k in range(res.sums.shape[0]):
+            nf = (res.payload if res.sums is None else res.sums).shape[0]
+            for k in range(nf):
                 f = start + k
+                if res.payload is not None:
+                    writer.write_frame_payload(res.payload[k].tobytes())
+                    frame_count += 1
+                    if res.parity is not None and res.parity[k] \
+                            and parity_index > start_frame + f:
+                        parity_index = start_frame + f
+                    if not quiet:
+                        print(f"\r{frame_count:>{pad}} / {plan.nframes}",
+                              end="", file=sys.stderr)
+                    continue
                 ys = plan.ys[f][plan.valid[f]]
                 xs = plan.xs[f][plan.valid[f]]
                 if visualize:

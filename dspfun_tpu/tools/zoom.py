@@ -255,6 +255,14 @@ def main(argv: list[str] | None = None) -> int:
               "running single-device", file=sys.stderr)
         mesh = None
 
+    # pane-free frames pack to container payload bytes ON DEVICE
+    # (io/device_pack): less device->host traffic + no host conversion
+    packer = None
+    if showsamples == "none" and writer.supports_payload():
+        from dspfun_tpu.io.device_pack import make_packer  # noqa: PLC0415
+
+        packer = make_packer(writer.pix_fmt, writer.props, vh, vw)
+
     try:
         for d in range(nframes):
             env = {
@@ -315,11 +323,15 @@ def main(argv: list[str] | None = None) -> int:
                 dev = zp.zoom_frame_device(spectrum, scaling_type, xscale,
                                            yscale, vx, vy, vw, vh,
                                            encode_trc=trc_encode)
-            frame = np.asarray(dev, dtype=np.float64)
-            frame = zp.overlay_showsamples(
-                frame, showsamples, env["xs"], env["ys"], vx, vy
-            )
-            writer.write_frame_rgb(frame)
+            if packer is not None:
+                writer.write_frame_payload(
+                    np.asarray(packer(dev[None])[0]).tobytes())
+            else:
+                frame = np.asarray(dev, dtype=np.float64)
+                frame = zp.overlay_showsamples(
+                    frame, showsamples, env["xs"], env["ys"], vx, vy
+                )
+                writer.write_frame_rgb(frame)
             if resume_file:
                 from dspfun_tpu.utils.checkpoint import save_state  # noqa: PLC0415
 
