@@ -459,7 +459,7 @@ def bench_motion(quick):
     g = mp.plan_geometry(w, h, d, 1, block=mp.Dims(16, 16, d),
                          bp_end=mp.Dims(8, 8, 4))[0]
     params = mp.MotionParams(boost=1.25, damp=0.0)
-    plans = mp.make_plans(g)
+    plans = (*mp.make_plans(g), mp.maybe_kron_plans(g, params))
     rng = np.random.default_rng(4)
     frames = rng.random((d, h, w)).astype(np.float32) * 255
     blocks = jax.device_put(mp.frames_to_blocks(frames, g))

@@ -269,6 +269,57 @@ def bandpass_mult_grid(z, y, x, g: PlaneGeometry, boost: float, damp: float,
     return mult * xp.where(inside, boost, 1.0)
 
 
+def _fast_eligible(g: PlaneGeometry, p: MotionParams) -> bool:
+    """The fused fast-path gate: two matmuls around a pointwise middle
+    (no codecs/expr/top-N/DC/dither/quant/linear, no block resize)."""
+    return (p.expr is None and p.spec is None and p.ispec is None
+            and not p.coeff_limit and not p.preserve_dc and not p.dither
+            and not p.quant and not p.linear
+            and g.block == g.scaled == g.minbuf)
+
+
+@functools.lru_cache(maxsize=16)
+def maybe_kron_plans(g: PlaneGeometry, params: MotionParams,
+                     max_support_frac: float = 0.25,
+                     allow_cpu: bool = False):
+    """Support-pruned Kronecker-folded int8 plans for the fused fast
+    path, or None when they cannot win.
+
+    When the bandpass multiplier zeroes most coefficients (damp == 0
+    lowpass/bandpass edits — the common frequency-space filter), only
+    the pass-band ROWS of the folded [V, V] DCT ever matter: K2' is
+    [S, V] and K3' [V, S] with S = |support| — exact algebra (the
+    dropped rows are multiplied by zero), the whole-chain analogue of
+    scan's pruned IDCT (reference scan/scan.c:20-41) in the blockwise
+    domain (VERDICT r3 item 3).  The two contractions run the int8
+    digit kernels (K = V >= 2048 rides the MXU's 2x int8 rate).
+
+    Pass the result as ``plans[2]`` into :func:`filter_blocks` (device
+    arrays; the FFTW-plan analogue).
+    """
+    from dspfun_tpu.core.transforms import plan_matrix  # noqa: PLC0415
+    from dspfun_tpu.ops.blockdct import kron_dct_matrix  # noqa: PLC0415
+
+    p = params
+    vol = g.minbuf.volume()
+    if not _fast_eligible(g, p) or vol <= 1024:
+        return None
+    if not allow_cpu and jax.default_backend() in ("cpu",):
+        return None  # the int8 kernels only interpret off-TPU
+    dims3 = (g.block.d, g.block.h, g.block.w)
+    uf = _uniform_factor(*dims3).reshape(-1)
+    bpm = _bandpass_mult(g, p.boost, p.damp).reshape(-1)
+    support = np.flatnonzero(bpm != 0.0)
+    if support.size > vol * max_support_frac:
+        return None
+    prec = Precision(coeff="float32", intermediate="i8", tol=1e-5)
+    k2 = kron_dct_matrix(dims3, "dct2")[support, :] \
+        * (uf * bpm)[support][:, None]
+    k3 = (kron_dct_matrix(dims3, "dct3")[:, support] / (8.0 * vol)) \
+        * (1.0 / uf)[None, support]
+    return plan_matrix(k2, prec), plan_matrix(k3, prec)
+
+
 @functools.partial(jax.jit, static_argnames=("geom", "params", "plane_index", "nplanes"))
 def filter_blocks(
     blocks: jax.Array,          # [NB, bd, bh, bw] pel values in 0..255
@@ -306,25 +357,25 @@ def filter_blocks(
     # kernel — one HBM read + one write per block.
     # ------------------------------------------------------------------
     vol = g.minbuf.volume()
-    fast = (
-        p.expr is None and p.spec is None and p.ispec is None
-        and not p.coeff_limit and not p.preserve_dc and not p.dither
-        and not p.quant and not p.linear
-        and g.block == g.scaled == g.minbuf
-    )
+    fast = _fast_eligible(g, p)
+    kron_plans = plans[2] if len(plans) >= 3 else None
     if fast:
         from dspfun_tpu.ops import pallas_kernels as _pk  # noqa: PLC0415
 
         # Kernel selection (two-point-calibrated on v5e, see CLAUDE.md):
         # - V <= 1024: the Pallas Kronecker kernel (both [V, V] matrices
         #   VMEM-resident; ~32 us/slab, on par with XLA at this size);
-        # - V > 1024: the XLA separable formulation (~146 us per
-        #   880x16^3 slab, near the ~100 us roofline).  A hand-written
-        #   bf16 separable Pallas kernel measured 2x slower here and was
+        # - V > 1024 with pruned i8 kron plans provided: the two int8
+        #   digit contractions over the pass-band support (round 4);
+        # - V > 1024 otherwise: the XLA separable formulation (~146 us
+        #   per 880x16^3 slab, near the ~100 us roofline).  A bf16
+        #   separable Pallas kernel measured 2x slower here and was
         #   retired in round 3 (see ops/pallas_kernels.py docstring).
         on_acc = _pk.has_pallas() and jax.default_backend() not in ("cpu",)
         use_pallas = on_acc and vol % 128 == 0 and vol <= 1024
-        use_xla_sep = not use_pallas and vol > 1024
+        use_i8kron = (kron_plans is not None and not use_pallas
+                      and vol > 1024)
+        use_xla_sep = not use_pallas and not use_i8kron and vol > 1024
     if fast:
         global LAST_FAST_PATH
 
@@ -340,9 +391,20 @@ def filter_blocks(
                 flat, dims3, uf * bpm, threshold=(tmin, tmax),
                 post_filter=1.0 / uf,
             )
+        elif use_i8kron:
+            from dspfun_tpu.ops.int8mm import i8_contract  # noqa: PLC0415
+
+            LAST_FAST_PATH = "i8-kron"
+            kp2, kp3 = kron_plans
+            xf = flat.astype(jnp.float32)
+            F = i8_contract(xf, kp2.digits, kp2.scale, 1)
+            if p.threshold_max:
+                a = jnp.abs(F)
+                F = jnp.where((a < tmin) | (a > tmax), 0.0, F)
+            out = i8_contract(F, kp3.digits, kp3.scale, 1)
         elif use_xla_sep:
             LAST_FAST_PATH = "xla-sep"
-            fwd_plans, inv_plans = plans
+            fwd_plans, inv_plans = plans[0], plans[1]
             b = blocks.astype(jnp.float32)
             F = apply_plan_nd(b, fwd_plans, (1, 2, 3))
             F = F * jnp.asarray((uf * bpm).reshape(dims3), jnp.float32)
@@ -375,7 +437,7 @@ def filter_blocks(
             return pel, zero_coded
         return jnp.clip(jnp.floor(pel + 0.5), 0.0, 255.0), zero_coded
 
-    fwd_plans, inv_plans = plans
+    fwd_plans, inv_plans = plans[0], plans[1]
 
     # --- input decode (motion.c:618-638) -------------------------------
     x = blocks

@@ -451,8 +451,13 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     # device-resident transform plans (re-uploading basis matrices per
-    # slab would dominate the tunnel bandwidth)
-    plans = jax.device_put([mp.make_plans(g) for g in geoms])
+    # slab would dominate the tunnel bandwidth); pruned i8 Kronecker
+    # plans ride along for fused fast-path geometries with sparse
+    # bandpass supports (mp.maybe_kron_plans, round 4)
+    plans = jax.device_put([
+        (*mp.make_plans(g), mp.maybe_kron_plans(g, params[i]))
+        for i, g in enumerate(geoms)
+    ])
     bcoords = []
     for g in geoms:
         nb = g.nblocks.w * g.nblocks.h
