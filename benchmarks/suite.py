@@ -81,7 +81,11 @@ def _time_fori(step, x0, iters=8, reps=5):
     cs = sorted((once(f2) - once(f1)) / iters for _ in range(reps))
     c = cs[reps // 2]
     if c <= 0:  # noise floor: fall back to the conservative reading
+        # (the body is below the tunnel's dispatch jitter; a subtraction
+        # band would be meaningless, so none is published)
         c = once(f2) / (2 * iters)
+        LAST_SPREAD = None
+        return c
     pos = [v for v in cs if v > 0] or [c]
     LAST_SPREAD = (min(pos), max(pos))
     return c
