@@ -190,3 +190,68 @@ def test_tools_roundtrip_through_nut(tool, tmp_path):
         while r.read_frame_rgb() is not None:
             n += 1
         assert n >= 1
+
+
+def test_nut_truncated_and_corrupt_streams(tmp_path):
+    """Robustness: truncated payloads and corrupted checksums raise
+    clear errors instead of returning garbage frames."""
+    rng = np.random.default_rng(9)
+    frames = rng.random((3, 6, 8, 3)).astype(np.float32)
+    path = tmp_path / "t.nut"
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(str(path), 8, 6, Fraction(25), props) as wr:
+        for f in frames:
+            wr.write_frame_rgb(f)
+    raw = path.read_bytes()
+
+    # truncate mid-frame: reader yields the complete frames then errors
+    cut = tmp_path / "cut.nut"
+    cut.write_bytes(raw[: len(raw) - 100])
+    with open(cut, "rb") as f:
+        nr = NutReader(f)
+        assert nr.read_frame_bytes() is not None
+        assert nr.read_frame_bytes() is not None
+        with pytest.raises(ValueError):
+            while nr.read_frame_bytes() is not None:
+                pass
+
+    # flip a byte inside the stream-header packet payload: CRC mismatch
+    bad = bytearray(raw)
+    idx = raw.index(b"DSPF")  # inside the stream header fourcc
+    bad[idx] ^= 0xFF
+    badf = tmp_path / "bad.nut"
+    badf.write_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="checksum"):
+        with open(badf, "rb") as f:
+            NutReader(f)
+
+
+def test_scan_mesh_with_packed_emission(tmp_path):
+    """--mesh and the packed device-side emission compose."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(10)
+    src = str(tmp_path / "s.png")
+    Image.fromarray(rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+                    ).save(src)
+    from dspfun_tpu.tools import scan as scan_tool
+
+    one, meshed = str(tmp_path / "one.y4m"), str(tmp_path / "mesh.y4m")
+    assert scan_tool.main(["-q", "-m", "zig", "-S", "16", src, one]) == 0
+    assert scan_tool.main(["-q", "-m", "zig", "-S", "16", "--mesh", "8",
+                           src, meshed]) == 0
+
+    def frames_of(path):
+        with video.open_input(path) as r:
+            out = []
+            while True:
+                f = r.read_frame_rgb()
+                if f is None:
+                    break
+                out.append(f)
+        return np.stack(out)
+
+    np.testing.assert_allclose(frames_of(meshed), frames_of(one),
+                               atol=2 / 255.0)

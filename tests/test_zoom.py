@@ -292,3 +292,37 @@ def test_device_basis_accurate_centered_inexact_k():
     # dyadic interpolated zoom at the same size stays on-device
     assert zp.device_basis_accurate(3840, 2160, 0, 0, (4, 1), (4, 1),
                                     1920, 1080, "interpolated")
+
+
+def test_zoom_planned_fuzz_vs_oracle():
+    """Randomized (size, scaling type, rational scale, offset, view)
+    draws through the planned host-f64-basis path vs the independent
+    float64 oracle — f64 precision so mismatches are semantic."""
+    from dspfun_tpu.core.precision import Precision
+
+    rng = np.random.default_rng(31)
+    prec = Precision(coeff="float64", intermediate="f64")
+    for _ in range(30):
+        h = int(rng.integers(4, 20))
+        w = int(rng.integers(4, 20))
+        st = ["interpolated", "native", "centered"][int(rng.integers(0, 3))]
+        sx = (float(rng.integers(1, 7)), float(rng.integers(1, 4)))
+        sy = (float(rng.integers(1, 7)), float(rng.integers(1, 4)))
+        vx = float(rng.uniform(-3, 3))
+        vy = float(rng.uniform(-3, 3))
+        vw = int(rng.integers(2, 24))
+        vh = int(rng.integers(2, 24))
+        if st == "centered":
+            # oracle denominator n*num - den must not vanish
+            if abs(w * sx[0] - sx[1]) < 1e-9 or abs(h * sy[0] - sy[1]) < 1e-9:
+                continue
+        img = rng.random((h, w, 3))
+        spec = zp.forward_spectrum(img, prec)
+        got = np.asarray(zp.zoom_frame(spec, st, sx, sy, vx, vy, vw, vh,
+                                       precision=prec))
+        sx_c = zp.clamp_scale(w, *sx)
+        sy_c = zp.clamp_scale(h, *sy)
+        want = oracle_zoom(img, st, sx_c, sy_c, vx, vy, vw, vh)
+        ctx = (h, w, st, sx, sy, vx, vy, vw, vh)
+        np.testing.assert_allclose(got, want, atol=1e-9, rtol=1e-7,
+                                   err_msg=repr(ctx))
