@@ -392,6 +392,43 @@ def zoom_frame_sharded(
     return out[:vh] if vhp != vh else out
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "precision",
+                                             "encode_trc"))
+def _synthesize_sharded(spectrum, plan_y, plan_x, mesh, precision=None,
+                        encode_trc: bool = False):
+    """Planned synthesis with output rows sharded over the mesh 'space'
+    axis: plan_y's rows split per shard (the scan row-sharding pattern,
+    models/scan_pipeline.plan_spec), plan_x and the spectrum replicate
+    — pure data parallelism, no collectives."""
+    from jax import shard_map  # noqa: PLC0415
+    from jax.sharding import PartitionSpec as P  # noqa: PLC0415
+
+    from dspfun_tpu.core.transforms import AxisPlan  # noqa: PLC0415
+
+    def row_spec(plan):
+        scale_spec = None
+        if plan.scale is not None:
+            scale_spec = (P("space", None)
+                          if np.ndim(plan.scale) == 2 else P())
+        return AxisPlan(
+            hi=P("space", None),
+            lo=None if plan.lo is None else P("space", None),
+            digits=None if plan.digits is None else P(None, "space", None),
+            scale=scale_spec,
+            rowsum=None if plan.rowsum is None else P(None, "space"),
+        )
+
+    fn = shard_map(
+        lambda s, py, px: _synthesize.__wrapped__(s, py, px, precision,
+                                                  encode_trc),
+        mesh=mesh,
+        in_specs=(P(), row_spec(plan_y), jax.tree.map(lambda _: P(), plan_x)),
+        out_specs=P("space", None, None),
+        check_vma=False,
+    )
+    return fn(spectrum, plan_y, plan_x)
+
+
 def zoom_frame(
     spectrum: jax.Array,
     scaling_type: str,
@@ -403,17 +440,27 @@ def zoom_frame(
     vh: int,
     precision: Precision | None = None,
     encode_trc: bool = False,
+    mesh=None,
 ) -> jax.Array:
     """One output frame [vh, vw, C] of the continuous zoom via the
     planned host-float64 basis (the accuracy path: basis exact, error =
-    contraction mode only; ~2^-22 relative in i8 mode).  Plans cache,
-    so repeated frames at fixed (scale, offset, view) — stills and
-    constant animations — cost just two contractions per dispatch."""
+    contraction mode only; ~2^-28 digit truncation in deep-i8 mode).
+    Plans cache, so repeated frames at fixed (scale, offset, view) —
+    stills and constant animations — cost just two contractions per
+    dispatch.  With ``mesh``, output rows shard over the 'space' axis
+    (any height; rows pad internally through the extended basis)."""
     p = precision or get_precision()
     h, w = spectrum.shape[:2]
+    if mesh is None:
+        plan_y, plan_x = zoom_plan(scaling_type, xscale, yscale, vx, vy,
+                                   vw, vh, w, h, p)
+        return _synthesize(spectrum, plan_y, plan_x, p, encode_trc)
+    ns = mesh.shape["space"]
+    vhp = -(-vh // ns) * ns
     plan_y, plan_x = zoom_plan(scaling_type, xscale, yscale, vx, vy,
-                               vw, vh, w, h, p)
-    return _synthesize(spectrum, plan_y, plan_x, p, encode_trc)
+                               vw, vhp, w, h, p)
+    out = _synthesize_sharded(spectrum, plan_y, plan_x, mesh, p, encode_trc)
+    return out[:vh] if vhp != vh else out
 
 
 def showsamples_coords(start: float, scale: float, limit: int) -> list[int]:

@@ -303,22 +303,17 @@ def main(argv: list[str] | None = None) -> int:
             # two planned contractions, no in-graph basis generation)
             static_basis = not any(
                 (xexpr, yexpr, scaleexpr, xscaleexpr, yscaleexpr))
-            if mesh is not None and accurate:
+            if static_basis or not accurate:
+                # the planned host-float64-basis path (accuracy +
+                # speed for fixed params); shards output rows over the
+                # mesh 'space' axis when one is configured
+                dev = zp.zoom_frame(spectrum, scaling_type, xscale, yscale,
+                                    vx, vy, vw, vh, encode_trc=trc_encode,
+                                    mesh=mesh)
+            elif mesh is not None:
                 dev = zp.zoom_frame_sharded(spectrum, scaling_type, xscale,
                                             yscale, vx, vy, vw, vh, mesh,
                                             encode_trc=trc_encode)
-            elif static_basis or not accurate:
-                # per-frame-varying params land here only when the
-                # in-graph basis would be inaccurate (cos products >
-                # 2^21 or f32-inexact k); the basis is then generated
-                # host-side in float64 each frame
-                if (mesh is not None and not accurate and not quiet
-                        and d == start_frame):
-                    print("mesh path needs the in-graph basis; falling "
-                          "back to the host float64 basis for this size",
-                          file=sys.stderr)
-                dev = zp.zoom_frame(spectrum, scaling_type, xscale, yscale,
-                                    vx, vy, vw, vh, encode_trc=trc_encode)
             else:
                 dev = zp.zoom_frame_device(spectrum, scaling_type, xscale,
                                            yscale, vx, vy, vw, vh,

@@ -398,3 +398,28 @@ def test_scan_sharded_minmax_intermediates():
     i2 = collect(mesh8)
     assert i1.shape == i2.shape == (8, h, w, 3)
     np.testing.assert_allclose(i2, i1, atol=1e-5, rtol=1e-5)
+
+
+def test_zoom_planned_sharded_matches_single():
+    """Round 4: the planned (host-f64-basis) zoom path shards output
+    rows over the mesh; parity vs single-device across precisions and
+    odd heights."""
+    from dspfun_tpu.models import zoom_pipeline as zp
+    from dspfun_tpu.parallel.mesh import make_mesh
+
+    mesh8 = make_mesh(8, space=8, time=1)
+    rng = np.random.default_rng(17)
+    img = rng.random((15, 16, 3))
+    for prec in (Precision(coeff="float32", intermediate="hilo"),
+                 Precision(coeff="float32", intermediate="i8", tol=8e-7)):
+        spec = jnp.asarray(zp.forward_spectrum(img, prec), jnp.float32)
+        # 3x of 15 rows -> vh 45, not divisible by 8: pads internally
+        one = np.asarray(zp.zoom_frame(spec, "interpolated", (3, 1), (3, 1),
+                                       0, 0, 48, 45, precision=prec,
+                                       encode_trc=True))
+        meshed = np.asarray(zp.zoom_frame(spec, "interpolated", (3, 1),
+                                          (3, 1), 0, 0, 48, 45,
+                                          precision=prec, encode_trc=True,
+                                          mesh=mesh8))
+        np.testing.assert_allclose(meshed, one, atol=2e-5, rtol=1e-5,
+                                   err_msg=prec.intermediate)
