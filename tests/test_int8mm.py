@@ -188,3 +188,52 @@ def test_i8_fused_chain_engages_on_tpu():
     ref *= mask
     ref = scipy.fft.dctn(ref, type=3, axes=(0, 1)) / (4.0 * w * h)
     assert np.max(np.abs(y - ref)) <= 1e-5
+
+
+def test_i8_deep_kernel_engages_on_tpu():
+    """TPU-gated: the 4-digit deep kernel compiles on real Mosaic and
+    lands ~1e-7-class relative (round-4 on-chip: 7.1e-8)."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs a TPU backend")
+    rng = np.random.default_rng(0)
+    K, M = 1920, 1024
+    m = np.cos(np.pi * (np.arange(M)[:, None] / 4.0 + 0.5)
+               * np.arange(K)[None, :] / K)
+    x = rng.standard_normal((K, 256)).astype(np.float32) * 50
+    digits, rs = split_matrix_i8(m, 4)
+    y = np.asarray(i8_contract(jnp.asarray(x), jnp.asarray(digits),
+                               jnp.asarray(rs), 0), np.float64)
+    ref = m @ x.astype(np.float64)
+    assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) <= 3e-7
+
+
+def test_i8_kron_motion_engages_on_tpu():
+    """TPU-gated: the support-pruned i8-kron motion fast path compiles
+    and matches the separable formulation (round-4 on-chip: 162.6 us vs
+    287 us per 880-block slab)."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs a TPU backend")
+    from dspfun_tpu.models import motion_pipeline as mp
+
+    rng = np.random.default_rng(4)
+    d = 16
+    g = mp.plan_geometry(128, 64, d, 1, block=mp.Dims(16, 16, d),
+                         bp_end=mp.Dims(8, 8, 4))[0]
+    params = mp.MotionParams(boost=1.25, damp=0.0)
+    frames = rng.random((d, 64, 128)).astype(np.float32) * 255
+    base = jax.device_put(mp.make_plans(g))
+    kron = jax.device_put(mp.maybe_kron_plans(g, params))
+    assert kron is not None
+    blocks = jnp.asarray(mp.frames_to_blocks(frames, g))
+    nb = blocks.shape[0]
+    bc = (jnp.asarray(np.arange(nb, dtype=np.int32) % g.nblocks.w),
+          jnp.asarray(np.arange(nb, dtype=np.int32) // g.nblocks.w))
+    out_k, _ = mp.filter_blocks(blocks, (*base, kron), bc, jnp.asarray(0),
+                                geom=g, params=params, plane_index=0,
+                                nplanes=1)
+    assert mp.LAST_FAST_PATH == "i8-kron"
+    out_s, _ = mp.filter_blocks(blocks, base, bc, jnp.asarray(0),
+                                geom=g, params=params, plane_index=0,
+                                nplanes=1)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_s),
+                               atol=5e-2)
