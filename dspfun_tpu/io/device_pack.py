@@ -18,8 +18,6 @@ at exact .5 boundaries (asserted <= 1 LSB in tests).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
