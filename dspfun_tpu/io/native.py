@@ -58,6 +58,12 @@ def _load() -> ctypes.CDLL | None:
         P = c.POINTER
         lib.dspio_open.restype = c.c_void_p
         lib.dspio_open.argtypes = [c.c_char_p]
+        lib.dspio_open_indexed.restype = c.c_void_p
+        lib.dspio_open_indexed.argtypes = [
+            c.c_char_p, P(c.c_int64), c.c_int64, c.c_int64, c.c_int,
+            P(c.c_int64), P(c.c_int64), c.c_int, c.c_int64, c.c_int64,
+            c.c_int64, c.c_int64,
+        ]
         for name in ("dspio_width", "dspio_height", "dspio_nframes",
                      "dspio_rate_num", "dspio_rate_den", "dspio_frame_bytes"):
             getattr(lib, name).restype = c.c_int64
@@ -116,15 +122,31 @@ def dither_fs_batch(img: np.ndarray) -> np.ndarray:
 
 class NativeVideoReader:
     """Demux y4m/fvid frames through the native reader, optionally with
-    background prefetch."""
+    background prefetch.  ``index`` opens the indexed-payload mode
+    (round 4: containers whose frame payloads a host parser located —
+    the native NUT path): ``(offsets, frame_bytes, plane_dims,
+    sample_bytes, (w, h), (rate_num, rate_den))``."""
 
-    def __init__(self, path: str, prefetch: int = 0):
+    def __init__(self, path: str, prefetch: int = 0, index=None):
         lib = _load()
         if lib is None:
             raise RuntimeError("native dspio unavailable")
         self._lib = lib
         self.path = path
-        self._h = lib.dspio_open(path.encode())
+        if index is not None:
+            offsets, frame_bytes, plane_dims, sample_bytes, wh, rate = index
+            offs = np.asarray(offsets, dtype=np.int64)
+            pw = np.asarray([d[0] for d in plane_dims], dtype=np.int64)
+            ph = np.asarray([d[1] for d in plane_dims], dtype=np.int64)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            self._h = lib.dspio_open_indexed(
+                path.encode(), offs.ctypes.data_as(i64p), len(offs),
+                frame_bytes, len(plane_dims),
+                pw.ctypes.data_as(i64p), ph.ctypes.data_as(i64p),
+                sample_bytes, wh[0], wh[1], rate[0], rate[1],
+            )
+        else:
+            self._h = lib.dspio_open(path.encode())
         if not self._h:
             raise OSError(f"dspio cannot open {path!r}")
         self.width = lib.dspio_width(self._h)

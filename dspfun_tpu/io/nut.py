@@ -347,6 +347,7 @@ class NutParseState:
         self.streams: list[dict] = []
         self.info: dict[str, str] = {}
         self.last_pts = 0
+        self.last_payload = (0, 0, 0)
 
     # -- header parsing ---------------------------------------------------
 
@@ -508,6 +509,9 @@ class NutParseState:
         head = self.elision[hidx] if hidx < len(self.elision) else b""
         self.last_pts = pts
         if skip_data:
+            # (payload offset, raw byte count, elided head bytes) for
+            # the native indexed reader's offset scan
+            self.last_payload = (stream.tell(), size - len(head), len(head))
             stream.seek(size - len(head), os.SEEK_CUR)
             return sid, pts, b""
         data = stream.read(size - len(head))
@@ -573,6 +577,42 @@ class NutReader:
             return None
         sid, pts, data = self.state.parse_frame_header(self._stream, fc)
         return pts, data
+
+    def scan_payload_offsets(self, expect_size: int) -> list[int] | None:
+        """Absolute file offsets of every frame's raw payload (for the
+        native indexed reader, native/dspio.cpp dspio_open_indexed), or
+        None when the stream is not seekable / uses header elision /
+        has irregular payload sizes.  Restores the read position."""
+        s = self._stream
+        if not s.seekable():
+            return None
+        pos = s.tell()
+        pending = self._pending
+        last_pts = self.state.last_pts
+        offs: list[int] | None = []
+        try:
+            fc = pending
+            while True:
+                if fc is None:
+                    fc = self._read_until_frame()
+                if fc is None:
+                    break
+                self.state.parse_frame_header(s, fc, skip_data=True)
+                off, nbytes, head_len = self.state.last_payload
+                # elided head bytes or irregular sizes make a raw pread
+                # differ from the logical payload — bail to Python
+                if head_len != 0 or nbytes != expect_size:
+                    offs = None
+                    break
+                offs.append(off)
+                fc = None
+        except ValueError:
+            offs = None
+        finally:
+            s.seek(pos)
+            self._pending = pending
+            self.state.last_pts = last_pts
+        return offs
 
     def count_frames(self) -> int | None:
         """Scan the remaining stream counting frames (seek past the

@@ -729,13 +729,60 @@ class NutVideoReader(VideoReader):
             cs = s0.get("colorspace_type", 0)
             self.props.color_range = "jpeg" if cs >= 16 or cs == 0 else "mpeg"
         self.frames = self._nr.count_frames()
+        # native indexed demux (round 4): the Python parser walked the
+        # packet structure; payload preads + the prefetch ring run in
+        # the C++ runtime (native/dspio.cpp dspio_open_indexed)
+        self._native = None
+        self._prefetch = 4
+        if (self.frames and stream.seekable()
+                and spec not in ("-", "pipe:", "pipe:0")
+                and os.path.exists(spec)):
+            try:
+                from dspfun_tpu.io import native as _native  # noqa: PLC0415
+
+                if _native.available():
+                    fb = self.pix_fmt.frame_bytes(self.width, self.height)
+                    offs = self._nr.scan_payload_offsets(fb)
+                    if offs:
+                        self._native = _native.NativeVideoReader(
+                            spec, prefetch=0,
+                            index=(offs, fb,
+                                   self.pix_fmt.plane_dims(self.width,
+                                                           self.height),
+                                   self.pix_fmt.dtype.itemsize,
+                                   (self.width, self.height),
+                                   (self.rate.numerator,
+                                    self.rate.denominator)))
+            except Exception:  # noqa: BLE001 — pure-Python fallback
+                self._native = None
+
+    def seek_frame(self, n: int) -> None:
+        if self._native is not None and not self._native._pf:
+            self._native.seek(n)
+            self.frame_index = n
+            return
+        super().seek_frame(n)
 
     def read_frame(self, raw: bool = False):
+        pf = self.pix_fmt
+        if self._native is not None:
+            if self._prefetch:
+                self._native.start_prefetch(self._prefetch)
+                self._prefetch = 0
+            planes = self._native.read_frame()
+            if planes is None:
+                return None
+            self.frame_index += 1
+            if raw:
+                return [np.asarray(p, np.float64) for p in planes]
+            return [
+                _dequantize_plane(p, pf, i, self.props.color_range)
+                for i, p in enumerate(planes)
+            ]
         got = self._nr.read_frame_bytes()
         if got is None:
             return None
         _, data = got
-        pf = self.pix_fmt
         need = pf.frame_bytes(self.width, self.height)
         if len(data) < need:
             raise ValueError(f"{self.spec!r}: short NUT frame")
@@ -749,6 +796,12 @@ class NutVideoReader(VideoReader):
             off += nb
         self.frame_index += 1
         return out
+
+    def close(self) -> None:
+        if getattr(self, "_native", None) is not None:
+            self._native.close()
+            self._native = None
+        super().close()
 
 
 class NutVideoWriter(VideoWriter):

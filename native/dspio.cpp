@@ -45,6 +45,9 @@ struct DspioReader {
     char pixfmt[32] = {0};
     char ctag[32] = {0};
     int is_fvid = 0;
+    int indexed = 0;           // payload-offset mode (NUT etc.): the
+                               // host parser supplies absolute payload
+                               // offsets; no marker parsing here
     int64_t frame_bytes = 0;   // payload bytes per frame
     int64_t data_start = 0;    // offset of first FRAME marker
     int64_t nframes = -1;      // -1 = unknown (pipe)
@@ -202,9 +205,46 @@ int     dspio_sample_bytes(DspioReader* r) { return r->bytes_per_sample; }
 int64_t dspio_frame_bytes(DspioReader* r) { return r->frame_bytes; }
 const char* dspio_pixfmt(DspioReader* r) { return r->is_fvid ? r->pixfmt : r->ctag; }
 
+// Indexed-payload reader (round 4): any container whose frame payloads
+// the host parser can index (the native NUT demux path — the Python
+// NutReader walks the packet structure once and hands the offsets
+// down; frame payload reads and the prefetch ring then run natively).
+DspioReader* dspio_open_indexed(const char* path, const int64_t* offsets,
+                                int64_t n, int64_t frame_bytes,
+                                int nplanes, const int64_t* plane_w,
+                                const int64_t* plane_h, int sample_bytes,
+                                int64_t w, int64_t h,
+                                int64_t rate_num, int64_t rate_den) {
+    DspioReader* r = new DspioReader();
+    r->f = fopen(path, "rb");
+    if (!r->f) { delete r; return nullptr; }
+    r->indexed = 1;
+    r->width = w; r->height = h;
+    r->rate_num = rate_num; r->rate_den = rate_den;
+    r->frame_bytes = frame_bytes;
+    r->nplanes = nplanes > 4 ? 4 : nplanes;
+    for (int i = 0; i < r->nplanes; i++) {
+        r->plane_w[i] = plane_w[i];
+        r->plane_h[i] = plane_h[i];
+    }
+    r->bytes_per_sample = sample_bytes;
+    r->offsets.assign(offsets, offsets + n);
+    r->nframes = n;
+    return r;
+}
+
 // Read frame payload (raw container bytes) into buf; returns 1 on
 // success, 0 on EOF, negative on error.
 int dspio_read_frame(DspioReader* r, uint8_t* buf) {
+    if (r->indexed) {
+        if (r->next_frame >= (int64_t)r->offsets.size()) return 0;
+        if (fseek(r->f, r->offsets[(size_t)r->next_frame], SEEK_SET) != 0)
+            return -1;
+        if ((int64_t)fread(buf, 1, r->frame_bytes, r->f) != r->frame_bytes)
+            return -1;
+        r->next_frame++;
+        return 1;
+    }
     char marker[8];
     size_t got = fread(marker, 1, 6, r->f);
     if (got == 0) return 0;

@@ -227,3 +227,50 @@ def test_native_midstream_corruption_raises(tmp_path):
             while True:
                 if nr.read_frame() is None:
                     break
+
+
+def test_native_indexed_nut_demux(tmp_path):
+    """Round 4: NUT frame payloads read through the native indexed
+    reader (Python walks the packet structure once; preads + the
+    prefetch ring run in C++) — parity with the pure-Python reader."""
+    from fractions import Fraction
+
+    from dspfun_tpu.io import native as nativemod
+    from dspfun_tpu.io import video
+
+    if not nativemod.available():
+        pytest.skip("native dspio unavailable")
+    rng = np.random.default_rng(20)
+    frames = rng.random((5, 10, 12, 3)).astype(np.float32)
+    path = str(tmp_path / "n.nut")
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(path, 12, 10, Fraction(30), props) as w:
+        for f in frames:
+            w.write_frame_rgb(f)
+
+    with video.open_input(path) as r:
+        assert type(r).__name__ == "NutVideoReader"
+        assert r._native is not None
+        got = []
+        while True:
+            f = r.read_frame_rgb()
+            if f is None:
+                break
+            got.append(f)
+    np.testing.assert_allclose(np.stack(got), frames, atol=1e-6)
+
+    # pure-Python parity
+    with video.open_input(path) as r:
+        r._native = None
+        pure = []
+        while True:
+            f = r.read_frame_rgb()
+            if f is None:
+                break
+            pure.append(f)
+    np.testing.assert_array_equal(np.stack(got), np.stack(pure))
+
+    # seek through the native index
+    with video.open_input(path) as r:
+        r.seek_frame(3)
+        np.testing.assert_allclose(r.read_frame_rgb(), frames[3], atol=1e-6)
