@@ -35,9 +35,10 @@ def main() -> int:
     # chain error) + rank-1 DC-split (mean/zero0 applied analytically)
     # + mask-support pruning — only the pass-band coefficients are
     # computed (the fused-chain generalisation of scan's pruned IDCT,
-    # reference scan/scan.c:20-41; identical algebra).  The f32
-    # fallback at tol=1e-6 (pruned + split + HIGHEST) measures
-    # 1,932 MP/s at 2.5e-7 if i8 ever regresses.
+    # reference scan/scan.c:20-41; identical algebra).  Round-4 capture:
+    # 3,138 MP/s median [2513-4188].  The f32 fallback at tol=1e-6
+    # (pruned + split + HIGHEST) measures ~1,900 MP/s at 2.5e-7 if i8
+    # ever regresses.
     precision = Precision(coeff="float32", intermediate="i8", tol=1e-5)
     # plans are host numpy; ship them to HBM once (they are the FFTW-plan
     # analogue and must not be re-uploaded per call)
