@@ -21,13 +21,51 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["make_packer"]
+__all__ = ["make_packer", "pack_motion_planes"]
 
 
 def _matrix_for(space):
     from dspfun_tpu.io.video import _matrix_for as mf  # noqa: PLC0415
 
     return mf(space)
+
+
+def pack_motion_planes(plane_frames, pf, color_range, float_pixels: bool,
+                       nframes: int):
+    """Motion's per-plane emission packed on device: a list of
+    ``[F_i, h_i, w_i]`` plane frame stacks in stored pel units
+    (0..255-scale) -> one ``[nframes, S]`` container payload.
+
+    Mirrors tools/motion.py's host write path exactly: planes shorter
+    than the slab depth replicate their last frame
+    (``zz = min(z, scaled.d - 1)``), the float-pixel path divides by
+    255 before the writer quantisation, and the raw path clips+rounds
+    int containers (VideoWriter.write_frame semantics)."""
+    maxv = (1 << pf.depth) - 1
+    scale8 = 1 << (pf.depth - 8)
+    dtype = (jnp.float32 if pf.is_float
+             else (jnp.uint8 if pf.depth <= 8 else jnp.uint16))
+    chunks = []
+    for i, p in enumerate(plane_frames):
+        p = jnp.asarray(p, jnp.float32)
+        idx = jnp.minimum(jnp.arange(nframes), p.shape[0] - 1)
+        p = p[idx]
+        if float_pixels:
+            unit = p / 255.0
+            if pf.is_float:
+                q = unit.astype(jnp.float32)
+            elif color_range == "mpeg" and not pf.is_rgb:
+                v = (unit * (224.0 if (i in (1, 2) and pf.ncomp > 1)
+                             else 219.0) + 16.0) * scale8
+                q = jnp.clip(jnp.rint(v), 0, maxv).astype(dtype)
+            else:
+                q = jnp.clip(jnp.rint(unit * maxv), 0, maxv).astype(dtype)
+        elif pf.is_float:
+            q = p.astype(jnp.float32)
+        else:
+            q = jnp.clip(jnp.rint(p), 0, maxv).astype(dtype)
+        chunks.append(q.reshape(nframes, -1))
+    return jnp.concatenate(chunks, axis=1)
 
 
 def make_packer(pf, props, height: int, width: int):

@@ -552,7 +552,40 @@ def main(argv: list[str] | None = None) -> int:
                         plane_index=i, nplanes=proc_fmt.ncomp,
                     )
                 coded += int(np.asarray(c).sum())
-                out_planes.append(mp.blocks_to_frames(np.asarray(out), g))
+                # blocks_to_frames is pure reshape/transpose: applied
+                # to the device array it stays on device for the packed
+                # emission path below
+                out_planes.append(mp.blocks_to_frames(out, g))
+            # pane-free single-device runs pack the slab's frames to
+            # container payload bytes ON DEVICE (io/device_pack):
+            # emission crosses D2H already quantised and the host only
+            # writes bytes (the motion analogue of scan/zoom's round-4
+            # packed paths; per-plane geometry, no RGB conversion)
+            if (not out_convert and not multi and mesh is None
+                    and writer.supports_payload()):
+                from dspfun_tpu.io.device_pack import (  # noqa: PLC0415
+                    pack_motion_planes,
+                )
+
+                payload = np.asarray(pack_motion_planes(
+                    out_planes, writer.pix_fmt, writer.props.color_range,
+                    float_pixels, g0.scaled.d))
+                for z in range(g0.scaled.d):
+                    writer.write_frame_payload(payload[z].tobytes())
+                    written += 1
+                    if not quiet:
+                        print(f"\rread: {read_count:>{padb}} wrote: "
+                              f"{written:>{pads}}", end="", file=sys.stderr)
+                if resume_file:
+                    from dspfun_tpu.utils.checkpoint import save_state  # noqa: PLC0415
+
+                    save_state(resume_file, {
+                        "slab": bz + 1,
+                        "newres": [g0.newres.w, g0.newres.h, g0.newres.d],
+                        "fingerprint": fingerprint,
+                    })
+                continue
+            out_planes = [np.asarray(p) for p in out_planes]
             for z in range(g0.scaled.d):
                 frame = []
                 for i, g in enumerate(geoms):
