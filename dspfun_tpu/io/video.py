@@ -708,8 +708,9 @@ class NutVideoReader(VideoReader):
                 "use the ffmpeg bridge (--format nut) for foreign codecs")
         self.pix_fmt = PIXEL_FORMATS[name]
         self.width, self.height = s0["width"], s0["height"]
-        tb = (st.time_bases[s0["time_base_id"]]
-              if st.time_bases else Fraction(1, 25))
+        tbid = s0["time_base_id"]
+        tb = (st.time_bases[tbid] if 0 <= tbid < len(st.time_bases)
+              else Fraction(1, 25))
         info = st.info
         if "X-dspfun-rate" in info:
             num, _, den = info["X-dspfun-rate"].partition("/")

@@ -81,11 +81,12 @@ def _synthesize(spectrum, plan_y, plan_x, precision=None,
                 encode_trc: bool = False):
     """Planned separable synthesis: ``plan_y``/``plan_x`` are AxisPlans
     of the continuous basis matrices (host float64 -> digit split, so
-    accuracy is set by the contraction mode alone: i8 digits land
-    ~2^-22 relative — the path that holds BASELINE.md's <=1e-5 post-OETF
-    budget on 4K stills).  ``split="zero0"`` peels the dominant DC
-    row/column analytically: basis column 0 is exactly 0.5 in every
-    scaling convention (zoom/zoom.c:364,369)."""
+    accuracy is set by the contraction mode alone: the deep 4-digit i8
+    kernel lands ~2^-28 truncation / ~1e-7 relative on chip — the path
+    that holds BASELINE.md's <=1e-5 post-OETF budget on 4K stills).
+    ``split="zero0"`` peels the dominant DC row/column analytically:
+    basis column 0 is exactly 0.5 in every scaling convention
+    (zoom/zoom.c:364,369)."""
     h, w = spectrum.shape[:2]
     p = precision or get_precision()
     if p.intermediate == "i8" and spectrum.ndim == 3:
