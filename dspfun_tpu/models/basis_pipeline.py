@@ -236,16 +236,18 @@ def rescale_values(
 
 def range_encode(c: np.ndarray, kind: str) -> np.ndarray:
     """Negative-value display encodings (reference applybasis.c:50-75).
-    ``shift2`` is handled at input time (pixels*2-1) and is an identity
-    here."""
+    ``shift2`` also encodes the *input* (pixels*2-1, applybasis.c:358)
+    but its display half is the same (v+1)/2 map as ``shift`` — the
+    reference literally aliases the function pointer
+    (``void (*shift2)() = shift; //dummy``, applybasis.c:62); the
+    README's default inverse reconstructions depend on it (caught by
+    tests/test_reference_examples.py)."""
     if kind == "abs":
         return np.abs(c)
     if kind == "invert":
         return c + (c < 0)
-    if kind == "shift":
+    if kind in ("shift", "shift2"):
         return (c + 1) / 2
-    if kind == "shift2":
-        return c
     if kind == "hue":
         neg = (c < 0).any(axis=-1, keepdims=True)
         a = np.abs(c)

@@ -556,6 +556,20 @@ def main(argv: list[str] | None = None) -> int:
                 # to the device array it stays on device for the packed
                 # emission path below
                 out_planes.append(mp.blocks_to_frames(out, g))
+            # indivisible block grids truncate a plane's processed
+            # region (reference warns and leaves the surplus rows of
+            # its frame buffer stale, motion.c:437-439); pad emitted
+            # planes to the container's plane dims with zeros — the
+            # deterministic analogue
+            tdims = proc_fmt.plane_dims(g0.newres.w, g0.newres.h)
+            for i, p in enumerate(out_planes):
+                tw, th = tdims[i] if i < len(tdims) else tdims[-1]
+                ph, pw = p.shape[1], p.shape[2]
+                if (ph, pw) != (th, tw):
+                    xp = np if isinstance(p, np.ndarray) else jnp
+                    out_planes[i] = xp.pad(
+                        p, ((0, 0), (0, max(th - ph, 0)),
+                            (0, max(tw - pw, 0))))[:, :th, :tw]
             # pane-free single-device runs pack the slab's frames to
             # container payload bytes ON DEVICE (io/device_pack):
             # emission crosses D2H already quantised and the host only
