@@ -53,13 +53,22 @@ _RESCALES = ("linear", "log", "gain", "level")
 
 
 def _parse_rescale(arg: str) -> tuple[str, str | None]:
-    """Sequential token parse, '-' separated (applybasis.c:252-258)."""
-    parts = [p for p in arg.split("-") if p]
+    """Reference-style sequential prefix parse: two kinds concatenate
+    with no separator ("linearlog" — applybasis.c:252-258 consumes
+    token prefixes in a 2-iteration loop); '-'/',' separators are also
+    tolerated as a readability extension."""
+    s = arg
     kinds: list[str] = []
-    for p in parts[:2]:
-        if p not in _RESCALES:
-            raise ValueError(f"unknown rescale type {p!r}")
-        kinds.append(p)
+    for _ in range(2):
+        s = s.lstrip("-,")
+        # longest-prefix match so "linear" is not read as "line"+junk
+        for name in sorted(_RESCALES, key=len, reverse=True):
+            if s.startswith(name):
+                kinds.append(name)
+                s = s[len(name):]
+                break
+        else:
+            break
     if not kinds:
         raise ValueError(f"unknown rescale {arg!r}")
     return kinds[0], (kinds[1] if len(kinds) > 1 else None)
