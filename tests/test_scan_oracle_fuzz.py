@@ -84,7 +84,7 @@ CASES = [
          f"{'-off' + str(c[4]) if c[4] else ''}" for c in CASES])
 def test_scan_cli_matches_reference_loop(tmp_path, method, opts, step,
                                          invert, offset, fill):
-    rng = np.random.default_rng(hash((method, step)) % 2**31)
+    rng = np.random.default_rng(abs(__import__("zlib").crc32(f"{method}{step}".encode())))
     h, w = 13, 17
     img = rng.random((h, w, 3))
     src = str(tmp_path / "s.png")
