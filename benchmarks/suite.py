@@ -515,9 +515,10 @@ def bench_motion(quick):
             for t in range(nio):
                 wr.write_frame([rng.random((h, w)) for _ in range(3)],
                                raw=False)
+        argv = ["-Q", "-b", f"16x16x{d}", "-p", "8x8x4", clip, outp]
+        rc = motion_tool.main(argv)   # warm run: jit compiles cache
         t0 = time.perf_counter()
-        rc = motion_tool.main(["-Q", "-b", f"16x16x{d}", "-p", "8x8x4",
-                               clip, outp])
+        rc |= motion_tool.main(argv)
         io_dt = time.perf_counter() - t0
         io_fps = nio / io_dt if rc == 0 else 0.0
 
