@@ -525,7 +525,7 @@ def bench_motion(quick):
     return {
         "metric": f"motion 3-D lowpass {w}x{h} {d}-frame cubes (16x16x{d} blocks)",
         "value": round(fps, 1), "unit": "frames/s",
-        "value_spread": _spread(16.0),
+        "value_spread": _spread(float(d)),
         "Mpel/s": round(w * h * fps / 1e6, 1),
         "cli_end_to_end_frames/s": round(io_fps, 1),
         "baseline_frames/s": round(base_fps, 1),
