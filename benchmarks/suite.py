@@ -79,14 +79,16 @@ def _time_fori(step, x0, iters=8, reps=5):
         return time.perf_counter() - t0
 
     cs = sorted((once(f2) - once(f1)) / iters for _ in range(reps))
-    c = cs[reps // 2]
-    if c <= 0:  # noise floor: fall back to the conservative reading
-        # (the body is below the tunnel's dispatch jitter; a subtraction
-        # band would be meaningless, so none is published)
+    pos = [v for v in cs if v > 0]
+    if len(pos) < 3:
+        # noise floor: the body is below the tunnel's dispatch jitter;
+        # publish the conservative T/(2n) reading with no band
         c = once(f2) / (2 * iters)
         LAST_SPREAD = None
         return c
-    pos = [v for v in cs if v > 0] or [c]
+    # median over the POSITIVE readings: with negative outliers in the
+    # sample, the plain median can land on a band extreme
+    c = pos[len(pos) // 2]
     LAST_SPREAD = (min(pos), max(pos))
     return c
 
