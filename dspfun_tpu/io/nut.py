@@ -214,14 +214,17 @@ _COLORSPACE_TYPES = {
 
 
 def _frame_table_payload() -> list[tuple[int, dict]]:
-    """(tmp_flag, fields) entries covering the 256 framecodes: only
-    framecode 1 is valid — keyframes with coded pts, msb size, and a
-    frame-header checksum."""
+    """(tmp_flag, fields) entries covering the 256 framecodes:
+    framecode 1 = stream-0 keyframes (coded pts, msb size, header
+    CRC); framecode 2 = the same with an explicit stream_id field
+    (secondary streams, e.g. future audio — the demuxer skips them for
+    video reads); everything else invalid."""
     frame_flags = (FLAG_KEY | FLAG_CODED_PTS | FLAG_SIZE_MSB | FLAG_CHECKSUM)
     return [
-        (FLAG_INVALID, {"count": 1}),       # framecode 0
-        (frame_flags, {"count": 1}),        # framecode 1
-        (FLAG_INVALID, {"count": 254}),     # 2..255 (incl. the 'N' slot)
+        (FLAG_INVALID, {"count": 1}),                  # framecode 0
+        (frame_flags, {"count": 1}),                   # framecode 1
+        (frame_flags | FLAG_STREAM_ID, {"count": 1}),  # framecode 2
+        (FLAG_INVALID, {"count": 253}),                # 3..255 (incl. 'N')
     ]
 
 
@@ -568,15 +571,19 @@ class NutReader:
                 raise ValueError("NUT frame before stream header")
             return b[0]
 
-    def read_frame_bytes(self) -> tuple[int, bytes] | None:
-        fc = self._pending
-        self._pending = None
-        if fc is None:
-            fc = self._read_until_frame()
-        if fc is None:
-            return None
-        sid, pts, data = self.state.parse_frame_header(self._stream, fc)
-        return pts, data
+    def read_frame_bytes(self, stream_id: int = 0) -> tuple[int, bytes] | None:
+        """Next frame of ``stream_id`` (frames of other streams — e.g.
+        audio in an ffmpeg-muxed file — are skipped)."""
+        while True:
+            fc = self._pending
+            self._pending = None
+            if fc is None:
+                fc = self._read_until_frame()
+            if fc is None:
+                return None
+            sid, pts, data = self.state.parse_frame_header(self._stream, fc)
+            if sid == stream_id:
+                return pts, data
 
     def scan_payload_offsets(self, expect_size: int) -> list[int] | None:
         """Absolute file offsets of every frame's raw payload (for the
@@ -597,7 +604,11 @@ class NutReader:
                     fc = self._read_until_frame()
                 if fc is None:
                     break
-                self.state.parse_frame_header(s, fc, skip_data=True)
+                sid, _, _ = self.state.parse_frame_header(s, fc,
+                                                          skip_data=True)
+                fc = None
+                if sid != 0:
+                    continue
                 off, nbytes, head_len = self.state.last_payload
                 # elided head bytes or irregular sizes make a raw pread
                 # differ from the logical payload — bail to Python
@@ -605,7 +616,6 @@ class NutReader:
                     offs = None
                     break
                 offs.append(off)
-                fc = None
         except ValueError:
             offs = None
         finally:
@@ -631,8 +641,10 @@ class NutReader:
                     fc = self._read_until_frame()
                 if fc is None:
                     break
-                self.state.parse_frame_header(s, fc, skip_data=True)
-                n += 1
+                sid, _, _ = self.state.parse_frame_header(s, fc,
+                                                          skip_data=True)
+                if sid == 0:
+                    n += 1
                 fc = None
         finally:
             s.seek(pos)

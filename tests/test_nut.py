@@ -255,3 +255,56 @@ def test_scan_mesh_with_packed_emission(tmp_path):
 
     np.testing.assert_allclose(frames_of(meshed), frames_of(one),
                                atol=2 / 255.0)
+
+
+def test_nut_multistream_skips_foreign_frames(tmp_path):
+    """A NUT file with a second (audio-like) stream: frame counting,
+    indexing, and reads must consider only stream 0 (ffmpeg-muxed
+    files carry audio)."""
+    from dspfun_tpu.io.nut import (
+        MSB_PTS_SHIFT, NutWriter, SYNCPOINT_STARTCODE, _write_packet,
+        crc32_nut, put_v,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = rng.random((3, 6, 8, 3)).astype(np.float32)
+    path = tmp_path / "ms.nut"
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with open(path, "wb") as f:
+        nw = NutWriter(f, 8, 6, Fraction(25), video.PIXEL_FORMATS["gbrpf32le"],
+                       props)
+        nw.write_header()
+        nw._header_written = True
+        for i, fr in enumerate(frames):
+            # interleave a foreign-stream frame before each video frame
+            # (framecode 1 + explicit stream_id via FLAG_CODED)
+            payload = b"\x55" * 37
+            b = bytearray()
+            put_v(b, i)
+            put_v(b, 0)
+            _write_packet(f, SYNCPOINT_STARTCODE, bytes(b))
+            hdr = bytearray([2])             # framecode 2: stream-id field
+            put_v(hdr, 1)                    # stream_id 1
+            put_v(hdr, i + (1 << MSB_PTS_SHIFT))
+            put_v(hdr, len(payload))
+            hdr.extend(crc32_nut(bytes(hdr)).to_bytes(4, "big"))
+            f.write(bytes(hdr))
+            f.write(payload)
+            # the real video frame
+            g = fr
+            chunks = [g[..., 1].tobytes(), g[..., 2].tobytes(),
+                      g[..., 0].tobytes()]
+            nw.write_frame_bytes(b"".join(chunks))
+    # If the foreign frames were not skipped the frame count and
+    # payload sizes would be wrong.
+    with video.open_input(str(path)) as r:
+        if r._native is not None:
+            assert r.frames == 3
+        got = []
+        while True:
+            fr = r.read_frame_rgb()
+            if fr is None:
+                break
+            got.append(fr)
+    assert len(got) == 3
+    np.testing.assert_allclose(np.stack(got), frames, atol=1e-6)
