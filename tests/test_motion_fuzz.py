@@ -352,7 +352,7 @@ def test_filter_chain_fuzz(seed):
                 bp_begin=Dims(*bpb), bp_end=Dims(*bpe),
             )[0]
 
-            kind = rng.integers(0, 6)
+            kind = rng.integers(0, 7)
             p = mp.MotionParams(
                 boost=float(rng.choice([1.0, 0.5, 1.5])),
                 damp=float(rng.choice([1.0, 0.0, 0.25])),
@@ -363,6 +363,8 @@ def test_filter_chain_fuzz(seed):
                 preserve_dc=[None, "dc", "grey"][int(rng.integers(0, 3))],
                 spec=(["abs", "shift", "flat", "copy"][int(rng.integers(0, 4))]
                       if kind == 4 else None),
+                ispec=(["shift", "flat", "copy"][int(rng.integers(0, 3))]
+                       if kind == 6 else None),
                 linear=kind == 5,
                 float_pixels=True,
             )
