@@ -91,10 +91,15 @@ def main() -> int:
         return time.perf_counter() - t0
 
     cs = sorted((once(cf2) - once(cf1)) / iters for _ in range(reps))
-    dt = cs[reps // 2]
-    if dt <= 0:
+    pos = [c for c in cs if c > 0]
+    if len(pos) < 3:
+        # noise floor: publish the conservative T/(2n) reading
         dt = once(cf2) / (2 * iters)
-    pos = [c for c in cs if c > 0] or [dt]
+        pos = [dt]
+    else:
+        # median over POSITIVE readings (negative outliers make the
+        # plain median land on a band extreme)
+        dt = pos[len(pos) // 2]
     spread = [(h * w) / max(pos) / 1e6, (h * w) / min(pos) / 1e6]
     ours_mps = (h * w) / dt / 1e6
     y = fn(x, m, plans)
