@@ -84,6 +84,17 @@ def split_matrix_i8(m: np.ndarray, ndig: int = _NDIG):
     return digits, (2.0**e).astype(np.float32)
 
 
+def log2_ceil1(x: jax.Array) -> jax.Array:
+    """EXACT per-element e with 2^(e-2) <= |x| < 2^(e-1) (i.e. the
+    scaling exponent that puts x * 2^-e strictly inside (-1/2, 1/2)),
+    read from the f32 exponent field.  Replaces ceil(log2(x)) + 1:
+    the TPU's log2 approximation could shift the exponent by 1 near
+    power-of-two boundaries, overflowing the 64-bound digit proof."""
+    bits = jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.float32),
+                                        jnp.int32)
+    return (((bits >> 23) & 0xFF) - 125).astype(jnp.float32)
+
+
 def exp2i(e: jax.Array) -> jax.Array:
     """EXACT 2^e for integer-valued f32 ``e`` (|e| <= 126), built by
     bit-casting the biased exponent.  The TPU's ``jnp.exp2`` is a
@@ -104,7 +115,7 @@ def _split_operand_xla(x: jax.Array, axis: int, ndig: int = _NDIG):
     Returns (``ndig`` int8 digit arrays, exp2-scale with ``axis``
     kept)."""
     mx = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
-    e = jnp.where(mx > 0, jnp.ceil(jnp.log2(mx)) + 1.0, 0.0)
+    e = jnp.where(mx > 0, log2_ceil1(mx), 0.0)
     r = x * exp2i(-e)
     out = []
     for i in range(ndig):
