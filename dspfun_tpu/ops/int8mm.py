@@ -308,6 +308,11 @@ def i8_contract(
     if da not in (_NDIG, _NDIG + 1):
         raise ValueError(f"expected {_NDIG} or {_NDIG + 1} digit planes, "
                          f"got {da}")
+    if x.shape[axis % x.ndim] > (1 << 19):
+        # exact int32 accumulation requires 65*65*K < 2^31
+        raise ValueError(
+            f"i8 contraction length {x.shape[axis % x.ndim]} exceeds the "
+            "exact-int32 bound (2^19); split the axis or use exact/hilo")
     return _i8_dispatch(x, [digits_a[i] for i in range(da)],
                         jnp.asarray(scale_a), axis, m, kp)
 
