@@ -152,3 +152,34 @@ def test_motion_tool_packed_vs_converted_path(tmp_path):
         outs_g.append(mp.blocks_to_frames(np.asarray(o), g))
     wantg = np.concatenate(outs_g) / 255.0
     np.testing.assert_allclose(got[..., 1], wantg, atol=1e-4)
+
+
+def test_scan_tool_packed_linear_light(tmp_path):
+    """-g packed emission parity: the sRGB OETF runs on device before
+    packing; the pane-forced host path must byte-match."""
+    from PIL import Image
+
+    from dspfun_tpu.tools import scan as scan_tool
+
+    rng = np.random.default_rng(12)
+    src = str(tmp_path / "s.png")
+    Image.fromarray(rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+                    ).save(src)
+    packed, paned = str(tmp_path / "p.y4m"), str(tmp_path / "v.y4m")
+    assert scan_tool.main(["-q", "-g", "-m", "zig", "-S", "32",
+                           src, packed]) == 0
+    assert scan_tool.main(["-q", "-g", "-m", "zig", "-S", "32", "-v",
+                           src, paned]) == 0
+
+    def frames_of(path, crop_w=None):
+        with video.open_input(path) as r:
+            out = []
+            while True:
+                f = r.read_frame_rgb()
+                if f is None:
+                    break
+                out.append(f[:, :crop_w] if crop_w else f)
+        return np.stack(out)
+
+    np.testing.assert_allclose(frames_of(packed), frames_of(paned, 16),
+                               atol=2 / 255.0)
