@@ -24,20 +24,49 @@ _DEC_THRESH = 0.0404482362771082
 _ENC_THRESH = _DEC_THRESH / 12.92
 
 
+def _pow_5_12(x, xp):
+    """``x ** (5/12)`` (= 1/2.4) to ~1-2 ulp in f32.
+
+    TPU's f32 ``pow`` (exp2/log2 VPU approximations) carries ~5e-6
+    relative error — the accuracy floor of every post-OETF comparison.
+    5/12 factors as (1/4)(1/3) of x^5, so the power decomposes into
+    correctly-rounded sqrts plus a cube root; one Newton step squares
+    the cbrt approximation error below the f32 ulp.
+    """
+    x2 = x * x
+    s = xp.sqrt(xp.sqrt(x2 * x2 * x))  # x^(5/4)
+    z = xp.cbrt(s)
+    z2 = z * z
+    return xp.where(s > 0, z - (z2 * z - s) / (3.0 * z2 + 1e-38), z)
+
+
+def _pow_12_5(x, xp):
+    """``x ** 2.4`` (= 12/5) to ~2 ulp in f32 as ``x^2 * (x^2)^(1/5)``
+    with a Newton-refined fifth root — the root's residual error
+    propagates x1 into the product (a ^12 chain would amplify it x12)."""
+    a = x * x
+    r = xp.power(a, 0.2)
+    r4 = (r * r) ** 2
+    r = xp.where(a > 0, r - (r4 * r - a) / (5.0 * r4 + 1e-38), r)
+    return a * r
+
+
 def srgb_decode(x, xp=np):
     """sRGB electrical -> linear light (EOTF)."""
-    return xp.where(
-        x <= _DEC_THRESH, x / 12.92, xp.power((xp.abs(x) + 0.055) / 1.055, 2.4)
-    )
+    if xp is np:
+        p = np.power((np.abs(x) + 0.055) / 1.055, 2.4)
+    else:
+        p = _pow_12_5((xp.abs(x) + 0.055) / 1.055, xp)
+    return xp.where(x <= _DEC_THRESH, x / 12.92, p)
 
 
 def srgb_encode(x, xp=np):
     """Linear light -> sRGB electrical (OETF), inverse of srgb_decode."""
-    return xp.where(
-        x <= _ENC_THRESH,
-        x * 12.92,
-        1.055 * xp.power(xp.maximum(x, 0.0), 1.0 / 2.4) - 0.055,
-    )
+    if xp is np:
+        p = np.power(np.maximum(x, 0.0), 1.0 / 2.4)
+    else:
+        p = _pow_5_12(xp.maximum(x, 0.0), xp)
+    return xp.where(x <= _ENC_THRESH, x * 12.92, 1.055 * p - 0.055)
 
 
 def _ycbcr(kr: float, kb: float) -> np.ndarray:

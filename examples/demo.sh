@@ -1,7 +1,8 @@
 #!/bin/sh
 # End-to-end demo of all ten tools on a synthetic image.
-# DSPFUN_PLATFORM=cpu makes small-image runs instant on the host;
-# unset it to run on the TPU.
+# Defaults to DSPFUN_PLATFORM=cpu (small-image runs are instant on the
+# host); run `DSPFUN_PLATFORM=axon sh examples/demo.sh` for the TPU
+# (budget ~10 min for the first device sync).
 set -e
 export DSPFUN_PLATFORM="${DSPFUN_PLATFORM:-cpu}"
 # make the repo importable from the temp working dir (append, don't

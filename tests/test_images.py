@@ -54,6 +54,33 @@ def test_srgb_roundtrip():
     assert srgb_decode(np.float64(0.04)) == pytest.approx(0.04 / 12.92)
 
 
+def test_srgb_device_f32_accuracy():
+    """The jnp transfer functions decompose pow into sqrt/cbrt + Newton
+    (io/color.py) so device OETF accuracy is ~2 ulp, not the ~5e-6 of
+    TPU's f32 pow.  Pin the f32 error bound against the f64 host path
+    over the full domain including thresholds, 0, and >1 overshoot."""
+    import jax
+    import jax.numpy as jnp
+
+    from dspfun_tpu.io import color
+
+    x = np.concatenate([
+        np.array([0.0, color._ENC_THRESH, color._DEC_THRESH, 1.0, 1.5]),
+        np.linspace(0.0, 1.2, 4001),
+        10.0 ** np.linspace(-8, 0.5, 800),
+    ])
+    xf = jnp.asarray(x, jnp.float32)
+    enc = np.asarray(jax.jit(lambda v: color.srgb_encode(v, jnp))(xf),
+                     np.float64)
+    dec = np.asarray(jax.jit(lambda v: color.srgb_decode(v, jnp))(xf),
+                     np.float64)
+    rel_e = np.abs(enc - srgb_encode(x)) / np.maximum(np.abs(srgb_encode(x)), 1e-12)
+    rel_d = np.abs(dec - srgb_decode(x)) / np.maximum(np.abs(srgb_decode(x)), 1e-12)
+    assert rel_e.max() < 1e-6, rel_e.max()
+    assert rel_d.max() < 1e-6, rel_d.max()
+    assert not np.isnan(enc).any() and not np.isnan(dec).any()
+
+
 def test_sixel_output(tmp_path, capsysbinary):
     from dspfun_tpu.io.sixel import encode_sixel
 
