@@ -57,9 +57,16 @@ def test_transcode_offset_frames(clip, tmp_path):
 
 
 def test_rotate_volume_matches_reference_loop():
+    import itertools
+
     rng = np.random.default_rng(12)
     vol = rng.random((3, 4, 5, 1))
-    for spec in ("zyx", "x-yz", "-y+x+z", "yzx", "-z-y-x"):
+    # exhaustive: all 6 permutations x 8 sign patterns (pins the
+    # reference's invert[map[i]] indexing quirk on every 3-cycle)
+    specs = ["".join(s + a for s, a in zip(signs, perm))
+             for perm in itertools.permutations("xyz")
+             for signs in itertools.product("+-", repeat=3)]
+    for spec in specs:
         axmap, inv = rotate_tool.parse_axis_map(spec)
         got = rotate_tool.rotate_volume(vol, axmap, inv)
         lens = [5, 4, 3]  # x, y, z
