@@ -278,6 +278,14 @@ class Expr:
                 raise ValueError(f"unsupported function {name!r}")
             raise AssertionError(node)
 
+        if xp.__name__ == "numpy":
+            # ffmpeg-eval semantics propagate NaN/inf silently (scan
+            # methods *rely* on NaN to mark skipped points); keep numpy
+            # from warning where jax already stays quiet
+            import numpy as _np  # noqa: PLC0415
+
+            with _np.errstate(invalid="ignore", divide="ignore"):
+                return ev(self.ast)
         return ev(self.ast)
 
 

@@ -240,7 +240,8 @@ def write_image(
     if depth == 16:
         fmt16 = (fmt or (path.rsplit(".", 1)[-1] if "." in path else "png")).lower()
         if len(channels) == 1:
-            img = Image.fromarray(quant[..., 0].astype(np.uint16), mode="I;16")
+            # uint16 infers mode I;16 (explicit mode= is deprecated)
+            img = Image.fromarray(quant[..., 0].astype(np.uint16))
         elif fmt16 == "png":
             # PIL cannot write 16-bit color PNGs; use the raw encoder
             # (reference depth semantics: MagickWand Q16 stores spectra
