@@ -25,19 +25,29 @@ _ENC_THRESH = _DEC_THRESH / 12.92
 
 
 def _pow_5_12(x, xp):
-    """``x ** (5/12)`` (= 1/2.4) to ~1-2 ulp in f32.
+    """``x ** (5/12)`` (= 1/2.4) to ~2 ulp in f32.
 
-    TPU's f32 ``pow`` (exp2/log2 VPU approximations) carries ~5e-6
+    TPU's f32 ``pow`` (exp2/log2 VPU approximations) carries ~7e-6
     relative error — the accuracy floor of every post-OETF comparison.
-    5/12 factors as (1/4)(1/3) of x^5, so the power decomposes into
-    correctly-rounded sqrts plus a cube root; one Newton step squares
-    the cbrt approximation error below the f32 ulp.
+    One Newton polish of the pow guess against ``y^12 = x^5`` (both
+    sides exact-rational multiply chains) squares that error below the
+    f32 ulp: the residual (y^12 - x^5)/y^12 is ~12*err, carrying ~4 ulp
+    of chain rounding that enters y at /12.
     """
+    from jax import lax  # noqa: PLC0415  (this path is device-only)
+
+    y = xp.power(x, 5.0 / 12.0)
     x2 = x * x
-    s = xp.sqrt(xp.sqrt(x2 * x2 * x))  # x^(5/4)
-    z = xp.cbrt(s)
-    z2 = z * z
-    return xp.where(s > 0, z - (z2 * z - s) / (3.0 * z2 + 1e-38), z)
+    x5 = x2 * x2 * x
+    y3 = y * y * y
+    y6 = y3 * y3
+    y12 = y6 * y6
+    # divide via rsqrt (no VPU divide; its approximation error only
+    # enters the ~1e-4-magnitude correction term).  rsqrt(0)=inf makes
+    # the correction inf*0=nan on the x=0 lane — masked by the where.
+    r6 = lax.rsqrt(y12)
+    return xp.where(x5 > 0,
+                    y - y * (y12 - x5) * (r6 * r6) * (1.0 / 12.0), y)
 
 
 def _pow_12_5(x, xp):

@@ -79,6 +79,11 @@ def test_srgb_device_f32_accuracy():
     assert rel_e.max() < 1e-6, rel_e.max()
     assert rel_d.max() < 1e-6, rel_d.max()
     assert not np.isnan(enc).any() and not np.isnan(dec).any()
+    # monotone through the piecewise threshold (no banding inversions
+    # after 8/16-bit quantisation)
+    g = np.asarray(jax.jit(lambda v: color.srgb_encode(v, jnp))(
+        jnp.asarray(np.linspace(0.0, 1.0, 200001), jnp.float32)))
+    assert (np.diff(g) >= 0).all()
 
 
 def test_sixel_output(tmp_path, capsysbinary):
