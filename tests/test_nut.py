@@ -308,3 +308,41 @@ def test_nut_multistream_skips_foreign_frames(tmp_path):
             got.append(fr)
     assert len(got) == 3
     np.testing.assert_allclose(np.stack(got), frames, atol=1e-6)
+
+
+def test_nut_value_coding_fuzz():
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(b"nutvals"))
+    vals = [int(v) for v in rng.integers(0, 2**62, 200)] + [2**62 - 1]
+    svals = [int(v) for v in rng.integers(-2**60, 2**60, 200)]
+    buf = bytearray()
+    for v in vals:
+        put_v(buf, v)
+    for v in svals:
+        put_s(buf, v)
+    p = _Parser(bytes(buf))
+    assert [p.get_v() for _ in vals] == vals
+    assert [p.get_s() for _ in svals] == svals
+    assert p.remaining() == 0
+
+
+@pytest.mark.parametrize("draw", range(6))
+def test_nut_roundtrip_fuzz(draw, tmp_path):
+    """Randomized mux->demux round trips over odd dims, frame counts,
+    rates, and the pixel formats the native muxer carries."""
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(f"nutfuzz{draw}".encode()))
+    w = int(rng.integers(1, 33))
+    h = int(rng.integers(1, 25))
+    n = int(rng.integers(1, 7))
+    rate = Fraction(int(rng.integers(1, 120)), int(rng.integers(1, 4)))
+    pf, atol = [("gbrpf32le", 1e-6), ("yuv444p", 0.05),
+                ("yuv444p16le", 2e-3)][draw % 3]
+    frames = rng.random((n, h, w, 3)).astype(np.float32)
+    r, got = _roundtrip(tmp_path / f"f{draw}.nut", frames,
+                        f"pixel_format={pf}", rate=rate)
+    assert r.frames == n
+    assert r.rate == rate
+    np.testing.assert_allclose(got, frames, atol=atol)
