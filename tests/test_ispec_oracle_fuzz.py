@@ -73,6 +73,8 @@ CASES = [
     ("custom", 1000.0, "one", "linear", "shift", False, False),
     ("native", 0.0, "dc", "linear", "saturate", False, True),
     ("reference", 0.0, "dc", "log", "retain", False, False),
+    ("native", 0.0, "one", "log", "saturate", False, False),
+    ("native", 0.0, "dcs", "linear", "abs", True, False),
 ]
 
 
