@@ -490,12 +490,40 @@ def main(argv: list[str] | None = None) -> int:
     ret = 0
     padb = int(math.log10(max(source_d, 1))) + 1
     pads = int(math.log10(max(g0.newres.d, 1))) + 1
+
+    # one-slab lookahead for the packed emission path: slab N's
+    # device->host download overlaps slab N+1's read+compute (same
+    # pattern as models/scan_pipeline.scan_chunks / tools/zoom.py)
+    pending_pack = None
+
+    def flush_pack():
+        nonlocal written, pending_pack
+        payload_dev, nfr, pbz = pending_pack
+        pending_pack = None
+        payload = np.asarray(payload_dev)
+        for z in range(nfr):
+            writer.write_frame_payload(payload[z].tobytes())
+            written += 1
+            if not quiet:
+                print(f"\rread: {read_count:>{padb}} wrote: "
+                      f"{written:>{pads}}", end="", file=sys.stderr)
+        if resume_file:
+            from dspfun_tpu.utils.checkpoint import save_state  # noqa: PLC0415
+
+            save_state(resume_file, {
+                "slab": pbz + 1,
+                "newres": [g0.newres.w, g0.newres.h, g0.newres.d],
+                "fingerprint": fingerprint,
+            })
+
     try:
         for bz in range(start_slab, g0.nblocks.d):
             slab = []
             for _z in range(g0.block.d):
                 planes = read_proc_planes()
                 if planes is None:
+                    if pending_pack is not None:
+                        flush_pack()  # the previous slab completed
                     print("Error reading frame: end of stream", file=sys.stderr)
                     ret = 1
                     return ret
@@ -581,23 +609,16 @@ def main(argv: list[str] | None = None) -> int:
                     pack_motion_planes,
                 )
 
-                payload = np.asarray(pack_motion_planes(
+                payload_dev = pack_motion_planes(
                     out_planes, writer.pix_fmt, writer.props.color_range,
-                    float_pixels, g0.scaled.d))
-                for z in range(g0.scaled.d):
-                    writer.write_frame_payload(payload[z].tobytes())
-                    written += 1
-                    if not quiet:
-                        print(f"\rread: {read_count:>{padb}} wrote: "
-                              f"{written:>{pads}}", end="", file=sys.stderr)
-                if resume_file:
-                    from dspfun_tpu.utils.checkpoint import save_state  # noqa: PLC0415
-
-                    save_state(resume_file, {
-                        "slab": bz + 1,
-                        "newres": [g0.newres.w, g0.newres.h, g0.newres.d],
-                        "fingerprint": fingerprint,
-                    })
+                    float_pixels, g0.scaled.d)
+                try:
+                    payload_dev.copy_to_host_async()
+                except AttributeError:
+                    pass
+                if pending_pack is not None:
+                    flush_pack()
+                pending_pack = (payload_dev, g0.scaled.d, bz)
                 continue
             out_planes = [np.asarray(p) for p in out_planes]
             for z in range(g0.scaled.d):
@@ -630,6 +651,8 @@ def main(argv: list[str] | None = None) -> int:
                     "newres": [g0.newres.w, g0.newres.h, g0.newres.d],
                     "fingerprint": fingerprint,
                 })
+        if pending_pack is not None:
+            flush_pack()
     finally:
         if not quiet:
             print(file=sys.stderr)

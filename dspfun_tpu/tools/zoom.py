@@ -263,6 +263,26 @@ def main(argv: list[str] | None = None) -> int:
 
         packer = make_packer(writer.pix_fmt, writer.props, vh, vw)
 
+    def emit(dd, buf, xs, ys, cvx, cvy):
+        if packer is not None:
+            writer.write_frame_payload(np.asarray(buf[0]).tobytes())
+        else:
+            frame = np.asarray(buf, dtype=np.float64)
+            frame = zp.overlay_showsamples(frame, showsamples, xs, ys,
+                                           cvx, cvy)
+            writer.write_frame_rgb(frame)
+        if resume_file:
+            from dspfun_tpu.utils.checkpoint import save_state  # noqa: PLC0415
+
+            save_state(resume_file, {"cfg": zoom_cfg, "frame": dd + 1})
+        if not quiet:
+            print(f"\r{dd}/{nframes}         ", end="", file=sys.stderr)
+
+    # one-frame lookahead: frame d+1's compute is dispatched before
+    # frame d is materialised on the host, so the device->host copy
+    # (the emission bottleneck) overlaps the next frame's compute —
+    # same pattern as models/scan_pipeline.scan_chunks
+    pending = None
     try:
         for d in range(nframes):
             env = {
@@ -318,21 +338,16 @@ def main(argv: list[str] | None = None) -> int:
                 dev = zp.zoom_frame_device(spectrum, scaling_type, xscale,
                                            yscale, vx, vy, vw, vh,
                                            encode_trc=trc_encode)
-            if packer is not None:
-                writer.write_frame_payload(
-                    np.asarray(packer(dev[None])[0]).tobytes())
-            else:
-                frame = np.asarray(dev, dtype=np.float64)
-                frame = zp.overlay_showsamples(
-                    frame, showsamples, env["xs"], env["ys"], vx, vy
-                )
-                writer.write_frame_rgb(frame)
-            if resume_file:
-                from dspfun_tpu.utils.checkpoint import save_state  # noqa: PLC0415
-
-                save_state(resume_file, {"cfg": zoom_cfg, "frame": d + 1})
-            if not quiet:
-                print(f"\r{d}/{nframes}         ", end="", file=sys.stderr)
+            buf = packer(dev[None]) if packer is not None else dev
+            try:
+                buf.copy_to_host_async()
+            except AttributeError:
+                pass
+            if pending is not None:
+                emit(*pending)
+            pending = (d, buf, env["xs"], env["ys"], vx, vy)
+        if pending is not None:
+            emit(*pending)
         if not quiet:
             print(f"\r{nframes}/{nframes}         ", file=sys.stderr)
     finally:
