@@ -117,7 +117,7 @@ def _dims_tuple(dm):
     return (dm.w, dm.h, dm.d)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(10))
 def test_geometry_fuzz(seed):
     rng = np.random.default_rng(100 + seed)
     for _ in range(60):
@@ -321,7 +321,7 @@ def _run_filter_blocks(blocks, g, p, prec):
     return np.asarray(out, np.float64), np.asarray(coded)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(6))
 def test_filter_chain_fuzz(seed):
     """~100 randomized chain configurations vs the per-block numpy
     oracle.  f64 precision so any mismatch is semantic, not rounding;
