@@ -74,6 +74,8 @@ CASES = [
     ("box", None, 1, False, 0, False),
     ("ibox", None, 1, True, 0, False),
     ("radial", None, 2, False, 0, False),
+    ("iradial", None, 2, False, 0, False),
+    ("magnitude", None, 3, False, 1, True),
     ("random", "77", 6, False, 5, True),
 ]
 
@@ -114,7 +116,9 @@ def test_scan_cli_matches_reference_loop(tmp_path, method, opts, step,
             got.append(f)
     got = np.stack(got)
 
-    order = sm.get_method(method).build(w, h, args=opts)
+    coeffs = scipy.fft.dctn(img_q.astype(np.float64), type=2,
+                            axes=(0, 1), workers=1) / (4.0 * w * h)
+    order = sm.get_method(method).build(w, h, coeffs=coeffs, args=opts)
     want = oracle_scan(img_q, order, step, nframes, offset, fill, invert)
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_allclose(got, want, atol=2e-3,
