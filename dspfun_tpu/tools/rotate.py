@@ -168,6 +168,14 @@ def main(argv: list[str] | None = None) -> int:
         else:
             planes = reader.read_frame()
         if planes is None:
+            if nframes:
+                # reference fails the whole run when the clip is
+                # shorter than the frame budget (rotate.c:141-147)
+                if not quiet:
+                    print(file=sys.stderr)
+                print("Error reading frame: end of stream", file=sys.stderr)
+                reader.close()
+                return 1
             break
         vol_frames.append(np.stack(planes, axis=-1))
         if not quiet:

@@ -126,13 +126,27 @@ def main(argv: list[str] | None = None) -> int:
             if convert:
                 rgb = reader.read_frame_rgb()
                 if rgb is None:
-                    break
-                writer.write_frame_rgb(rgb)
+                    frame_done = False
+                else:
+                    writer.write_frame_rgb(rgb)
+                    frame_done = True
             else:
                 planes = reader.read_frame()
                 if planes is None:
-                    break
-                writer.write_frame(planes)
+                    frame_done = False
+                else:
+                    writer.write_frame(planes)
+                    frame_done = True
+            if not frame_done:
+                # stream ended before the expected count: reference
+                # reports the read error and fails (transcode.c:107,125)
+                if nframes:
+                    if not quiet:
+                        print(file=sys.stderr)
+                    print("Error reading frame: end of stream",
+                          file=sys.stderr)
+                    ret = 1
+                break
             if not quiet:
                 print(f"\r{z}", end="", file=sys.stderr)
             z += 1

@@ -208,3 +208,20 @@ def test_motion_dither_8bit(tmp_path):
     assert motion_tool.main(["-Q", "--dither", "-q", "3", path, out]) == 0
     with video.open_input(out) as r:
         assert r.read_frame() is not None
+
+
+def test_overlong_frame_budget_fails(clip, tmp_path):
+    """-s 0:100 on a 4-frame clip: transcode takes the budget unclamped
+    (transcode.c:97 `nframes = frames`), reads past EOF and fails;
+    rotate clamps to the known count (rotate.c:117 FFMIN) and
+    succeeds with all 4 frames."""
+    path, _ = clip
+    assert transcode_tool.main(["-q", "-s", "0:100", path,
+                                str(tmp_path / "t.fvid")]) == 1
+    assert rotate_tool.main(["-q", "-s", "0:100", "xyz", path,
+                             str(tmp_path / "r.fvid")]) == 0
+    assert read_clip(str(tmp_path / "r.fvid")).shape[0] == 4
+    # within budget still succeeds
+    assert transcode_tool.main(["-q", "-s", "1:2", path,
+                                str(tmp_path / "ok.fvid")]) == 0
+    assert read_clip(str(tmp_path / "ok.fvid")).shape[0] == 2
