@@ -183,3 +183,40 @@ def test_scan_tool_packed_linear_light(tmp_path):
 
     np.testing.assert_allclose(frames_of(packed), frames_of(paned, 16),
                                atol=2 / 255.0)
+
+
+@pytest.mark.parametrize("pix", ["yuv444p", "yuv420p", "gray"])
+def test_scan_packed_odd_dims_matches_host(pix, tmp_path):
+    """Packed emission on odd dims (17x13; ceil-div chroma planes) is
+    byte-exact vs the host writer path across subsampled formats."""
+    import dspfun_tpu.io.device_pack as dp
+    from PIL import Image
+
+    from dspfun_tpu.tools import scan as scan_tool
+
+    rng = np.random.default_rng(9)
+    src = str(tmp_path / "s.png")
+    Image.fromarray(rng.integers(0, 256, (13, 17, 3)).astype(np.uint8)
+                    ).save(src)
+    packed, host = str(tmp_path / "p.y4m"), str(tmp_path / "h.y4m")
+    argv = ["-q", "-m", "zig", "-S", "64", "--ff-opts",
+            f"pixel_format={pix}", src]
+    assert scan_tool.main([*argv, packed]) == 0
+    orig = dp.make_packer
+    dp.make_packer = lambda *args, **kw: None
+    try:
+        assert scan_tool.main([*argv, host]) == 0
+    finally:
+        dp.make_packer = orig
+
+    def frames_of(path):
+        with video.open_input(path) as r:
+            out = []
+            while True:
+                f = r.read_frame_rgb()
+                if f is None:
+                    break
+                out.append(f)
+        return np.stack(out)
+
+    np.testing.assert_array_equal(frames_of(packed), frames_of(host))
