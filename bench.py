@@ -76,7 +76,10 @@ def main() -> int:
     def chain(n):
         @jax.jit
         def f(a, mm, pl):
-            return jax.lax.fori_loop(0, n, lambda i, v: fn(v, mm, pl), a)
+            # *0.5 keeps magnitudes finite over long chains (the mask's
+            # 1.25x boost would compound); the multiply fuses into the
+            # chain and is far below measurement noise
+            return jax.lax.fori_loop(0, n, lambda i, v: fn(v, mm, pl) * 0.5, a)
 
         return f
 
@@ -89,6 +92,22 @@ def main() -> int:
         t0 = time.perf_counter()
         _ = jax.device_get(probe(cf(x, m, plans)))
         return time.perf_counter() - t0
+
+    # The subtraction cancels the tunnel's fixed ~30 ms dispatch cost
+    # but not its ~+-10 ms jitter; size the chain from a pilot reading
+    # so n*c is ~80 ms of body time and jitter is a small fraction
+    # (fori_loop compile cost is length-independent).
+    c0 = (once(cf2) - once(cf1)) / iters
+    if c0 <= 0:
+        c0 = once(cf2) / (2 * iters)
+    target_s = 0.08
+    if c0 * iters < target_s:
+        import math
+
+        iters = min(4096, max(iters, math.ceil(target_s / max(c0, 1e-9))))
+        cf1, cf2 = chain(iters), chain(2 * iters)
+        for cf in (cf1, cf2):
+            _ = jax.device_get(probe(cf(x, m, plans)))
 
     cs = sorted((once(cf2) - once(cf1)) / iters for _ in range(reps))
     pos = [c for c in cs if c > 0]

@@ -42,7 +42,7 @@ def _sync(x):
 LAST_SPREAD: tuple[float, float] | None = None
 
 
-def _time_fori(step, x0, iters=8, reps=5):
+def _time_fori(step, x0, iters=8, reps=5, target_s=0.08, max_iters=65536):
     """True on-device per-iteration time via two-point subtraction.
 
     The axon tunnel adds a large fixed cost K per dispatch (~30 ms
@@ -50,12 +50,21 @@ def _time_fori(step, x0, iters=8, reps=5):
     the body inside one jitted lax.fori_loop at two lengths gives
     T(n) = K + n*c  ->  c = (T(2n) - T(n)) / n, independent of K.
 
-    The tunnel's run-to-run variance is real (VERDICT r3 weak 1), so
+    The tunnel's *jitter* (~+-10 ms per dispatch) is not cancelled by
+    the subtraction, so the chain must be long enough that n*c dwarfs
+    it: a pilot two-point reading at ``iters`` sizes n up to
+    ``target_s`` seconds of body time (fori_loop compile cost is
+    length-independent, so longer chains are nearly free).  Round 4's
+    fixed short chains left some configs jitter-dominated — config 6's
+    2.5 ms chain published a [177, 7239] MP/s band.
+
+    The remaining run-to-run variance is real (VERDICT r3 weak 1), so
     the returned value is the MEDIAN of ``reps`` independent two-point
     measurements; the (min, max) seconds-per-iteration band is left in
     ``LAST_SPREAD`` for the caller's artifact row.
     """
     import functools
+    import math as _math
 
     import jax
 
@@ -78,12 +87,23 @@ def _time_fori(step, x0, iters=8, reps=5):
         _sync(fn(x0))
         return time.perf_counter() - t0
 
-    cs = sorted((once(f2) - once(f1)) / iters for _ in range(reps))
+    # pilot: estimate c, then grow the chain so n*c >= target_s
+    c0 = (once(f2) - once(f1)) / iters
+    if c0 <= 0:
+        c0 = once(f2) / (2 * iters)
+    n = iters
+    if c0 * iters < target_s:
+        n = min(max_iters, max(iters, _math.ceil(target_s / max(c0, 1e-9))))
+        f1, f2 = many(n), many(2 * n)
+        _sync(f1(x0))
+        _sync(f2(x0))
+
+    cs = sorted((once(f2) - once(f1)) / n for _ in range(reps))
     pos = [v for v in cs if v > 0]
     if len(pos) < 3:
         # noise floor: the body is below the tunnel's dispatch jitter;
         # publish the conservative T/(2n) reading with no band
-        c = once(f2) / (2 * iters)
+        c = once(f2) / (2 * n)
         LAST_SPREAD = None
         return c
     # median over the POSITIVE readings: with negative outliers in the
@@ -478,7 +498,7 @@ def bench_motion(quick):
     def step(cur):
         out, _ = mp.filter_blocks(cur, plans, bc, bz, geom=g,
                                   params=params, plane_index=0, nplanes=1)
-        return out
+        return out * 0.5  # keep magnitudes finite (boost=1.25 compounds)
 
     dt = _time_fori(step, blocks, iters=64)
     fps = d / dt
