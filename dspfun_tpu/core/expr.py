@@ -226,6 +226,19 @@ class Expr:
             import numpy as xp  # noqa: PLC0415
         funcs = _funcs(xp)
         slots: dict[int, Any] = {}
+        # av_expr evaluates if()/ifnot() branches lazily, so an st()
+        # inside an untaken branch must not fire.  Vectorised over
+        # grids, both branches are computed but stores merge through
+        # the active branch-condition masks, element-wise.
+        mask_stack: list[Any] = []
+
+        def _store(idx: int, v):
+            if mask_stack:
+                m = mask_stack[0]
+                for mm in mask_stack[1:]:
+                    m = xp.logical_and(m, mm)
+                v = xp.where(m, v, slots.get(idx, 0.0))
+            slots[idx] = v
 
         def ev(node):
             tag = node[0]
@@ -251,22 +264,22 @@ class Expr:
                 return xp.power(a, b)
             if tag == "call":
                 name, args = node[1], node[2]
-                if name == "if":
+                if name in ("if", "ifnot"):
                     c = ev(args[0])
+                    taken = xp.asarray(c != 0 if name == "if" else c == 0)
+                    mask_stack.append(taken)
                     t = ev(args[1])
+                    mask_stack.pop()
+                    mask_stack.append(xp.logical_not(taken))
                     e = ev(args[2]) if len(args) > 2 else 0.0
-                    return xp.where(c != 0, t, e)
-                if name == "ifnot":
-                    c = ev(args[0])
-                    t = ev(args[1])
-                    e = ev(args[2]) if len(args) > 2 else 0.0
-                    return xp.where(c == 0, t, e)
+                    mask_stack.pop()
+                    return xp.where(taken, t, e)
                 if name == "st":
                     idx = args[0]
                     if idx[0] != "num":
                         raise ValueError("st() requires a literal slot index")
                     v = ev(args[1])
-                    slots[int(idx[1])] = v
+                    _store(int(idx[1]), v)
                     return v
                 if name == "ld":
                     idx = args[0]

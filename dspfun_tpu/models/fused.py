@@ -98,7 +98,6 @@ def lowpass_mask(shape, cutoff: float = 0.25, boost: float = 1.0, damp: float = 
     """Brick-wall lowpass over an ND coefficient grid: ``boost`` inside
     the pass box [0, cutoff*n) on every axis, ``damp`` outside — the
     motion-style bandpass of reference motion/motion.c:683-719."""
-    m = np.ones(shape, dtype=np.float64)
     inside = np.ones(shape, dtype=bool)
     for ax, n in enumerate(shape):
         idx = [None] * len(shape)

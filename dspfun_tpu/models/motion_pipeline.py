@@ -197,15 +197,24 @@ class MotionParams:
     linear: bool = False
     float_pixels: bool = True
 
+    def _key(self):
+        # Expr objects compare by source text (the dataclass default
+        # would compare object identity and defeat the jit static-arg
+        # cache); everything else is a plain value.
+        return (self.spec, self.ispec, self.preserve_dc, self.boost,
+                self.damp, self.quant, self.threshold_min,
+                self.threshold_max, self.coeff_limit,
+                self.expr.source if self.expr else None,
+                self.dither, self.linear, self.float_pixels)
+
     def __hash__(self):
-        return hash((self.spec, self.ispec, self.preserve_dc, self.boost,
-                     self.damp, self.quant, self.threshold_min,
-                     self.threshold_max, self.coeff_limit,
-                     self.expr.source if self.expr else None,
-                     self.dither, self.linear, self.float_pixels))
+        return hash(self._key())
 
     def __eq__(self, other):
-        return isinstance(other, MotionParams) and hash(self) == hash(other)
+        # NEVER via hash(): colliding-but-different params (e.g.
+        # boost=-1.0 vs -2.0 — CPython hashes both to -2) would reuse
+        # the wrong compiled filter chain from the static-arg cache
+        return isinstance(other, MotionParams) and self._key() == other._key()
 
 
 def _region_mask(md, mh, mw, dims: Dims) -> np.ndarray:

@@ -355,26 +355,9 @@ def _shard_chunk_fn(mesh, h, use_pruned, want_deltas, measure_parity,
                 1 - parity.astype(jnp.int32), "space") == 0
         return carry_n, disp, deltas, inter, parity
 
-    def plan_spec(plan):
-        # shard the plan by OUTPUT rows: [M, K] matrix leaves (hi/lo)
-        # split their rows; exact-mode digit leaves are [D, M, K] (rows
-        # on axis 1); rowsum is [2, M] (rows on axis 1); exact-mode
-        # scale is a scalar (replicates) but i8-mode scale is per-row
-        # [M, 1] (rows on axis 0).  Field-aware so new AxisPlan leaves
-        # cannot silently pick a wrong spec.
-        from dspfun_tpu.core.transforms import AxisPlan  # noqa: PLC0415
-
-        scale_spec = None
-        if plan.scale is not None:
-            scale_spec = (P("space", None)
-                          if np.ndim(plan.scale) == 2 else P())
-        return AxisPlan(
-            hi=P("space", None),
-            lo=None if plan.lo is None else P("space", None),
-            digits=None if plan.digits is None else P(None, "space", None),
-            scale=scale_spec,
-            rowsum=None if plan.rowsum is None else P(None, "space"),
-        )
+    # shard each plan by OUTPUT rows — the field-aware AxisPlan spec
+    # builder shared with zoom's row-sharded synthesis
+    from dspfun_tpu.parallel.mesh import plan_row_spec as plan_spec  # noqa: PLC0415
 
     frames_row = P(None, "space", None, None)  # [F, H/s, W, C]
 

@@ -404,20 +404,7 @@ def _synthesize_sharded(spectrum, plan_y, plan_x, mesh, precision=None,
     from jax import shard_map  # noqa: PLC0415
     from jax.sharding import PartitionSpec as P  # noqa: PLC0415
 
-    from dspfun_tpu.core.transforms import AxisPlan  # noqa: PLC0415
-
-    def row_spec(plan):
-        scale_spec = None
-        if plan.scale is not None:
-            scale_spec = (P("space", None)
-                          if np.ndim(plan.scale) == 2 else P())
-        return AxisPlan(
-            hi=P("space", None),
-            lo=None if plan.lo is None else P("space", None),
-            digits=None if plan.digits is None else P(None, "space", None),
-            scale=scale_spec,
-            rowsum=None if plan.rowsum is None else P(None, "space"),
-        )
+    from dspfun_tpu.parallel.mesh import plan_row_spec as row_spec  # noqa: PLC0415
 
     fn = shard_map(
         lambda s, py, px: _synthesize.__wrapped__(s, py, px, precision,

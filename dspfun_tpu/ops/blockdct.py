@@ -23,12 +23,11 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from dspfun_tpu.core import basis as basis_mod
-from dspfun_tpu.core.precision import Precision, get_precision
-from dspfun_tpu.core.transforms import AxisPlan, plan_matrix
+from dspfun_tpu.core.precision import Precision
+from dspfun_tpu.core.transforms import AxisPlan, apply_plan, plan_matrix
 
 __all__ = [
     "kron_dct_matrix",
@@ -76,25 +75,11 @@ def folded_operator(
 def apply_block_operator(
     blocks: jax.Array, op: AxisPlan, precision: Precision | None = None
 ) -> jax.Array:
-    """[NB, V] @ op^T with the precision policy's accumulation mode."""
-    p = precision or get_precision()
-    acc = jnp.float64 if p.intermediate == "f64" else jnp.float32
-    x = blocks.astype(acc)
-
-    def mm(mat, prec=jax.lax.Precision.HIGHEST):
-        return jax.lax.dot_general(
-            x, jnp.asarray(mat, acc),
-            (((1,), (1,)), ((), ())),
-            precision=prec,
-            preferred_element_type=acc,
-        )
-
-    y = mm(op.hi)
-    if op.lo is not None and p.intermediate == "hilo":
-        # compensation term at ~2^-24 of the main term: one bf16 pass
-        # is plenty (see core.transforms.apply_plan)
-        y = y + mm(op.lo, jax.lax.Precision.DEFAULT)
-    return y.astype(p.coeff_dtype)
+    """[NB, V] blocks through the folded [V, V] operator with the full
+    precision-policy dispatch (f32/hilo/exact/i8/f64) — delegates to
+    core.transforms.apply_plan so digit plans built by
+    :func:`folded_operator` under exact/i8 policies actually engage."""
+    return apply_plan(blocks, op, 1, precision)
 
 
 def blocks_from_array(x: jax.Array, dims: tuple[int, int]) -> jax.Array:

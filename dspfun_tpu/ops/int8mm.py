@@ -308,11 +308,13 @@ def i8_contract(
     if da not in (_NDIG, _NDIG + 1):
         raise ValueError(f"expected {_NDIG} or {_NDIG + 1} digit planes, "
                          f"got {da}")
-    if x.shape[axis % x.ndim] > (1 << 19):
-        # exact int32 accumulation requires 65*65*K < 2^31
+    if x.shape[axis % x.ndim] >= (1 << 19):
+        # exact int32 accumulation: digit products are bounded by
+        # 64*64 = 2^12, so K = 2^19 can reach exactly 2^31 — one past
+        # int32 max.  K must stay strictly below 2^19.
         raise ValueError(
             f"i8 contraction length {x.shape[axis % x.ndim]} exceeds the "
-            "exact-int32 bound (2^19); split the axis or use exact/hilo")
+            "exact-int32 bound (< 2^19); split the axis or use exact/hilo")
     return _i8_dispatch(x, [digits_a[i] for i in range(da)],
                         jnp.asarray(scale_a), axis, m, kp)
 

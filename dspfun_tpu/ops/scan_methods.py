@@ -366,7 +366,15 @@ def _precomputed(width, height, channels, coeffs, args):
     name, _, opts = args.partition(":")
     if name == "precomputed":
         raise ValueError("precomputed cannot wrap itself")
-    m = get_method(name)
+    # the reference resolves the inner method by EXACT name —
+    # init_precomputed calls scan_method_find, not the CLI's
+    # find-by-prefix (scan_methods.c:412-423) — so `precomputed:zig`
+    # is an error while `-m zig` works; keep that, but fail with the
+    # parser's error type, not a bare KeyError
+    m = METHODS.get(name)
+    if m is None:
+        raise ValueError(f"unknown scan method {name!r} "
+                         "(precomputed: takes a full method name)")
     return m.build(width, height, channels, coeffs, opts or None)
 
 

@@ -18,7 +18,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "mesh_from_spec", "P", "NamedSharding"]
+__all__ = ["make_mesh", "mesh_from_spec", "plan_row_spec", "P",
+           "NamedSharding"]
 
 
 def make_mesh(
@@ -91,3 +92,28 @@ def mesh_from_spec(spec: str | None) -> Mesh | None:
     if n <= 1:
         return None
     return make_mesh(n, space=space, time=time)
+
+
+def plan_row_spec(plan, axis_name: str = "space"):
+    """PartitionSpec pytree sharding an AxisPlan by its OUTPUT rows.
+
+    Field-aware over every AxisPlan leaf so a new field cannot silently
+    pick a wrong spec (shared by the scan and zoom row-sharded paths):
+    [M, K] matrix leaves (hi/lo) split rows on axis 0; digit leaves are
+    [D, M, K] (rows on axis 1); rowsum is [2, M] (rows on axis 1);
+    exact-mode scale is a scalar (replicates) while i8-mode scale is
+    per-row [M, 1] (rows on axis 0).
+    """
+    from dspfun_tpu.core.transforms import AxisPlan  # noqa: PLC0415
+
+    scale_spec = None
+    if plan.scale is not None:
+        scale_spec = (P(axis_name, None)
+                      if np.ndim(plan.scale) == 2 else P())
+    return AxisPlan(
+        hi=P(axis_name, None),
+        lo=None if plan.lo is None else P(axis_name, None),
+        digits=None if plan.digits is None else P(None, axis_name, None),
+        scale=scale_spec,
+        rowsum=None if plan.rowsum is None else P(None, axis_name),
+    )
