@@ -162,39 +162,42 @@ def bench_spec_blockwise(quick):
     512x512 RGB image, flat-encode, invert; error vs the f64 pocketfft
     chain; throughput vs the same chain single-core."""
     import jax
-    import jax.numpy as jnp
 
+    from dspfun_tpu.core import basis as basis_mod
     from dspfun_tpu.core.precision import Precision
-    from dspfun_tpu.core.transforms import apply_plan, plan_axis, uniform_grid
+    from dspfun_tpu.core.transforms import apply_plan
+    from dspfun_tpu.ops.blockdct import bdiag_axis_plan
 
     n = 8
     size = 128 if quick else 512
     rng = np.random.default_rng(0)
     img = rng.random((size, size, 3)).astype(np.float32)
-    prec = Precision(coeff="float32", intermediate="hilo")
-    p2 = jax.device_put(plan_axis(n, "dct2", prec))
-    p3 = jax.device_put(plan_axis(n, "dct3", prec))
     gain = 127.5 * math.sqrt(4 * n * n)
-    grid = uniform_grid((n, n))
 
-    fwd_mul = jnp.asarray((grid * (gain / (4.0 * n * n)))[None, :, None, :, None],
-                          jnp.float32)
-    inv_mul = jnp.asarray((1.0 / (grid * gain))[None, :, None, :, None],
-                          jnp.float32)
+    # Planar [C, H, W] + block-diagonal [size, size] operators: the
+    # blockwise DCT along each axis is ONE dense matmul with the
+    # separable sqrt(2) grid + gain factors folded in (K=size on the
+    # MXU; calibrated 1.9x the per-axis [8,8]-plan form,
+    # benchmarks/calib_r4_block.py).
+    prec = Precision(coeff="float32", intermediate="f32")
+    g8 = np.sqrt(2.0) ** (np.arange(n) != 0)
+    sf = math.sqrt(gain / (4.0 * n * n))
+    si = math.sqrt(1.0 / (gain * 4.0 * n * n))
+    pf = jax.device_put(bdiag_axis_plan(
+        size, (g8[:, None] * basis_mod.dct2_matrix(n)) * sf, prec))
+    pi = jax.device_put(bdiag_axis_plan(
+        size, (basis_mod.dct3_matrix(n) * (1.0 / g8)[None, :]) * si, prec))
 
     @jax.jit
     def roundtrip(x):
-        b = x.reshape(size // n, n, size // n, n, 3)
-        F = apply_plan(apply_plan(b, p2, 1, prec), p2, 3, prec)
-        f = F * fwd_mul
-        stored = (f / (2 * gain) + 0.5) * 254 / 255
-        f2 = (stored * 255 / 254 - 0.5) * (2 * gain) * inv_mul
-        y = apply_plan(apply_plan(f2, p3, 1, prec), p3, 3, prec) / (4.0 * n * n)
-        return y.reshape(size, size, 3)
+        F = apply_plan(apply_plan(x, pf, 1, prec), pf, 2, prec)
+        stored = (F / (2 * gain) + 0.5) * 254 / 255
+        f2 = (stored * 255 / 254 - 0.5) * (2 * gain)
+        return apply_plan(apply_plan(f2, pi, 1, prec), pi, 2, prec)
 
-    x = jax.device_put(img)
+    x = jax.device_put(np.moveaxis(img, -1, 0).copy())
     dt = _time_fori(roundtrip, x, iters=128)
-    got = np.asarray(roundtrip(x))
+    got = np.moveaxis(np.asarray(roundtrip(x)), 0, -1)
     oracle = _block_spec_chain_np(img, n)
     err = float(np.max(np.abs(got - oracle)))
 

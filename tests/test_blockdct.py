@@ -42,6 +42,37 @@ def test_folded_operator_lowpass_3d():
     np.testing.assert_allclose(y.reshape(3, *dims), ref, atol=1e-5)
 
 
+def test_bdiag_axis_plan_blockwise_dct():
+    """I (x) D8 block-diagonal plan == per-block DCT along each planar
+    axis (the config-1 fast formulation, benchmarks/calib_r4_block.py)."""
+    import jax
+
+    from dspfun_tpu.core import basis as basis_mod
+    from dspfun_tpu.core.transforms import apply_plan
+
+    n, size = 8, 32
+    rng = np.random.default_rng(4)
+    x = rng.random((3, size, size)).astype(np.float32)
+    for prec in (PREC, Precision(coeff="float32", intermediate="f32"),
+                 Precision(coeff="float32", intermediate="i8")):
+        plan = bd.bdiag_axis_plan(size, basis_mod.dct2_matrix(n), prec)
+        got = np.asarray(jax.jit(
+            lambda v, p=plan, q=prec: apply_plan(apply_plan(v, p, 1, q),
+                                                 p, 2, q))(x))
+        b = x.reshape(3, size // n, n, size // n, n).astype(np.float64)
+        ref = scipy.fft.dctn(b, type=2, axes=(2, 4)).reshape(3, size, size)
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_bdiag_axis_plan_validates():
+    import pytest
+
+    with pytest.raises(ValueError):
+        bd.bdiag_axis_plan(33, np.eye(8), PREC)
+    with pytest.raises(ValueError):
+        bd.bdiag_axis_plan(32, np.ones((8, 4)), PREC)
+
+
 def test_blocks_roundtrip():
     rng = np.random.default_rng(3)
     x = rng.random((8, 12, 3)).astype(np.float32)
