@@ -94,17 +94,22 @@ def main() -> int:
         return time.perf_counter() - t0
 
     # The subtraction cancels the tunnel's fixed ~30 ms dispatch cost
-    # but not its ~+-10 ms jitter; size the chain from a pilot reading
-    # so n*c is ~80 ms of body time and jitter is a small fraction
-    # (fori_loop compile cost is length-independent).
-    c0 = (once(cf2) - once(cf1)) / iters
-    if c0 <= 0:
-        c0 = once(cf2) / (2 * iters)
-    target_s = 0.08
-    if c0 * iters < target_s:
-        import math
+    # but not its ~+-10 ms jitter; grow the chain until the measured
+    # delta T(2n)-T(n) = n*c itself exceeds ~80 ms of body time, so
+    # jitter is a small fraction (fori_loop compile cost is
+    # length-independent; sizing from the delta rather than a pilot
+    # estimate of c is robust to a noisy pilot — see suite._time_fori).
+    import math
 
-        iters = min(4096, max(iters, math.ceil(target_s / max(c0, 1e-9))))
+    target_s = 0.08
+    while iters < 4096:
+        d = once(cf2) - once(cf1)
+        if d >= target_s:
+            break
+        if d > 0:
+            iters = min(4096, max(2 * iters, math.ceil(target_s / (d / iters))))
+        else:
+            iters = min(4096, 4 * iters)
         cf1, cf2 = chain(iters), chain(2 * iters)
         for cf in (cf1, cf2):
             _ = jax.device_get(probe(cf(x, m, plans)))
