@@ -59,5 +59,11 @@ run motion -Q -b 0x0x2 -p 0x0x0-0x0x1 clip.y4m lowpass.y4m
 run rotate -q zyx clip.y4m rotated.y4m
 run transcode -q clip.y4m copy.y4m
 
+# the reference's default output container is NUT (motion.c:447); ours
+# is native (io/nut.py) — write one and read it back with zero
+# external binaries
+run motion -Q -b 0x0x2 clip.y4m out.nut
+run transcode -q out.nut fromnut.y4m
+
 echo "all tools ran; outputs in $PWD"
 ls -la
