@@ -42,7 +42,7 @@ def _sync(x):
 LAST_SPREAD: tuple[float, float] | None = None
 
 
-def _time_fori(step, x0, iters=8, reps=5, target_s=0.08, max_iters=65536):
+def _time_fori(step, x0, iters=8, reps=5, target_s=0.08, max_iters=1 << 20):
     """True on-device per-iteration time via two-point subtraction.
 
     The axon tunnel adds a large fixed cost K per dispatch (~30 ms
