@@ -414,9 +414,11 @@ class _HeaderedReader(VideoReader):
         self._stream.seek(pos)
 
     def read_frame(self, raw: bool = False) -> list[np.ndarray] | None:
-        """``raw=True`` returns stored pel values (8-bit: 0..255) with
-        no range conversion — the ffapi_getpel_direct path the motion
-        tool uses (reference ffapi.h:58-77)."""
+        """``raw=True`` returns stored pel values (8-bit: 0..255) in the
+        container's native dtype with no range conversion — the
+        ffapi_getpel_direct path the motion tool uses (reference
+        ffapi.h:58-77); integer planes stay 1-2 bytes/sample until the
+        device-side f32 cast."""
         line = self._stream.readline()
         if not line:
             return None
@@ -442,7 +444,11 @@ def _read_frame_payload(stream, pf: PixelFormat, width: int, height: int,
         nb = w * h * pf.dtype.itemsize
         arr = np.frombuffer(data[off : off + nb], dtype=pf.dtype).reshape(h, w)
         if raw:
-            out.append(np.asarray(arr, dtype=np.float64))
+            # native stored dtype (u8/u16/f32): integer pels stay 1-2
+            # bytes/sample all the way to the device H2D (motion's
+            # staging), where the jitted chain casts to f32 — exact for
+            # every container depth
+            out.append(np.array(arr))
         else:
             out.append(_dequantize_plane(arr, pf, i, props.color_range))
         off += nb
@@ -775,7 +781,7 @@ class NutVideoReader(VideoReader):
                 return None
             self.frame_index += 1
             if raw:
-                return [np.asarray(p, np.float64) for p in planes]
+                return [np.asarray(p) for p in planes]
             return [
                 _dequantize_plane(p, pf, i, self.props.color_range)
                 for i, p in enumerate(planes)
@@ -792,7 +798,7 @@ class NutVideoReader(VideoReader):
         for i, (w, h) in enumerate(pf.plane_dims(self.width, self.height)):
             nb = w * h * pf.dtype.itemsize
             arr = np.frombuffer(data[off:off + nb], dtype=pf.dtype).reshape(h, w)
-            out.append(np.asarray(arr, np.float64) if raw
+            out.append(np.array(arr) if raw
                        else _dequantize_plane(arr, pf, i, self.props.color_range))
             off += nb
         self.frame_index += 1
@@ -1013,7 +1019,7 @@ class NativeBackedReader(VideoReader):
             return None
         self.frame_index += 1
         if raw:
-            return [np.asarray(p, dtype=np.float64) for p in planes]
+            return [np.asarray(p) for p in planes]
         return [
             _dequantize_plane(p, self.pix_fmt, i, self.props.color_range)
             for i, p in enumerate(planes)

@@ -348,6 +348,10 @@ def filter_blocks(
     """
     g = geom
     p = params
+    if not jnp.issubdtype(blocks.dtype, jnp.floating):
+        # raw container pels upload in their native integer dtype (4x
+        # less H2D traffic for u8 sources); the cast fuses on device
+        blocks = blocks.astype(jnp.float32)
     nb = blocks.shape[0]
     md, mh, mw = g.minbuf.d, g.minbuf.h, g.minbuf.w
     sd, sh, sw = g.scaled.d, g.scaled.h, g.scaled.w

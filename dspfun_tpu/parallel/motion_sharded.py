@@ -152,6 +152,9 @@ def _volume_fn(mesh, geom, params, plane_index, nplanes, bz, prec, t, h, w):
         return apply_plan(c, plans["w3"], 2, prec)
 
     def local(vol_shard):
+        if not jnp.issubdtype(vol_shard.dtype, jnp.floating):
+            # raw integer pel staging (see filter_blocks): cast on device
+            vol_shard = vol_shard.astype(jnp.float32)
         dtype = vol_shard.dtype
         x = vol_shard
         # --- input decode (motion.c:618-638) --------------------------

@@ -536,10 +536,13 @@ def main(argv: list[str] | None = None) -> int:
             for i, g in enumerate(geoms):
                 frames = np.stack([slab[z][i] for z in range(g.block.d)])
                 if mesh is not None and use_volume[i]:
-                    vol_np = np.asarray(
-                        frames[: g.block.d, : g.truncated.h, : g.truncated.w],
-                        dtype=np.float32,
-                    )
+                    # integer pels stage in their native dtype (4x less
+                    # H2D for u8 sources; the jitted chain casts on
+                    # device), float pels as f32
+                    vol_np = np.ascontiguousarray(
+                        frames[: g.block.d, : g.truncated.h, : g.truncated.w])
+                    if vol_np.dtype.kind not in "ui":
+                        vol_np = vol_np.astype(np.float32, copy=False)
                     if multi:
                         # every process read the whole clip; stage only
                         # this host's time-contiguous slab (the DCN
@@ -566,16 +569,20 @@ def main(argv: list[str] | None = None) -> int:
                     out_planes.append(np.asarray(out))
                     continue
                 blocks = mp.frames_to_blocks(frames, g)
+                if blocks.dtype.kind not in "ui":
+                    # float pels stage as f32; integer pels keep their
+                    # native dtype across H2D and cast on device
+                    blocks = blocks.astype(np.float32, copy=False)
                 if mesh is not None:
                     out, c = psh.shard_blocks_filter(
-                        jnp.asarray(blocks, dtype=jnp.float32), plans[i],
+                        jnp.asarray(blocks), plans[i],
                         bcoords[i], jnp.asarray(bz), mesh,
                         geom=g, params=params[i],
                         plane_index=i, nplanes=proc_fmt.ncomp,
                     )
                 else:
                     out, c = mp.filter_blocks(
-                        jnp.asarray(blocks, dtype=jnp.float32), plans[i],
+                        jnp.asarray(blocks), plans[i],
                         bcoords[i], jnp.asarray(bz), geom=g, params=params[i],
                         plane_index=i, nplanes=proc_fmt.ncomp,
                     )
