@@ -284,6 +284,13 @@ def _quantize_plane(p: np.ndarray, pf: PixelFormat, plane_idx: int,
     return np.clip(np.rint(v), 0, maxv).astype(pf.dtype)
 
 
+def dequantize_planes(planes: list[np.ndarray], pf: "PixelFormat",
+                      crange: str | None) -> list[np.ndarray]:
+    """Stored-dtype planes -> normalized floats: the read_frame(raw=False)
+    mapping, for callers that buffered raw pels (e.g. rotate)."""
+    return [_dequantize_plane(p, pf, i, crange) for i, p in enumerate(planes)]
+
+
 def _dequantize_plane(v: np.ndarray, pf: PixelFormat, plane_idx: int,
                       crange: str | None) -> np.ndarray:
     if pf.is_float:

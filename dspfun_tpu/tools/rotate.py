@@ -166,7 +166,11 @@ def main(argv: list[str] | None = None) -> int:
             f = reader.read_frame_rgb()
             planes = None if f is None else [f[..., 0], f[..., 1], f[..., 2]]
         else:
-            planes = reader.read_frame()
+            # buffer the whole clip at stored pel depth (u8/u16), like
+            # the reference's direct pel copies (rotate.c:139-172):
+            # 4x less RAM than float planes and byte-exact passthrough
+            # (out-of-range mpeg pels survive)
+            planes = reader.read_frame(raw=True)
         if planes is None:
             if nframes:
                 # reference fails the whole run when the clip is
@@ -223,8 +227,14 @@ def main(argv: list[str] | None = None) -> int:
     # encode for the format the container actually negotiated (it may
     # differ from the request, e.g. float RGB -> y4m yuv444p)
     out_pf = writer.pix_fmt
-    passthrough_ok = (not needs_rgb
-                      and writer.pix_fmt.name == reader.pix_fmt.name)
+    same_layout = (not needs_rgb
+                   and writer.pix_fmt.name == reader.pix_fmt.name)
+    # raw pel copy only when the range also matches; a range-only
+    # mismatch requantises per plane (the conversion the reference's
+    # color negotiation performs)
+    passthrough_ok = same_layout and (
+        writer.pix_fmt.is_float
+        or writer.props.color_range == reader.props.color_range)
     try:
         for t in range(out_t):
             frame = out_vol[t]
@@ -233,12 +243,20 @@ def main(argv: list[str] | None = None) -> int:
                                                        writer.props))
             elif passthrough_ok:
                 writer.write_frame([frame[..., c]
-                                    for c in range(frame.shape[-1])])
+                                    for c in range(frame.shape[-1])],
+                                   raw=True)
+            elif same_layout:
+                # same layout, different range: per-plane requantisation
+                writer.write_frame(video.dequantize_planes(
+                    [frame[..., c] for c in range(frame.shape[-1])],
+                    reader.pix_fmt, reader.props.color_range))
             else:
                 # componentwise pass-through would mislabel planes for
                 # the negotiated format; convert through RGB
                 rgb = video.planes_to_rgb(
-                    [frame[..., c] for c in range(frame.shape[-1])],
+                    video.dequantize_planes(
+                        [frame[..., c] for c in range(frame.shape[-1])],
+                        reader.pix_fmt, reader.props.color_range),
                     reader.pix_fmt, reader.props, out_w, out_h)
                 writer.write_frame_rgb(rgb)
             if not quiet:

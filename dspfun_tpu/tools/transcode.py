@@ -118,6 +118,9 @@ def main(argv: list[str] | None = None) -> int:
     # plane pass-through would then mislabel components/geometry
     if writer.pix_fmt.name != reader.pix_fmt.name:
         convert = True
+    raw_copy = not convert and (
+        writer.pix_fmt.is_float
+        or writer.props.color_range == reader.props.color_range)
 
     ret = 0
     try:
@@ -131,11 +134,16 @@ def main(argv: list[str] | None = None) -> int:
                     writer.write_frame_rgb(rgb)
                     frame_done = True
             else:
-                planes = reader.read_frame()
+                # same-format same-range pass-through copies stored
+                # pels directly (byte-exact, incl. out-of-range mpeg
+                # values), like the reference's pel loop
+                # (transcode.c:107-121); a range-only mismatch keeps
+                # the dequantize->requantize path, which converts
+                planes = reader.read_frame(raw=raw_copy)
                 if planes is None:
                     frame_done = False
                 else:
-                    writer.write_frame(planes)
+                    writer.write_frame(planes, raw=raw_copy)
                     frame_done = True
             if not frame_done:
                 # stream ended before the expected count: reference

@@ -151,3 +151,23 @@ def test_rotate_negotiated_format_converts(tmp_path):
     assert rotate_tool.main(["-q", "xyz", src, out]) == 0
     got, _, _ = read_rgb(out)
     np.testing.assert_allclose(got, frames, atol=0.05)
+
+
+def test_rotate_range_conversion(tmp_path):
+    """Same-layout rotate with a range-only override requantises per
+    plane (the raw pel copy must NOT engage)."""
+    rng = np.random.default_rng(9)
+    frames = rng.random((2, 8, 16, 3)).astype(np.float64)
+    src = str(tmp_path / "in444.y4m")
+    props = video.parse_color_props("pixel_format=yuv444p")
+    with video.open_output(src, 16, 8, Fraction(25), props) as wr:
+        for f in frames:
+            wr.write_frame_rgb(f)
+    out = str(tmp_path / "out.y4m")
+    rc = rotate_tool.main(
+        ["-q", "-c", "color_range=jpeg", "xyz", src, out])
+    assert rc == 0
+    got, oprops, _ = read_rgb(out)
+    assert oprops.color_range == "jpeg"
+    src_rgb, _, _ = read_rgb(src)
+    np.testing.assert_allclose(got, src_rgb, atol=0.05)

@@ -164,3 +164,54 @@ def test_motion_8bit_spectrogram_roundtrip(tmp_path):
     a, b = read_clip(src), read_clip(back)
     # 8-bit log-spectrum quantisation bounds accuracy
     assert np.sqrt(((a - b) ** 2).mean()) < 0.06
+
+
+def test_rotate_passthrough_byte_exact(tmp_path):
+    """Non-subsampled same-format rotate copies stored pels directly
+    (raw buffering, reference rotate.c:139-172): out-of-range mpeg
+    pels (superblack/superwhite) survive byte-exactly where a
+    dequantize->requantize round trip would clip them."""
+    from dspfun_tpu.tools import rotate as rotate_tool
+
+    h, w = 6, 8
+    rng = np.random.default_rng(11)
+    planes = rng.integers(0, 256, size=(2, 3, h, w), dtype=np.uint8)
+    planes[0, 0, 0, :4] = [0, 3, 250, 255]  # outside mpeg 16..235
+    src = str(tmp_path / "in.y4m")
+    props = video.parse_color_props("pixel_format=yuv444p")
+    with video.open_output(src, w, h, Fraction(25), props,
+                           format="y4m") as wr:
+        for f in planes:
+            wr.write_frame(list(f), raw=True)
+    out = str(tmp_path / "copy.y4m")
+    # identity axis map: pure pel copy through the whole-clip buffer
+    assert rotate_tool.main(["-q", "xyz", src, out]) == 0
+    with video.open_input(out) as r:
+        got = [r.read_frame(raw=True) for _ in range(2)]
+    for t in range(2):
+        for c in range(3):
+            np.testing.assert_array_equal(got[t][c], planes[t, c])
+
+
+def test_transcode_passthrough_byte_exact(tmp_path):
+    """Same-format transcode is a stored-pel copy (transcode.c:107-121):
+    out-of-range mpeg pels survive byte-exactly."""
+    from dspfun_tpu.tools import transcode as transcode_tool
+
+    h, w = 6, 8
+    rng = np.random.default_rng(12)
+    planes = rng.integers(0, 256, size=(3, 3, h, w), dtype=np.uint8)
+    planes[1, 2, -1, :4] = [0, 5, 240, 255]
+    src = str(tmp_path / "in.y4m")
+    props = video.parse_color_props("pixel_format=yuv444p")
+    with video.open_output(src, w, h, Fraction(25), props,
+                           format="y4m") as wr:
+        for f in planes:
+            wr.write_frame(list(f), raw=True)
+    out = str(tmp_path / "copy.y4m")
+    assert transcode_tool.main(["-q", src, out]) == 0
+    with video.open_input(out) as r:
+        got = [r.read_frame(raw=True) for _ in range(3)]
+    for t in range(3):
+        for c in range(3):
+            np.testing.assert_array_equal(got[t][c], planes[t, c])
