@@ -12,10 +12,13 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
@@ -65,66 +68,18 @@ def main() -> int:
         y = fn(x, m, plans)
         _ = jax.device_get(probe(y))
 
-    # True on-device per-iteration time via two-point subtraction:
-    # iterations chain inside ONE jitted lax.fori_loop (output feeds
-    # input, so every step depends on the previous), measured at two
-    # lengths so the tunnel's fixed per-dispatch cost K cancels out of
-    # T(n) = K + n*c.  The tunnel's run-to-run variance is real
-    # (VERDICT r3 weak 1: a single reading wandered +-16%), so the
-    # published value is the MEDIAN of ``reps`` independent two-point
-    # measurements, with the spread recorded in the artifact.
-    def chain(n):
-        @jax.jit
-        def f(a, mm, pl):
-            # *0.5 keeps magnitudes finite over long chains (the mask's
-            # 1.25x boost would compound); the multiply fuses into the
-            # chain and is far below measurement noise
-            return jax.lax.fori_loop(0, n, lambda i, v: fn(v, mm, pl) * 0.5, a)
+    # Shared two-point estimator (benchmarks/timing.py): delta-sized
+    # fori_loop chains, spike-confirmed stop, median over the positive
+    # readings, (min, max) band for the artifact.  *0.5 keeps
+    # magnitudes finite over long chains (the mask's 1.25x boost would
+    # compound); the multiply fuses into the chain and is far below
+    # measurement noise.
+    from benchmarks.timing import time_fori
 
-        return f
-
-    iters, reps = 5, 5
-    cf1, cf2 = chain(iters), chain(2 * iters)
-    for cf in (cf1, cf2):  # warm/compile both lengths
-        _ = jax.device_get(probe(cf(x, m, plans)))
-
-    def once(cf):
-        t0 = time.perf_counter()
-        _ = jax.device_get(probe(cf(x, m, plans)))
-        return time.perf_counter() - t0
-
-    # The subtraction cancels the tunnel's fixed ~30 ms dispatch cost
-    # but not its ~+-10 ms jitter; grow the chain until the measured
-    # delta T(2n)-T(n) = n*c itself exceeds ~80 ms of body time, so
-    # jitter is a small fraction (fori_loop compile cost is
-    # length-independent; sizing from the delta rather than a pilot
-    # estimate of c is robust to a noisy pilot — see suite._time_fori).
-    import math
-
-    target_s = 0.08
-    while iters < 4096:
-        d = once(cf2) - once(cf1)
-        if d >= target_s:
-            break
-        if d > 0:
-            iters = min(4096, max(2 * iters, math.ceil(target_s / (d / iters))))
-        else:
-            iters = min(4096, 4 * iters)
-        cf1, cf2 = chain(iters), chain(2 * iters)
-        for cf in (cf1, cf2):
-            _ = jax.device_get(probe(cf(x, m, plans)))
-
-    cs = sorted((once(cf2) - once(cf1)) / iters for _ in range(reps))
-    pos = [c for c in cs if c > 0]
-    if len(pos) < 3:
-        # noise floor: publish the conservative T/(2n) reading
-        dt = once(cf2) / (2 * iters)
-        pos = [dt]
-    else:
-        # median over POSITIVE readings (negative outliers make the
-        # plain median land on a band extreme)
-        dt = pos[len(pos) // 2]
-    spread = [(h * w) / max(pos) / 1e6, (h * w) / min(pos) / 1e6]
+    dt, band = time_fori(lambda v: fn(v, m, plans) * 0.5, x, iters=5)
+    if band is None:
+        band = (dt, dt)
+    spread = [(h * w) / band[1] / 1e6, (h * w) / band[0] / 1e6]
     ours_mps = (h * w) / dt / 1e6
     y = fn(x, m, plans)
 

@@ -25,105 +25,22 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-_PROBE = None
-
-
-def _sync(x):
-    """Fetch one scalar to synchronise; the probe jit is cached (a fresh
-    lambda per call would re-trace and pay a remote compile each time)."""
-    global _PROBE
-    import jax
-
-    if _PROBE is None:
-        _PROBE = jax.jit(lambda a: a.reshape(-1)[0])
-    return float(jax.device_get(_PROBE(x)))
-
+from benchmarks.timing import time_fori as _shared_time_fori  # noqa: E402
+from benchmarks.timing import time_host as _shared_time_host  # noqa: E402
 
 LAST_SPREAD: tuple[float, float] | None = None
 
 
 def _time_fori(step, x0, iters=8, reps=5, target_s=0.08, max_iters=1 << 20):
-    """True on-device per-iteration time via two-point subtraction.
-
-    The axon tunnel adds a large fixed cost K per dispatch (~30 ms
-    measured), so a single T/n reading floors small bodies.  Chaining
-    the body inside one jitted lax.fori_loop at two lengths gives
-    T(n) = K + n*c  ->  c = (T(2n) - T(n)) / n, independent of K.
-
-    The tunnel's *jitter* (~+-10 ms per dispatch) is not cancelled by
-    the subtraction, so the chain must be long enough that n*c dwarfs
-    it: the chain grows geometrically until the measured delta
-    T(2n)-T(n) = n*c itself exceeds ``target_s`` (fori_loop compile
-    cost is length-independent, so longer chains are nearly free).
-    Sizing from the *delta* rather than a pilot estimate of c matters
-    for microsecond bodies: one noisy pilot reading of a ~2 us body
-    can overestimate c ~20x, leave the chain jitter-dominated, and
-    push the final readings onto the conservative no-band fallback
-    (config 3 published 115k instead of ~440k transforms/s that way).
-    Round 4's original fixed short chains were worse still — config
-    6's 2.5 ms chain published a [177, 7239] MP/s band.
-
-    The remaining run-to-run variance is real (VERDICT r3 weak 1), so
-    the returned value is the MEDIAN of ``reps`` independent two-point
-    measurements; the (min, max) seconds-per-iteration band is left in
-    ``LAST_SPREAD`` for the caller's artifact row.
-    """
-    import functools
-    import math as _math
-
-    import jax
-
+    """Median on-device seconds-per-iteration via the shared two-point
+    estimator (benchmarks/timing.py — delta-sized chains, positive
+    median, spike-confirmed stop); the (min, max) band lands in
+    ``LAST_SPREAD`` for the caller's artifact row."""
     global LAST_SPREAD
-
-    @functools.lru_cache(maxsize=None)
-    def many(n):
-        @jax.jit
-        def f(x):
-            return jax.lax.fori_loop(0, n, lambda i, v: step(v), x)
-
-        return f
-
-    f1, f2 = many(iters), many(2 * iters)
-    _sync(f1(x0))  # warm/compile both lengths
-    _sync(f2(x0))
-
-    def once(fn):
-        t0 = time.perf_counter()
-        _sync(fn(x0))
-        return time.perf_counter() - t0
-
-    # grow the chain until the two-point delta (= n*c) itself exceeds
-    # target_s: jitter is ~+-10 ms, so a >= 80 ms delta is body-dominated
-    n = iters
-    while n < max_iters:
-        d = once(f2) - once(f1)
-        if d >= target_s:
-            break
-        if d > 0:
-            # jump toward target from the measured per-iter estimate;
-            # an overestimate of c just overshoots (safe), an
-            # underestimate keeps the loop growing
-            n = min(max_iters, max(2 * n, _math.ceil(target_s / (d / n))))
-        else:
-            n = min(max_iters, 4 * n)
-        f1, f2 = many(n), many(2 * n)
-        _sync(f1(x0))
-        _sync(f2(x0))
-
-    cs = sorted((once(f2) - once(f1)) / n for _ in range(reps))
-    pos = [v for v in cs if v > 0]
-    if len(pos) < 3:
-        # noise floor: the body is below the tunnel's dispatch jitter;
-        # publish the conservative T/(2n) reading with no band
-        c = once(f2) / (2 * n)
-        LAST_SPREAD = None
-        return c
-    # median over the POSITIVE readings: with negative outliers in the
-    # sample, the plain median can land on a band extreme
-    c = pos[len(pos) // 2]
-    LAST_SPREAD = (min(pos), max(pos))
+    c, LAST_SPREAD = _shared_time_fori(step, x0, iters=iters, reps=reps,
+                                       target_s=target_s,
+                                       max_iters=max_iters)
     return c
-
 
 
 def _spread(numer):
@@ -135,13 +52,8 @@ def _spread(numer):
 
 
 def _time_host(fn, reps=3):
-    """min-of-N host baseline timing (the host is shared and noisy)."""
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+    """min-of-N host baseline timing (benchmarks/timing.py)."""
+    return _shared_time_host(fn, reps=reps)
 
 
 # ---------------------------------------------------------------------------
