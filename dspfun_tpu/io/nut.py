@@ -28,6 +28,7 @@ for this demuxer, and honestly marked experimental for foreign ones.
 from __future__ import annotations
 
 import os
+import sys
 from fractions import Fraction
 
 import numpy as np
@@ -523,13 +524,58 @@ class NutParseState:
         return sid, pts, head + data
 
 
+class _PushbackStream:
+    """Minimal pushback wrapper so the reader can re-deliver bytes
+    found by a resync scan; tell/seek account for the buffered bytes
+    (seek is only ever used on seekable files — count/offset scans
+    guard on seekable())."""
+
+    def __init__(self, s):
+        self._s = s
+        self._buf = b""
+
+    def read(self, n=-1):
+        if not self._buf:
+            return self._s.read(n)
+        if n is None or n < 0:
+            out = self._buf + (self._s.read(n) or b"")
+            self._buf = b""
+            return out
+        out, self._buf = self._buf[:n], self._buf[n:]
+        if len(out) < n:
+            out += self._s.read(n - len(out)) or b""
+        return out
+
+    def push(self, data: bytes) -> None:
+        self._buf = data + self._buf
+
+    def seekable(self):
+        return self._s.seekable()
+
+    def tell(self):
+        return self._s.tell() - len(self._buf)
+
+    def seek(self, pos, whence=0):
+        if whence == os.SEEK_CUR:
+            pos, whence = self.tell() + pos, 0
+        self._buf = b""
+        return self._s.seek(pos, whence)
+
+
 class NutReader:
-    """Demux NUT; yields raw frame payload bytes for stream 0."""
+    """Demux NUT; yields raw frame payload bytes for stream 0.
+
+    Damaged packets (bad startcode/framecode, checksum mismatch,
+    truncated header) resync at the next syncpoint startcode — the
+    spec's recovery procedure, also what libavformat's demuxer does —
+    losing only the frames between the damage and the syncpoint
+    (``damaged`` counts recoveries)."""
 
     def __init__(self, stream):
-        self._stream = stream
+        self._stream = _PushbackStream(stream)
         self.state = NutParseState()
-        magic = stream.read(len(FILE_ID))
+        self.damaged = 0
+        magic = self._stream.read(len(FILE_ID))
         if magic != FILE_ID:
             raise ValueError("not a NUT stream")
         # read packets up to the first frame; its framecode byte is
@@ -571,17 +617,45 @@ class NutReader:
                 raise ValueError("NUT frame before stream header")
             return b[0]
 
+    def _resync(self) -> bool:
+        """Scan forward for the next syncpoint startcode and re-deliver
+        from it; False at EOF.  Every parse failure has consumed at
+        least one byte past the pattern it failed on, so repeated
+        damage always advances."""
+        pat = SYNCPOINT_STARTCODE.to_bytes(8, "big")
+        window = b""
+        while True:
+            chunk = self._stream.read(65536)
+            if not chunk:
+                return False
+            buf = window + chunk
+            i = buf.find(pat)
+            if i >= 0:
+                self._stream.push(buf[i:])
+                return True
+            window = buf[-7:]
+
     def read_frame_bytes(self, stream_id: int = 0) -> tuple[int, bytes] | None:
         """Next frame of ``stream_id`` (frames of other streams — e.g.
         audio in an ffmpeg-muxed file — are skipped)."""
         while True:
-            fc = self._pending
-            self._pending = None
-            if fc is None:
-                fc = self._read_until_frame()
-            if fc is None:
-                return None
-            sid, pts, data = self.state.parse_frame_header(self._stream, fc)
+            try:
+                fc = self._pending
+                self._pending = None
+                if fc is None:
+                    fc = self._read_until_frame()
+                if fc is None:
+                    return None
+                sid, pts, data = self.state.parse_frame_header(
+                    self._stream, fc)
+            except ValueError:
+                self.damaged += 1
+                if self.damaged == 1:
+                    print("nut: damaged packet, resyncing at next "
+                          "syncpoint", file=sys.stderr)
+                if not self._resync():
+                    return None
+                continue
             if sid == stream_id:
                 return pts, data
 
@@ -637,12 +711,20 @@ class NutReader:
         try:
             fc = pending
             while True:
-                if fc is None:
-                    fc = self._read_until_frame()
-                if fc is None:
+                try:
+                    if fc is None:
+                        fc = self._read_until_frame()
+                    if fc is None:
+                        break
+                    sid, _, _ = self.state.parse_frame_header(
+                        s, fc, skip_data=True)
+                except ValueError:
+                    # damaged packet: count what a resynced read would
+                    # deliver
+                    fc = None
+                    if self._resync():
+                        continue
                     break
-                sid, _, _ = self.state.parse_frame_header(s, fc,
-                                                          skip_data=True)
                 if sid == 0:
                     n += 1
                 fc = None

@@ -193,8 +193,10 @@ def test_tools_roundtrip_through_nut(tool, tmp_path):
 
 
 def test_nut_truncated_and_corrupt_streams(tmp_path):
-    """Robustness: truncated payloads and corrupted checksums raise
-    clear errors instead of returning garbage frames."""
+    """Robustness: a truncated tail ends the stream cleanly after the
+    complete frames (no garbage frame), and a corrupted *stream
+    header* still raises at open — without valid headers the file is
+    undecodable (the framecode table is unknown)."""
     rng = np.random.default_rng(9)
     frames = rng.random((3, 6, 8, 3)).astype(np.float32)
     path = tmp_path / "t.nut"
@@ -204,16 +206,16 @@ def test_nut_truncated_and_corrupt_streams(tmp_path):
             wr.write_frame_rgb(f)
     raw = path.read_bytes()
 
-    # truncate mid-frame: reader yields the complete frames then errors
+    # truncate mid-frame: reader yields the complete frames, then the
+    # damaged tail resyncs to EOF -> clean end of stream
     cut = tmp_path / "cut.nut"
     cut.write_bytes(raw[: len(raw) - 100])
     with open(cut, "rb") as f:
         nr = NutReader(f)
         assert nr.read_frame_bytes() is not None
         assert nr.read_frame_bytes() is not None
-        with pytest.raises(ValueError):
-            while nr.read_frame_bytes() is not None:
-                pass
+        assert nr.read_frame_bytes() is None
+        assert nr.damaged == 1
 
     # flip a byte inside the stream-header packet payload: CRC mismatch
     bad = bytearray(raw)
@@ -224,6 +226,59 @@ def test_nut_truncated_and_corrupt_streams(tmp_path):
     with pytest.raises(ValueError, match="checksum"):
         with open(badf, "rb") as f:
             NutReader(f)
+
+
+def test_nut_resync_at_syncpoint(tmp_path):
+    """Mid-file damage recovers at the next syncpoint (the spec's
+    resync procedure): only the damaged frame is lost."""
+    from dspfun_tpu.io.nut import SYNCPOINT_STARTCODE
+
+    rng = np.random.default_rng(10)
+    frames = rng.random((4, 6, 8, 3)).astype(np.float32)
+    path = tmp_path / "r.nut"
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(str(path), 8, 6, Fraction(25), props) as wr:
+        for f in frames:
+            wr.write_frame_rgb(f)
+    raw = bytearray(path.read_bytes())
+
+    # locate frame 1's header: second syncpoint packet (8-byte
+    # startcode + 1-byte forward_ptr + 2-byte payload + 4-byte CRC),
+    # then its framecode byte; corrupt it to an invalid code
+    pat = SYNCPOINT_STARTCODE.to_bytes(8, "big")
+    sp2 = raw.index(pat, raw.index(pat) + 1)
+    assert raw[sp2 + 15] == 1  # framecode byte of frame 1
+    raw[sp2 + 15] = 0xFF
+    dam = tmp_path / "dam.nut"
+    dam.write_bytes(bytes(raw))
+
+    with open(dam, "rb") as f:
+        nr = NutReader(f)
+        got = []
+        while True:
+            r = nr.read_frame_bytes()
+            if r is None:
+                break
+            got.append(r)
+    assert nr.damaged == 1
+    assert [pts for pts, _ in got] == [0, 2, 3]  # frame 1 lost, rest intact
+    clean = []
+    with open(path, "rb") as f:
+        cr = NutReader(f)
+        while True:
+            r = cr.read_frame_bytes()
+            if r is None:
+                break
+            clean.append(r)
+    for (pts, data) in got:
+        assert data == clean[pts][1]
+
+    # the container-level reader sees the same recovered stream
+    with video.open_input(str(dam)) as r:
+        n = 0
+        while r.read_frame() is not None:
+            n += 1
+        assert n == 3
 
 
 def test_scan_mesh_with_packed_emission(tmp_path):
