@@ -87,3 +87,31 @@ def test_volume_chain_dither_gathers_rows_only():
                                              float_pixels=False))
     assert n["all_to_all"] == 4, n
     assert n["all_gather"] >= 1, n
+
+
+def test_spec_sharded_single_axis_swap_each_way():
+    """The whole-image sharded spec transform is one Ulysses axis swap
+    per direction (W local -> all_to_all -> H local) plus scalar
+    all_reduces for the DC / range maxima; nothing may gather the
+    full image."""
+    from dspfun_tpu.models.spec_pipeline import SpecChainParams
+    from dspfun_tpu.parallel import spec_sharded as ss
+
+    mesh = make_mesh(8, space=8, time=1)
+    h, w, c = 32, 16, 3
+    params = SpecChainParams.template("flat", gain=1000.0)
+    x = jax.device_put(jnp.zeros((h, w, c), jnp.float32),
+                       ss.image_sharding(mesh))
+
+    fwd = jax.jit(lambda v: ss.spec_forward_sharded(v, params, mesh, PREC))
+    n = _counts(fwd.lower(x).as_text())
+    assert n["all_to_all"] == 1, n
+    assert n["all_gather"] == 0, n
+
+    f = jax.device_put(jnp.zeros((h, w, c), jnp.float32),
+                       ss.spectrum_sharding(mesh))
+    inv = jax.jit(lambda v: ss.spec_inverse_sharded(v, params, mesh,
+                                                    precision=PREC))
+    n = _counts(inv.lower(f).as_text())
+    assert n["all_to_all"] == 1, n
+    assert n["all_gather"] == 0, n
