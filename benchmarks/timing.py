@@ -36,15 +36,15 @@ _PROBE = None
 
 
 def sync(x) -> float:
-    """Fetch one scalar to synchronise; the probe jit is cached (a
-    fresh lambda per call would re-trace and pay a remote compile each
-    time)."""
+    """Fetch one scalar to synchronise (first leaf of a pytree carry);
+    the probe jit is cached (a fresh lambda per call would re-trace
+    and pay a remote compile each time)."""
     global _PROBE
     import jax
 
     if _PROBE is None:
         _PROBE = jax.jit(lambda a: a.reshape(-1)[0])
-    return float(jax.device_get(_PROBE(x)))
+    return float(jax.device_get(_PROBE(jax.tree_util.tree_leaves(x)[0])))
 
 
 def time_fori(step, x0, iters=8, reps=5, target_s=0.08, max_iters=1 << 20):
