@@ -83,14 +83,6 @@ def main():
         digs_a, sc_a = int8mm.split_matrix_i8(a_np)
         digs_a, sc_a = jax.device_put((digs_a, sc_a))
 
-        def contract(v, axis=axis, digs_a=digs_a, sc_a=sc_a):
-            y = int8mm.i8_contract(v, digs_a, sc_a, axis)
-            # feed output back as next input: shapes differ, so
-            # renormalise via a dummy slice-resize is wrong — instead
-            # time a chain that contracts then expands back with a
-            # second cached operand
-            return y
-
         # output shape differs from input, so chain two contractions
         # (there and back) to keep the carry shape fixed
         b_np = rng.random((k, mdim)).astype(np.float32) / np.sqrt(mdim)

@@ -124,6 +124,25 @@ def put_vb(buf: bytearray, data: bytes) -> None:
     buf.extend(data)
 
 
+class _Damaged(ValueError):
+    """Parse failure whose ``consumed`` bytes were read *past* the
+    point of damage and may contain later syncpoints (a corrupted
+    length field over-consumes).  The reader pushes them back before
+    resyncing so only the genuinely damaged region is lost."""
+
+    def __init__(self, msg: str, consumed: bytes = b""):
+        super().__init__(msg)
+        self.consumed = consumed
+
+
+# Plausibility caps so a corrupted varint length cannot trigger a
+# giant read()/allocation before its checksum gets a chance to fail:
+# non-frame packets (headers/syncpoints/info/index) stay tiny-to-MBs,
+# frame payloads are bounded by raw 8K float video.
+_MAX_PACKET = 1 << 26
+_MAX_FRAME = 1 << 30
+
+
 class _Parser:
     """Byte cursor over a packet payload."""
 
@@ -176,28 +195,34 @@ def _write_packet(stream, startcode: int, payload: bytes) -> None:
 
 
 def _read_packet(stream, startcode_tail: bytes) -> bytes:
-    """Called with the 8 startcode bytes consumed; returns payload."""
-    # forward_ptr
-    fwd_bytes = bytearray()
+    """Called with the 8 startcode bytes consumed; returns payload.
+    Failures raise ``_Damaged`` carrying every byte read here (they
+    may hold good syncpoints when the forward_ptr was the damage)."""
+    consumed = bytearray()
+
+    def rd(n):
+        out = stream.read(n)
+        consumed.extend(out)
+        return out
+
     v = 0
     while True:
-        b = stream.read(1)
+        b = rd(1)
         if not b:
-            raise ValueError("truncated NUT packet header")
-        fwd_bytes += b
+            raise _Damaged("truncated NUT packet header", bytes(consumed))
         v = (v << 7) | (b[0] & 0x7F)
         if not b[0] & 0x80:
             break
+    if v < 4 or v - 4 > _MAX_PACKET:
+        raise _Damaged("bad NUT forward_ptr", bytes(consumed))
     if v > 4096:
-        stream.read(4)  # header_checksum (not verified on read)
-    if v < 4:
-        raise ValueError("bad NUT forward_ptr")
-    payload = stream.read(v - 4)
-    check = stream.read(4)
+        rd(4)  # header_checksum (not verified on read)
+    payload = rd(v - 4)
+    check = rd(4)
     if len(payload) < v - 4 or len(check) < 4:
-        raise ValueError("truncated NUT packet")
+        raise _Damaged("truncated NUT packet", bytes(consumed))
     if int.from_bytes(check, "big") != crc32_nut(payload):
-        raise ValueError("NUT packet checksum mismatch")
+        raise _Damaged("NUT packet checksum mismatch", bytes(consumed))
     return payload
 
 
@@ -465,7 +490,8 @@ class NutParseState:
             while True:
                 b = stream.read(1)
                 if not b:
-                    raise ValueError("truncated NUT frame header")
+                    raise _Damaged("truncated NUT frame header",
+                                   bytes(hdr_bytes[1:]))
                 hdr_bytes.append(b[0])
                 v = (v << 7) | (b[0] & 0x7F)
                 if not b[0] & 0x80:
@@ -507,20 +533,33 @@ class NutParseState:
         if flags & FLAG_CHECKSUM:
             check = stream.read(4)
             if int.from_bytes(check, "big") != crc32_nut(bytes(hdr_bytes)):
-                raise ValueError("NUT frame header checksum mismatch")
+                raise _Damaged("NUT frame header checksum mismatch",
+                               bytes(hdr_bytes[1:]) + check)
         if flags & FLAG_SM_DATA:
-            raise ValueError("NUT side/meta data frames are not supported")
+            raise _Damaged("NUT side/meta data frames are not supported",
+                           bytes(hdr_bytes[1:]))
         head = self.elision[hidx] if hidx < len(self.elision) else b""
+        nbytes = size - len(head)
+        if nbytes < 0 or nbytes > _MAX_FRAME:
+            raise _Damaged("implausible NUT frame size")
         self.last_pts = pts
         if skip_data:
             # (payload offset, raw byte count, elided head bytes) for
-            # the native indexed reader's offset scan
-            self.last_payload = (stream.tell(), size - len(head), len(head))
-            stream.seek(size - len(head), os.SEEK_CUR)
+            # the native indexed reader's offset scan.  Validate the
+            # payload is actually present before seeking past it — a
+            # truncated final frame must count the same as a resynced
+            # read would deliver (i.e. not at all).
+            off = stream.tell()
+            end = stream.seek(0, os.SEEK_END)
+            if off + nbytes > end:
+                stream.seek(off)
+                raise _Damaged("truncated NUT frame")
+            self.last_payload = (off, nbytes, len(head))
+            stream.seek(off + nbytes)
             return sid, pts, b""
-        data = stream.read(size - len(head))
-        if len(data) < size - len(head):
-            raise ValueError("truncated NUT frame")
+        data = stream.read(nbytes)
+        if len(data) < nbytes:
+            raise _Damaged("truncated NUT frame", data)
         return sid, pts, head + data
 
 
@@ -597,7 +636,7 @@ class NutReader:
                     return None
                 code = int.from_bytes(b + tail, "big")
                 if code not in _STARTCODES:
-                    raise ValueError(f"bad NUT startcode {code:#x}")
+                    raise _Damaged(f"bad NUT startcode {code:#x}", tail)
                 payload = _read_packet(self._stream, tail)
                 if code == MAIN_STARTCODE:
                     st.parse_main(payload)
@@ -617,11 +656,18 @@ class NutReader:
                 raise ValueError("NUT frame before stream header")
             return b[0]
 
-    def _resync(self) -> bool:
+    def _resync(self, exc: ValueError | None = None) -> bool:
         """Scan forward for the next syncpoint startcode and re-deliver
-        from it; False at EOF.  Every parse failure has consumed at
-        least one byte past the pattern it failed on, so repeated
-        damage always advances."""
+        from it; False at EOF.  Bytes a failed parse consumed past the
+        damage (``_Damaged.consumed`` — e.g. a corrupted length field
+        slurping good syncpoints) are pushed back first so the scan
+        covers them.  Every parse failure still nets at least one byte
+        of progress past the pattern it failed on (the startcode /
+        framecode byte is never pushed back), so repeated damage
+        always advances."""
+        consumed = getattr(exc, "consumed", b"")
+        if consumed:
+            self._stream.push(consumed)
         pat = SYNCPOINT_STARTCODE.to_bytes(8, "big")
         window = b""
         while True:
@@ -648,12 +694,12 @@ class NutReader:
                     return None
                 sid, pts, data = self.state.parse_frame_header(
                     self._stream, fc)
-            except ValueError:
+            except ValueError as e:
                 self.damaged += 1
                 if self.damaged == 1:
                     print("nut: damaged packet, resyncing at next "
                           "syncpoint", file=sys.stderr)
-                if not self._resync():
+                if not self._resync(e):
                     return None
                 continue
             if sid == stream_id:
@@ -718,11 +764,11 @@ class NutReader:
                         break
                     sid, _, _ = self.state.parse_frame_header(
                         s, fc, skip_data=True)
-                except ValueError:
+                except ValueError as e:
                     # damaged packet: count what a resynced read would
                     # deliver
                     fc = None
-                    if self._resync():
+                    if self._resync(e):
                         continue
                     break
                 if sid == 0:

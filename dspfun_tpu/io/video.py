@@ -288,7 +288,7 @@ def dequantize_planes(planes: list[np.ndarray], pf: "PixelFormat",
                       crange: str | None) -> list[np.ndarray]:
     """Stored-dtype planes -> normalized floats: the read_frame(raw=False)
     mapping, for callers that buffered raw pels (e.g. rotate)."""
-    return [_dequantize_plane(p, pf, i, crange) for i, p in enumerate(planes)]
+    return [plane_from_pel(p, pf, i, crange) for i, p in enumerate(planes)]
 
 
 def _dequantize_plane(v: np.ndarray, pf: PixelFormat, plane_idx: int,

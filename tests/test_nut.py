@@ -281,6 +281,82 @@ def test_nut_resync_at_syncpoint(tmp_path):
         assert n == 3
 
 
+def test_nut_corrupt_length_field_recovers_overconsumed(tmp_path):
+    """A corrupted forward_ptr (continuation bit set) makes the packet
+    parser slurp bytes containing later good syncpoints; recovery must
+    push the over-consumed bytes back so only the damaged frame is
+    lost — not everything the bogus length swallowed."""
+    from dspfun_tpu.io.nut import SYNCPOINT_STARTCODE
+
+    rng = np.random.default_rng(14)
+    frames = rng.random((3, 6, 8, 3)).astype(np.float32)
+    path = tmp_path / "o.nut"
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(str(path), 8, 6, Fraction(25), props) as wr:
+        for f in frames:
+            wr.write_frame_rgb(f)
+    raw = bytearray(path.read_bytes())
+
+    # frame 1's syncpoint: 8-byte startcode, then a 1-byte forward_ptr;
+    # 0xFF turns it into a multi-byte varint that consumes far past it
+    pat = SYNCPOINT_STARTCODE.to_bytes(8, "big")
+    sp2 = raw.index(pat, raw.index(pat) + 1)
+    raw[sp2 + 8] = 0xFF
+    dam = tmp_path / "od.nut"
+    dam.write_bytes(bytes(raw))
+    with open(dam, "rb") as f:
+        nr = NutReader(f)
+        got = []
+        while True:
+            r = nr.read_frame_bytes()
+            if r is None:
+                break
+            got.append(r[0])
+    assert got == [0, 2]  # frame 1 lost to the damage; frame 2 recovered
+    assert nr.damaged >= 1
+
+    # extreme corrupt varint (would decode to ~2^34): the plausibility
+    # cap must reject it without attempting the allocation, and the
+    # later frames must still be recovered
+    raw2 = bytearray(path.read_bytes())
+    raw2[sp2 + 8:sp2 + 13] = b"\xff\xff\xff\xff\x7f"
+    dam2 = tmp_path / "oe.nut"
+    dam2.write_bytes(bytes(raw2))
+    with open(dam2, "rb") as f:
+        nr = NutReader(f)
+        got = []
+        while True:
+            r = nr.read_frame_bytes()
+            if r is None:
+                break
+            got.append(r[0])
+    assert 2 in got and got[0] == 0
+
+
+def test_nut_truncated_count_matches_read(tmp_path):
+    """count_frames must not count a final truncated frame that
+    read_frame_bytes will never deliver (interrupted write — exactly
+    what append/resume mode makes likely)."""
+    rng = np.random.default_rng(15)
+    frames = rng.random((3, 6, 8, 3)).astype(np.float32)
+    path = tmp_path / "tc.nut"
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(str(path), 8, 6, Fraction(25), props) as wr:
+        for f in frames:
+            wr.write_frame_rgb(f)
+    raw = path.read_bytes()
+    for cut in (100, 1, len(raw) - (len(raw) // 3)):
+        cutf = tmp_path / f"tc{cut}.nut"
+        cutf.write_bytes(raw[: len(raw) - cut])
+        with open(cutf, "rb") as f:
+            nr = NutReader(f)
+            cnt = nr.count_frames()
+            n = 0
+            while nr.read_frame_bytes() is not None:
+                n += 1
+            assert cnt == n, f"cut={cut}: counted {cnt}, delivered {n}"
+
+
 def test_scan_mesh_with_packed_emission(tmp_path):
     """--mesh and the packed device-side emission compose."""
     import jax
