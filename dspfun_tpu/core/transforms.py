@@ -93,7 +93,7 @@ def plan_matrix(m: np.ndarray, precision: Precision | None = None) -> AxisPlan:
         return AxisPlan(m.astype(np.float32), None, digits, scale, rowsum)
     if p.intermediate == "i8":
         from dspfun_tpu.ops.int8mm import (  # noqa: PLC0415
-            I8_DEEP_TOL, split_matrix_i8,
+            I8_DEEP_TOL, i8_feasible, split_matrix_i8,
         )
 
         # tight (or unset) accuracy budgets carry a 4th digit plane:
@@ -101,8 +101,17 @@ def plan_matrix(m: np.ndarray, precision: Precision | None = None) -> AxisPlan:
         # (~2^-28 truncation, exact int32 accumulation) at ~1.7x the
         # 3-digit kernel's MXU work
         ndig = 4 if p.tol is None or p.tol <= I8_DEEP_TOL else 3
-        digits, row_scale = split_matrix_i8(m, ndig)
-        return AxisPlan(m.astype(np.float32), None, digits, row_scale, rowsum)
+        if i8_feasible(m.shape[0], m.shape[1], ndig):
+            digits, row_scale = split_matrix_i8(m, ndig)
+            return AxisPlan(m.astype(np.float32), None, digits, row_scale,
+                            rowsum)
+        # contraction too long for the kernel's exact-int32 bound or
+        # VMEM working set: the bf16-digit exact mode is the same
+        # accuracy class without either limit
+        from dspfun_tpu.core.exact import split_matrix_digits  # noqa: PLC0415
+
+        digits, scale = split_matrix_digits(m, tol=p.tol)
+        return AxisPlan(m.astype(np.float32), None, digits, scale, rowsum)
     if p.intermediate == "hilo":
         hi, lo = split_hilo(m)
         return AxisPlan(hi, lo, rowsum=rowsum)

@@ -119,10 +119,13 @@ def _zoom_plan_host(scaling_type, xnum, xden, ynum, yden, vx, vy,
 def _tracing() -> bool:
     try:
         from jax._src.core import trace_state_clean  # noqa: PLC0415
-
-        return not trace_state_clean()
-    except Exception:  # noqa: BLE001
-        return False
+    except ImportError:
+        # private API moved: report "tracing" — host plans are safe in
+        # BOTH contexts (they just re-upload per dispatch), whereas
+        # guessing "not tracing" inside a trace caches tracers in
+        # _zoom_plan_device's lru_cache (the leak this guard prevents)
+        return True
+    return not trace_state_clean()
 
 
 @functools.lru_cache(maxsize=4)
@@ -182,19 +185,39 @@ def device_basis_accurate(vw, vh, vx, vy, xscale, yscale, w, h,
        (measured ~4.8e-5 for centered at 1080p; ADVICE r3).
 
     The check is a direct host-side measurement of max |f32(k)-k| over
-    the view's basis vectors (O(vw+vh) numpy).  Callers falling outside
-    use the host float64 basis path (:func:`zoom_frame`)."""
+    the view's basis vectors (O(vw+vh) numpy).  "native" scaling has
+    its own criteria (integer num/den for the in-graph int32 fold, see
+    the branch below).  Callers falling outside use the host float64
+    basis path (:func:`zoom_frame`)."""
     def kmax(n, off, num, den):
         num, den = clamp_scale(n, num, den)
         return (abs(off) + max(vw, vh)) * (den / num) + 1.0
+
+    if scaling_type == "native":
+        # native's period is n*num/den, generally fractional, so the
+        # folded-mode product bound below does not apply: the direct
+        # f32 phase kk*j/N carries error relative to the FULL phase
+        # magnitude (~1e-4 at a 4x zoom of 1k px — 50x the criterion).
+        # The device path is accurate only via the integer fold
+        # (_device_basis): num/den integers, b*j*den exact in int32,
+        # 2*n*num exact in f32, and the scalar offset term (the only
+        # f32-rounded piece) within the 3e-6 criterion.
+        def ok(n, off, num, den, nvec):
+            num, den = clamp_scale(n, num, den)
+            if num != round(num) or den != round(den) or num < 1 or den < 1:
+                return False
+            if nvec * max(n - 1, 1) * den >= 2.0**31:
+                return False
+            if 2.0 * n * num > 2.0**24:
+                return False
+            return math.pi * 2.0 * (abs(off) + 1.5) * den / num * 2.0**-24 <= 3e-6
+
+        return ok(w, vx, *xscale, vw) and ok(h, vy, *yscale, vh)
 
     bx = kmax(w, vx, *xscale) * max(w - 1, 1)
     by = kmax(h, vy, *yscale) * max(h - 1, 1)
     if max(bx, by) > float(1 << 21):
         return False
-    if scaling_type == "native":
-        # direct (unfolded) phase: covered by the product bound alone
-        return True
 
     def k_err(n, off, num, den, nvec):
         num, den = clamp_scale(n, num, den)
@@ -212,18 +235,29 @@ def device_basis_accurate(vw, vh, vx, vy, xscale, yscale, w, h,
     return math.pi * err <= 3e-6
 
 
-def _device_basis(scaling_id, num, den, offset, nvectors, sampling_len, dtype):
+def _device_basis(scaling_id, num, den, offset, nvectors, sampling_len,
+                  dtype, b0=None):
     """Basis matrix computed in-graph from traced scalars — the device
     counterpart of :func:`padded_zoom_basis` (animation runs one
-    compiled program; only 4 scalars change per frame)."""
+    compiled program; only 4 scalars change per frame).  ``b0`` offsets
+    the output-vector indices as exact integers (the sharded path's
+    per-shard row start), keeping them out of the f32 offset scalar.
+    The accuracy contract is delegated to :func:`device_basis_accurate`
+    — outside its bounds (int32 fold overflow, non-representable k)
+    the result degrades silently; callers must gate."""
     l = sampling_len
     # clamp_scale (zoom.c:37-40, 277-284)
     too_small = l * num / den < 1.0
     num = jnp.where(too_small, 1.0, num)
     den = jnp.where(too_small, float(l), den)
     ncomp = jnp.minimum(float(l), jnp.round(l * num / den))
-    b = jnp.arange(nvectors, dtype=dtype)[:, None]
-    j = jnp.arange(l, dtype=dtype)[None, :]
+    b_idx = jnp.arange(nvectors, dtype=jnp.int32)
+    if b0 is not None:
+        b_idx = b_idx + b0
+    b_idx = b_idx[:, None]
+    b = b_idx.astype(dtype)
+    j_idx = jnp.arange(l, dtype=jnp.int32)[None, :]
+    j = j_idx.astype(dtype)
     scale = den / num
     k_interp = (b + offset) * scale
     k_native = b + offset
@@ -244,14 +278,27 @@ def _device_basis(scaling_id, num, den, offset, nvectors, sampling_len, dtype):
     # floors at ~pi*|f32(k)-k| (~5e-5 measured for centered at 1080p).
     # device_basis_accurate() measures k representability host-side and
     # routes inexact-k frames to the float64 basis (tools/zoom.py).
-    # "native" can have a fractional period and keeps the direct form.
     kk = k + 0.5
     ki = jnp.floor(kk)
     kf = kk - ki
-    mi = jnp.mod(ki.astype(jnp.int32) * j.astype(jnp.int32), 2 * l)
+    mi = jnp.mod(ki.astype(jnp.int32) * j_idx, 2 * l)
     ph_folded = (mi.astype(dtype) + kf * j) / float(l)
+    # "native" has a fractional period N = l*num/den, so the static-2l
+    # fold above does not apply — but for INTEGER num/den the phase
+    # k*j*den/(l*num) folds exactly the same way: b*j*den mod 2*l*num
+    # in int32 (b integer, offset rides the f32 term).  The direct form
+    # covers fractional scales; its error grows with the phase
+    # magnitude, so device_basis_accurate() gates it out.
+    numi = jnp.maximum(jnp.round(num), 1.0).astype(jnp.int32)
+    deni = jnp.maximum(jnp.round(den), 1.0).astype(jnp.int32)
+    is_int = (num == numi.astype(dtype)) & (den == deni.astype(dtype))
+    mi_nat = jnp.mod(b_idx * j_idx * deni, 2 * l * numi)
+    fo = offset + 0.5
+    ph_nat_fold = (mi_nat.astype(dtype) + fo * j * deni.astype(dtype)) \
+        / jnp.maximum(float(l) * num, 1.0)
     ph_direct = kk * j / big_n
-    ph = jnp.where(scaling_id == 2, ph_direct, ph_folded)
+    ph_native = jnp.where(is_int, ph_nat_fold, ph_direct)
+    ph = jnp.where(scaling_id == 2, ph_native, ph_folded)
     m = jnp.cos(jnp.pi * jnp.mod(ph, 2.0))
     m = jnp.where(j == 0, 0.5, m)
     return jnp.where(j < ncomp, m, 0.0)
@@ -351,10 +398,12 @@ def _zoom_frame_sharded(spectrum, scaling_id, xnum, xden, ynum, yden,
         si = jax.lax.axis_index("space")
         dtype = spec.dtype
         xb = _device_basis(scaling_id, xnum, xden, vx, vw, w, dtype)
-        # this shard's output rows: offset advances by the local row
-        # count per shard (the basis is affine in b + offset)
-        yb = _device_basis(scaling_id, ynum, yden,
-                           vy + si.astype(dtype) * float(vhl), vhl, h, dtype)
+        # this shard's output rows: the row start advances per shard as
+        # an exact integer b0 (the basis is affine in b + offset, and
+        # integer starts must stay out of the f32 offset scalar for the
+        # native fold / k representability)
+        yb = _device_basis(scaling_id, ynum, yden, vy, vhl, h, dtype,
+                           b0=si * vhl)
         return _synth(spec, yb, xb, encode_trc, precision)
 
     fn = shard_map(local, mesh=mesh, in_specs=P(),

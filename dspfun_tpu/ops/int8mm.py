@@ -7,9 +7,10 @@ buys a contraction that is both *faster* than 6-pass ``HIGHEST`` f32
 (6 digit products at 2x rate; the kernel measures 304 effective
 int8-TOPS on a 3840^3 contraction = ~4.8x the HIGHEST rate) and *more
 accurate* (measured ~1e-7 relative vs HIGHEST's 1.8e-7): every digit
-product is exact, int32 accumulation is exact (64*64*K <= 2^31 for
-K <= 2^19), and the only error is the ~2^-22 digit-representation
-truncation.
+product is exact, int32 accumulation is exact (the largest same-weight
+group sums 3-4 dots of 64*64*K each in int32 — see ``_kmax`` for the
+per-kernel bound), and the only error is the ~2^-22
+digit-representation truncation.
 
 The all-XLA formulation of the same math loses to HBM (the int32
 digit-product tensor round-trips ~1 GB); conversely, splitting *inside*
@@ -46,7 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["B_I8", "I8_DEEP_TOL", "split_matrix_i8", "i8_contract",
-           "i8_contract_rt"]
+           "i8_contract_rt", "i8_feasible"]
 
 B_I8 = 7          # digit width: |digit| <= 64 after half-range scaling
 _NDIG = 3         # 3 digits cover ~22 bits below each row/slice max
@@ -96,15 +97,30 @@ def log2_ceil1(x: jax.Array) -> jax.Array:
 
 
 def exp2i(e: jax.Array) -> jax.Array:
-    """EXACT 2^e for integer-valued f32 ``e`` (|e| <= 126), built by
+    """EXACT 2^e for integer-valued f32 ``e`` in [-126, 127], built by
     bit-casting the biased exponent.  The TPU's ``jnp.exp2`` is a
     polynomial approximation whose ~1-ulp error makes scale/unscale
     pairs non-reciprocal — a multiplicative ~1.2e-7 error on every
     element that capped the deep-i8 mode at ~1.7e-7 relative on chip
     (CPU libm exp2 is exact for integer args, which hid it in
-    interpret-mode tests)."""
-    bits = (jnp.clip(e, -126.0, 126.0).astype(jnp.int32) + 127) << 23
-    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+    interpret-mode tests).  ``e > 127`` (operand slice maxes >= 2^126,
+    outside the digit-split domain) yields +inf so the corruption is
+    loudly non-finite instead of silently wrong; ``e < -126``
+    (subnormal scales) clamps — use :func:`scale_down` to apply a
+    2^-e factor, which stays exact to e = 253."""
+    bits = (jnp.clip(e, -126.0, 127.0).astype(jnp.int32) + 127) << 23
+    v = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    return jnp.where(e > 127.0, jnp.inf, v)
+
+
+def scale_down(x: jax.Array, e: jax.Array) -> jax.Array:
+    """``x * 2^-e`` via two exact power-of-two factors: covers the full
+    ``log2_ceil1`` range (e up to 129 for slice maxes near f32 max)
+    without the single-factor form's 2^-127-and-below subnormal scales
+    (not representable by the biased-exponent bit-cast, and flushed to
+    zero by the TPU anyway)."""
+    h1 = jnp.floor(e * 0.5)
+    return (x * exp2i(-h1)) * exp2i(-(e - h1))
 
 
 def _split_operand_xla(x: jax.Array, axis: int, ndig: int = _NDIG):
@@ -116,7 +132,7 @@ def _split_operand_xla(x: jax.Array, axis: int, ndig: int = _NDIG):
     kept)."""
     mx = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
     e = jnp.where(mx > 0, log2_ceil1(mx), 0.0)
-    r = x * exp2i(-e)
+    r = scale_down(x, e)
     out = []
     for i in range(ndig):
         sc = float(2.0 ** (B_I8 * (i + 1)))
@@ -245,12 +261,20 @@ def _i8_call_right(*args, tm=None, tr=None, interpret=False):
     )(*a, *x)
 
 
+def _live_bytes(tm: int, tr: int, k: int, ndig: int) -> int:
+    """Double-buffered VMEM live set: 2 x ndig A tiles [tm, k] int8 +
+    2 x ndig operand tiles [k, tr] int8 + the f32 out tile."""
+    return 2 * ndig * k * (tm + tr) + 8 * tm * tr
+
+
 def _tiles(m: int, k: int, ndig: int = _NDIG) -> tuple[int, int, int]:
     """(tm, tr, mp): tiles sized for the digit-only VMEM live set
-    (2 x ndig A tiles + 2 x ndig operand-digit tiles + out, all int8
-    but out; ~13 MB at K=3840 under the 16 MB scope), 32/128-aligned;
-    M pads to a tile multiple.  256-wide R tiles amortise the per-step
-    grid overhead that dominated at 128."""
+    (~13 MB at K=3840 under the 16 MB scope), 32/128-aligned; M pads
+    to a tile multiple.  256-wide R tiles amortise the per-step grid
+    overhead that dominated at 128; K past ~5-7k (both tile columns
+    ride the full K) drops to minimum 128x128 tiles, and beyond what
+    even those fit the caller must use exact/hilo — raising here beats
+    Mosaic's undiagnosable compile failure."""
     tr = 256
     # tm rides the output LANE dim in the right-form kernel -> must be
     # a multiple of 128.  Among the admissible tile sizes, minimise the
@@ -267,7 +291,30 @@ def _tiles(m: int, k: int, ndig: int = _NDIG) -> tuple[int, int, int]:
         if best is None or score < best[0]:
             best = (score, tm_c, mp_c)
     _, tm, mp = best
+    if _live_bytes(tm, tr, k, ndig) > 15_000_000:
+        # long-K contractions (8K image axes): the k*tr operand-tile
+        # term dominates; fall to minimum tiles before giving up
+        tm, tr = 128, 128
+        mp = -(-m // tm) * tm
+        if _live_bytes(tm, tr, k, ndig) > 15_500_000:
+            raise ValueError(
+                f"i8 kernel VMEM working set for K={k} ({ndig} digits) "
+                "exceeds the ~16 MB budget even at minimum tiles; use "
+                "the exact/hilo contraction for this axis")
     return tm, tr, mp
+
+
+def i8_feasible(m: int, k: int, ndig: int = _NDIG) -> bool:
+    """Host-side planner probe: does a [m, k] digit contraction fit the
+    kernel's exact-int32 bound and VMEM budget?  Callers fall back to
+    the exact bf16-digit mode when not (core/transforms.plan_matrix)."""
+    if k > _kmax(ndig):
+        return False
+    try:
+        _tiles(m, -(-k // 128) * 128, ndig)
+    except ValueError:
+        return False
+    return True
 
 
 def _use_interpret() -> bool:
@@ -308,13 +355,6 @@ def i8_contract(
     if da not in (_NDIG, _NDIG + 1):
         raise ValueError(f"expected {_NDIG} or {_NDIG + 1} digit planes, "
                          f"got {da}")
-    if x.shape[axis % x.ndim] >= (1 << 19):
-        # exact int32 accumulation: digit products are bounded by
-        # 64*64 = 2^12, so K = 2^19 can reach exactly 2^31 — one past
-        # int32 max.  K must stay strictly below 2^19.
-        raise ValueError(
-            f"i8 contraction length {x.shape[axis % x.ndim]} exceeds the "
-            "exact-int32 bound (< 2^19); split the axis or use exact/hilo")
     return _i8_dispatch(x, [digits_a[i] for i in range(da)],
                         jnp.asarray(scale_a), axis, m, kp)
 
@@ -333,10 +373,26 @@ def i8_contract_rt(x: jax.Array, a_f32: jax.Array, axis: int) -> jax.Array:
     return _i8_dispatch(x, ad, ea, axis, m, kp)
 
 
+def _kmax(ndig: int) -> int:
+    """Largest K with provably exact int32 group accumulation: digit
+    products are bounded by 64*64 = 2^12 and the kernels sum the
+    same-weight digit pairs *in int32* before the f32 cast — 3 dots in
+    the 3-digit kernel's w2 group, 4 in the deep kernel's w3 group —
+    so the bound is (2^31 - 1) / (group_dots * 2^12), not the single-
+    dot 2^19."""
+    group = 3 if ndig == 3 else 4
+    return ((1 << 31) - 1) // (group << 12)
+
+
 def _i8_dispatch(x, a_digits, scale_a, axis, m, kp):
     axis = axis % x.ndim
     nd = len(a_digits)
     k = x.shape[axis]
+    if k > _kmax(nd):
+        raise ValueError(
+            f"i8 contraction length {k} exceeds the exact-int32 "
+            f"accumulation bound ({_kmax(nd)} for {nd} digit planes); "
+            "split the axis or use exact/hilo")
     xf = jnp.asarray(x, jnp.float32)
     tm, tr, mp_ = _tiles(m, kp, nd)
     a = a_digits

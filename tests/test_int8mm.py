@@ -70,6 +70,75 @@ def test_i8_apply_plan_roundtrip():
     assert np.max(np.abs(np.asarray(y, np.float64) - x)) <= 1e-4
 
 
+def test_i8_exactness_and_capacity_guards():
+    """K bounds follow the int32 group sums (3 dots in the 3-digit
+    kernel's heaviest group, 4 in the deep kernel's — NOT the single-
+    dot 2^19), apply to BOTH entry points, and VMEM-infeasible shapes
+    raise cleanly instead of Mosaic's undiagnosable compile failure
+    (round-4 review)."""
+    from dspfun_tpu.ops.int8mm import (
+        _kmax, _tiles, i8_contract_rt, i8_feasible,
+    )
+
+    assert _kmax(3) == ((1 << 31) - 1) // (3 << 12)
+    assert _kmax(4) == (1 << 17) - 1
+    big = jnp.zeros((4, _kmax(3) + 1), jnp.float32)
+    digs, sc = split_matrix_i8(np.ones((8, big.shape[1])))
+    with pytest.raises(ValueError, match="exact-int32"):
+        i8_contract(big, jnp.asarray(digs), jnp.asarray(sc), 1)
+    with pytest.raises(ValueError, match="exact-int32"):
+        i8_contract_rt(big, jnp.ones((8, big.shape[1]), jnp.float32), 1)
+
+    # 8K-class K: the 3-digit kernel falls to minimum 128x128 tiles
+    # (the 256-wide operand tile alone would blow the ~16 MB VMEM
+    # budget); the deep kernel genuinely does not fit and must say so
+    assert _tiles(7680, 7680, 3)[:2] == (128, 128)
+    with pytest.raises(ValueError, match="VMEM"):
+        _tiles(7680, 7680, 4)
+    assert i8_feasible(7680, 7680, 3)
+    assert not i8_feasible(7680, 7680, 4)
+    # the calibrated benchmark shapes keep their round-4 tile choices
+    assert _tiles(3840, 3840, 3) == (256, 256, 3840)
+    assert _tiles(3840, 3840, 4)[:2] == (128, 256)
+
+
+def test_i8_plan_falls_back_to_exact_when_infeasible():
+    """plan_matrix(i8, deep) on an 8K-class contraction silently falls
+    back to the bf16-digit exact mode (same accuracy class, no kernel
+    K/VMEM limits) instead of raising at trace time."""
+    from dspfun_tpu.core.transforms import plan_matrix
+
+    rng = np.random.default_rng(5)
+    m = rng.random((64, 7680)) - 0.5
+    plan = plan_matrix(m, Precision(intermediate="i8", tol=1e-6))
+    assert np.asarray(plan.digits).dtype == jnp.bfloat16  # exact mode
+    x = rng.random((7680, 4)).astype(np.float32)
+    y = np.asarray(apply_plan(jnp.asarray(x), plan, 0,
+                              Precision(intermediate="i8", tol=1e-6)))
+    ref = m @ x.astype(np.float64)
+    assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-6
+
+
+def test_scale_down_exact_for_extreme_exponents():
+    """scale_down keeps x*2^-e exact past e=126 (single-factor exp2i
+    clamps there and silently corrupted slices with maxes >= 2^125);
+    beyond the digit domain the unscale is loudly non-finite."""
+    from dspfun_tpu.ops.int8mm import exp2i, log2_ceil1, scale_down
+
+    x = jnp.asarray([1.5e38, 2.0**125, -3.0e38, 1.0], jnp.float32)
+    e = log2_ceil1(jnp.max(jnp.abs(x)))
+    r = np.asarray(scale_down(x, e), np.float64)
+    ref = np.asarray(x, np.float64) * 2.0 ** (-float(e))
+    # elements whose scaled value stays normal are exact; ones so far
+    # below the slice max that 2^-e*x is subnormal may flush to zero —
+    # they are below the digit truncation depth either way
+    normal = np.abs(ref) >= 2.0**-126
+    np.testing.assert_array_equal(r[normal], ref[normal])
+    assert np.all(np.abs(r[~normal]) <= 2.0**-126)
+    assert float(e) >= 128  # the range the old clamp corrupted
+    assert np.isinf(float(exp2i(e)))  # unscale: loud, not silent
+
+
 def test_i8_fused_chain_pruned():
     import scipy.fft
 

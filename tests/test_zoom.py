@@ -294,6 +294,57 @@ def test_device_basis_accurate_centered_inexact_k():
                                     1920, 1080, "interpolated")
 
 
+def test_native_device_basis_fold_accuracy():
+    """Integer-rational native scales fold the phase exactly in int32
+    (b*j*den mod 2*l*num); the direct f32 phase carried ~1.5e-4 error
+    at a 4x native zoom of 1k px while device_basis_accurate still
+    declared it accurate (round-4 review)."""
+    import jax.numpy as jnp
+
+    for (l, num, den, off, nvec) in [(1024, 4, 1, 0.0, 4096),
+                                     (480, 4, 1, 7.25, 1920),
+                                     (512, 3, 2, -1.5, 768)]:
+        host = zp.padded_zoom_basis("native", num, den, off, nvec, l)
+        dev = np.asarray(zp._device_basis(
+            jnp.asarray(2), jnp.asarray(float(num)), jnp.asarray(float(den)),
+            jnp.asarray(float(off)), nvec, l, jnp.float32))
+        err = float(np.max(np.abs(dev - host)))
+        assert err < 5e-6, (l, num, den, off, err)
+
+
+def test_device_basis_accurate_native_gate():
+    """Native scaling: integer num/den ride the exact fold; fractional
+    scales and offsets past the f32 criterion route to the host
+    basis."""
+    acc = zp.device_basis_accurate
+    assert acc(4096, 4096, 0, 0, (4, 1), (4, 1), 1024, 1024, "native")
+    assert not acc(4096, 4096, 0, 0, (3.7, 1), (3.7, 1), 1024, 1024,
+                   "native")
+    assert not acc(4096, 4096, 9e6, 0, (4, 1), (4, 1), 1024, 1024, "native")
+
+
+def test_zoom_device_sharded_matches_device():
+    """The in-graph-basis sharded path (output rows over 'space', the
+    per-shard row start threaded as exact integer b0) matches the
+    single-device in-graph path on every scaling type."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dspfun_tpu.parallel.mesh import make_mesh
+
+    mesh8 = make_mesh(8, space=8, time=1)
+    img = make_image(12, 16)
+    spec = zp.forward_spectrum(img)
+    for st in ("interpolated", "centered", "native"):
+        one = np.asarray(zp.zoom_frame_device(spec, st, (3, 1), (3, 1),
+                                              0.5, -0.25, 48, 33))
+        meshed = np.asarray(zp.zoom_frame_sharded(spec, st, (3, 1), (3, 1),
+                                                  0.5, -0.25, 48, 33, mesh8))
+        np.testing.assert_allclose(meshed, one, atol=2e-5, rtol=1e-5,
+                                   err_msg=st)
+
+
 def test_zoom_planned_fuzz_vs_oracle():
     """Randomized (size, scaling type, rational scale, offset, view)
     draws through the planned host-f64-basis path vs the independent
