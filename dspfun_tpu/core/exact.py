@@ -106,24 +106,15 @@ def _split_operand_digits(x: jnp.ndarray, B: int, axis: int,
     """Runtime digit split of an f32 operand.  Scales are per
     contraction *slice* (max along ``axis``, the Ozaki blocking), so
     dynamic range across output elements costs nothing; returns
-    (digit list, log2-scale array with ``axis`` kept as size 1)."""
-    from dspfun_tpu.ops.int8mm import log2_ceil1, scale_down  # noqa: PLC0415
+    (digit list, log2-scale array with ``axis`` kept as size 1).
+    The scale/round/subtract core is shared with the int8 path
+    (int8mm.split_operand_digits_jnp: exact exponent-field scaling,
+    no log2/exp2 approximations)."""
+    from dspfun_tpu.ops.int8mm import split_operand_digits_jnp  # noqa: PLC0415
 
     x = jnp.asarray(x, jnp.float32)
-    m = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
-    # exact exponent-field scaling (see int8mm.log2_ceil1): r strictly
-    # inside (-1/2, 1/2), digit bounds proven without a log2 approx
-    # (scale_down keeps the 2^-e factor exact past e = 126)
-    e = jnp.where(m > 0, log2_ceil1(m), 0.0)
-    r = scale_down(x, e)
-    nd = -(-x_bits // B)
-    out = []
-    for j in range(nd):
-        sc = float(2.0 ** (B * (j + 1)))
-        d = jnp.round(r * sc)
-        r = r - d / sc
-        out.append(d.astype(jnp.bfloat16))
-    return out, e
+    return split_operand_digits_jnp(x, axis, B, -(-x_bits // B),
+                                    jnp.bfloat16)
 
 
 def exact_contract(

@@ -38,6 +38,7 @@ import numpy as np
 from dspfun_tpu.core import basis as basis_mod
 from dspfun_tpu.core.precision import Precision, get_precision
 from dspfun_tpu.core.transforms import dct2_nd, plan_matrix, apply_plan_nd
+from dspfun_tpu.ops.int8mm import ceil_to
 from dspfun_tpu.ops.scan_order import ScanOrder
 
 __all__ = ["ScanPlan", "plan_scan", "ScanChunkResult", "scan_chunks", "forward_coeffs"]
@@ -450,7 +451,7 @@ def scan_chunks(
     plans_inv_src = plan.plans_inv
     if mesh is not None:
         ns = mesh.shape["space"]
-        hp = -(-h // ns) * ns
+        hp = ceil_to(h, ns)
         if hp != h:
             plans_inv_src = (_pad_plan_rows(plans_inv_src[0], hp),
                              plans_inv_src[1])

@@ -29,6 +29,7 @@ import numpy as np
 from dspfun_tpu.core import basis as basis_mod
 from dspfun_tpu.core.precision import Precision, get_precision
 from dspfun_tpu.core.transforms import apply_plan_nd, dct2_nd, plan_matrix
+from dspfun_tpu.ops.int8mm import ceil_to
 
 __all__ = [
     "forward_spectrum",
@@ -431,7 +432,7 @@ def zoom_frame_sharded(
     extends past the view, so rows pad up to the space axis and the
     extras are sliced off."""
     ns = mesh.shape["space"]
-    vhp = -(-vh // ns) * ns
+    vhp = ceil_to(vh, ns)
     out = _zoom_frame_sharded(
         spectrum, jnp.asarray(_SCALING_IDS[scaling_type]),
         jnp.asarray(float(xscale[0])), jnp.asarray(float(xscale[1])),
@@ -493,7 +494,7 @@ def zoom_frame(
                                    vw, vh, w, h, p)
         return _synthesize(spectrum, plan_y, plan_x, p, encode_trc)
     ns = mesh.shape["space"]
-    vhp = -(-vh // ns) * ns
+    vhp = ceil_to(vh, ns)
     plan_y, plan_x = zoom_plan(scaling_type, xscale, yscale, vx, vy,
                                vw, vhp, w, h, p)
     out = _synthesize_sharded(spectrum, plan_y, plan_x, mesh, p, encode_trc)

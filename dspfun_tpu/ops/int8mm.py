@@ -46,8 +46,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["B_I8", "I8_DEEP_TOL", "split_matrix_i8", "i8_contract",
-           "i8_contract_rt", "i8_feasible"]
+__all__ = ["B_I8", "I8_DEEP_TOL", "ceil_to", "split_matrix_i8",
+           "i8_contract", "i8_contract_rt", "i8_feasible"]
+
+
+def ceil_to(n: int, m: int) -> int:
+    """``n`` rounded up to the next multiple of ``m`` (tile/lane/shard
+    padding — shared so the idiom is written once)."""
+    return -(-n // m) * m
+
 
 B_I8 = 7          # digit width: |digit| <= 64 after half-range scaling
 _NDIG = 3         # 3 digits cover ~22 bits below each row/slice max
@@ -79,7 +86,7 @@ def split_matrix_i8(m: np.ndarray, ndig: int = _NDIG):
         r = r - d / sc
         digs.append(d.astype(np.int8))
     digits = np.stack(digs)
-    kp = -(-k // 128) * 128
+    kp = ceil_to(k, 128)
     if kp != k:
         digits = np.pad(digits, ((0, 0), (0, 0), (0, kp - k)))
     return digits, (2.0**e).astype(np.float32)
@@ -123,6 +130,27 @@ def scale_down(x: jax.Array, e: jax.Array) -> jax.Array:
     return (x * exp2i(-h1)) * exp2i(-(e - h1))
 
 
+def split_operand_digits_jnp(x: jax.Array, axis: int, bwidth: int,
+                             ndig: int, dtype):
+    """Shared runtime (in-graph) digit split: per-slice exact
+    power-of-two scaling along ``axis`` (log2_ceil1/scale_down, so
+    every digit provably fits ``+-2^(bwidth-1)``) then the round/
+    subtract loop — each step error-free (Sterbenz).  Serves both the
+    int8 kernel path (``bwidth=7, int8``) and the exact bf16-digit
+    path (core/exact.py) so a scaling fix lands in one place.
+    Returns (digit arrays, log2-scale ``e`` with ``axis`` kept)."""
+    mx = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    e = jnp.where(mx > 0, log2_ceil1(mx), 0.0)
+    r = scale_down(x, e)
+    out = []
+    for i in range(ndig):
+        sc = float(2.0 ** (bwidth * (i + 1)))
+        d = jnp.round(r * sc)
+        r = r - d * (1.0 / sc)
+        out.append(d.astype(dtype))
+    return out, e
+
+
 def _split_operand_xla(x: jax.Array, axis: int, ndig: int = _NDIG):
     """XLA (pre-kernel) digit split of an f32 operand with per-slice
     scaling along ``axis``: a handful of fused elementwise HBM passes —
@@ -130,15 +158,7 @@ def _split_operand_xla(x: jax.Array, axis: int, ndig: int = _NDIG):
     full-tile VPU passes per grid step were the kernel bottleneck).
     Returns (``ndig`` int8 digit arrays, exp2-scale with ``axis``
     kept)."""
-    mx = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
-    e = jnp.where(mx > 0, log2_ceil1(mx), 0.0)
-    r = scale_down(x, e)
-    out = []
-    for i in range(ndig):
-        sc = float(2.0 ** (B_I8 * (i + 1)))
-        d = jnp.round(r * sc)
-        r = r - d * (1.0 / sc)
-        out.append(d.astype(jnp.int8))
+    out, e = split_operand_digits_jnp(x, axis, B_I8, ndig, jnp.int8)
     return out, exp2i(e)
 
 
@@ -286,7 +306,7 @@ def _tiles(m: int, k: int, ndig: int = _NDIG) -> tuple[int, int, int]:
     for tm_c in (512, 384, 256, 128):
         if tm_c > cap:
             continue
-        mp_c = -(-m // tm_c) * tm_c
+        mp_c = ceil_to(m, tm_c)
         score = mp_c * (1.0 + 32.0 / tm_c)
         if best is None or score < best[0]:
             best = (score, tm_c, mp_c)
@@ -295,7 +315,7 @@ def _tiles(m: int, k: int, ndig: int = _NDIG) -> tuple[int, int, int]:
         # long-K contractions (8K image axes): the k*tr operand-tile
         # term dominates; fall to minimum tiles before giving up
         tm, tr = 128, 128
-        mp = -(-m // tm) * tm
+        mp = ceil_to(m, tm)
         if _live_bytes(tm, tr, k, ndig) > 15_500_000:
             raise ValueError(
                 f"i8 kernel VMEM working set for K={k} ({ndig} digits) "
@@ -311,7 +331,7 @@ def i8_feasible(m: int, k: int, ndig: int = _NDIG) -> bool:
     if k > _kmax(ndig):
         return False
     try:
-        _tiles(m, -(-k // 128) * 128, ndig)
+        _tiles(m, ceil_to(k, 128), ndig)
     except ValueError:
         return False
     return True
@@ -323,7 +343,7 @@ def _use_interpret() -> bool:
 
 def _pad_axis(x, axis, mult):
     n = x.shape[axis]
-    np_ = -(-n // mult) * mult
+    np_ = ceil_to(n, mult)
     if np_ == n:
         return x, n
     width = [(0, 0)] * x.ndim
@@ -366,7 +386,7 @@ def i8_contract_rt(x: jax.Array, a_f32: jax.Array, axis: int) -> jax.Array:
     from four traced scalars per frame, models/zoom_pipeline.py)."""
     af = jnp.asarray(a_f32, jnp.float32)
     m, k = af.shape
-    kp = -(-k // 128) * 128
+    kp = ceil_to(k, 128)
     if kp != k:
         af = jnp.pad(af, ((0, 0), (0, kp - k)))
     ad, ea = _split_operand_xla(af, 1)     # per-row slice scaling

@@ -14,6 +14,7 @@ import numpy as np
 
 from dspfun_tpu.io import images
 from dspfun_tpu.models.spec_pipeline import spec_forward
+from dspfun_tpu.ops.int8mm import ceil_to
 from dspfun_tpu.tools._speccli import SPEC_HELP, SpecOpts, resolve_io, spec_opt_proc
 
 USAGE = "Usage: spec -h -g -c csp -t (abs|shift|flat|sign|copy) -R (one|dc|dcs) -T (linear|log) -S (abs|shift|saturate|retain) -G (native|reference|custom(float)) -M mesh <infile> <outfile>"
@@ -58,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
 
         h0, w0 = x.shape[:2]
         ns = mesh.shape["space"]
-        hp, wp = -(-h0 // ns) * ns, -(-w0 // ns) * ns
+        hp, wp = ceil_to(h0, ns), ceil_to(w0, ns)
         xp = np.asarray(x, np.float32)
         if (hp, wp) != (h0, w0):  # zero-pad; the padded basis rows/cols
             xp = np.pad(xp, ((0, hp - h0), (0, wp - w0), (0, 0)))  # are zero
