@@ -321,12 +321,25 @@ def maybe_kron_plans(g: PlaneGeometry, params: MotionParams,
     support = np.flatnonzero(bpm != 0.0)
     if support.size > vol * max_support_frac:
         return None
+    from dspfun_tpu.ops.int8mm import i8_feasible  # noqa: PLC0415
+
+    # both folded contractions must fit the int8 kernels' exact-int32
+    # and VMEM domain ([S, V] contracts K=V, [V, S] contracts K=S);
+    # otherwise plan_matrix would silently fall back to bf16 digits,
+    # which filter_blocks' i8_contract branch cannot consume — probing
+    # first also skips the big [V, V] host kron build for large V
+    if not (i8_feasible(support.size, vol) and
+            i8_feasible(vol, support.size)):
+        return None
     prec = Precision(coeff="float32", intermediate="i8", tol=1e-5)
     k2 = kron_dct_matrix(dims3, "dct2")[support, :] \
         * (uf * bpm)[support][:, None]
     k3 = (kron_dct_matrix(dims3, "dct3")[:, support] / (8.0 * vol)) \
         * (1.0 / uf)[None, support]
-    return plan_matrix(k2, prec), plan_matrix(k3, prec)
+    p2, p3 = plan_matrix(k2, prec), plan_matrix(k3, prec)
+    assert np.asarray(p2.digits).dtype == np.int8  # guarded by the probe
+    assert np.asarray(p3.digits).dtype == np.int8
+    return p2, p3
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "params", "plane_index", "nplanes"))

@@ -432,8 +432,9 @@ def scan_chunks(
     the sRGB OETF to the emitted panes on device; ``inter_mode``
     ("unit" | "minmax") produces the display-ready intermediates pane
     on device (``ScanChunkResult.inter``).  With ``mesh``, output rows
-    shard over the mesh 'space' axis (requires H %% space == 0 and
-    inter_mode != "minmax").  ``packer`` (io/device_pack.make_packer)
+    shard over the mesh 'space' axis — any height (rows zero-pad
+    internally) and any inter_mode (minmax reduces its extrema across
+    shards).  ``packer`` (io/device_pack.make_packer)
     packs frames to container payload bytes ON DEVICE and the result
     carries ``payload`` instead of float ``sums`` — 4-12x less
     device->host traffic for integer-format outputs (the emission

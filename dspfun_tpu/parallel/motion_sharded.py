@@ -33,6 +33,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -44,6 +45,7 @@ __all__ = [
     "supports_volume_params",
     "volume_mesh_compatible",
     "motion_filter_volume_sharded",
+    "coded_count",
 ]
 
 
@@ -94,8 +96,10 @@ def motion_filter_volume_sharded(
     """Whole-clip single-block motion chain, sharded over the mesh.
 
     Returns (out_volume [T, H, W] with the input sharding, coded count
-    as a replicated scalar array).  Matches filter_blocks on a
-    [1, T, H, W] batch elementwise (same matmuls, same chain order).
+    as a replicated [hi, lo] base-2^15 limb pair — combine with
+    :func:`coded_count`; pod-scale counts can exceed int32).  Matches
+    filter_blocks on a [1, T, H, W] batch elementwise (same matmuls,
+    same chain order).
     """
     g = geom
     p = params
@@ -105,9 +109,19 @@ def motion_filter_volume_sharded(
         raise ValueError("volume path requires block == scaled == volume dims")
     if not volume_mesh_compatible((t, h, w), mesh):
         raise ValueError(f"volume {t}x{h}x{w} does not divide mesh {dict(mesh.shape)}")
-    fn = _volume_fn(mesh, geom, params, plane_index, nplanes, int(bz),
+    # bz only feeds the --eval expression environment: keep it out of
+    # the trace cache key otherwise, or every slab of a multi-slab run
+    # would recompile the whole sharded program
+    fn = _volume_fn(mesh, geom, params, plane_index, nplanes,
+                    int(bz) if params.expr is not None else 0,
                     prec, t, h, w)
     return fn(volume)
+
+
+def coded_count(c) -> int:
+    """Combine the [hi, lo] limb pair the volume path returns."""
+    hi, lo = (int(v) for v in np.asarray(c))
+    return (hi << 15) + lo
 
 
 @functools.lru_cache(maxsize=32)
@@ -285,13 +299,16 @@ def _volume_fn(mesh, geom, params, plane_index, nplanes, bz, prec, t, h, w):
                     )
 
         # --- quantize (motion.c:740-744) --------------------------------
-        coded = jnp.zeros((), jnp.int32)
+        coded = jnp.zeros((2,), jnp.int32)
         if p.quant:
             quantizer = p.quant * 8.0 * math.sqrt(svol)
             M = jnp.round(M / quantizer) * quantizer
-            coded = jax.lax.psum(
-                jax.lax.psum(jnp.sum(M != 0, dtype=jnp.int32), "space"), "time"
-            )
+            # two base-2^15 int32 limbs: a pod-wide count can exceed
+            # 2^31 nonzero coefficients (the very scale this path
+            # exists for), which a single-int32 psum would wrap
+            cnt = jnp.sum(M != 0, dtype=jnp.int32)
+            limbs = jnp.stack([cnt >> 15, cnt & 0x7FFF])
+            coded = jax.lax.psum(jax.lax.psum(limbs, "space"), "time")
 
         # --- inverse / spectrogram output (motion.c:746-771) ------------
         if not p.spec:

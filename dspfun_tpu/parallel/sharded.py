@@ -28,6 +28,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -162,10 +163,7 @@ def shard_blocks_filter(
     counts are sliced off, so padding never changes the result).
     Plans/scalars replicate.
     """
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from dspfun_tpu.models.motion_pipeline import filter_blocks
+    import numpy as np  # noqa: PLC0415
 
     n_space = mesh.shape["space"]
     nb = blocks.shape[0]

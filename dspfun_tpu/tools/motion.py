@@ -565,7 +565,7 @@ def main(argv: list[str] | None = None) -> int:
                         import jax.experimental.multihost_utils as mhu  # noqa: PLC0415
 
                         out = mhu.process_allgather(out, tiled=True)
-                    coded += int(np.asarray(c))
+                    coded += msh.coded_count(c)
                     out_planes.append(np.asarray(out))
                     continue
                 blocks = mp.frames_to_blocks(frames, g)

@@ -327,8 +327,8 @@ def main(argv: list[str] | None = None) -> int:
     frame_count = 0
     try:
         # --mesh: shard reconstruction rows over the mesh 'space' axis
-        # (collective-free; coefficients replicate).  minmax
-        # intermediates need global extrema and stay single-device.
+        # (collective-free; coefficients replicate; any height — rows
+        # pad internally — and any intermediates mode).
         mesh = None
         from dspfun_tpu.parallel.mesh import mesh_from_spec  # noqa: PLC0415
 

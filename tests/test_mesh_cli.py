@@ -86,7 +86,33 @@ def _volume_vs_blocks(g, params, frames, mesh, bz=0, atol=2e-3):
     np.testing.assert_allclose(
         np.asarray(out_s), np.asarray(ref)[0], atol=atol, rtol=1e-6
     )
-    assert int(np.asarray(coded_s)) == int(np.asarray(coded_ref).sum())
+    assert msh.coded_count(coded_s) == int(np.asarray(coded_ref).sum())
+
+
+def test_coded_count_limbs():
+    """The volume path's coded count travels as [hi, lo] base-2^15
+    int32 limbs so pod-scale counts past 2^31 survive the psum."""
+    big = 3 * (1 << 31) + 12345  # > int32 in combined form
+    limbs = np.asarray([big >> 15, big & 0x7FFF], np.int64)
+    assert msh.coded_count(limbs) == big
+
+
+def test_volume_fn_cache_ignores_bz_without_expr(whole_clip_geom, vol_frames,
+                                                 mesh42):
+    """bz only feeds --eval; without an expression a multi-slab run
+    must reuse one compiled program instead of retracing per slab."""
+    g = whole_clip_geom
+    params = mp.MotionParams(damp=0.5)
+    vol = jax.device_put(jnp.asarray(vol_frames, jnp.float32),
+                         msh.volume_sharding(mesh42))
+    before = msh._volume_fn.cache_info()
+    out0, _ = msh.motion_filter_volume_sharded(
+        vol, mesh42, geom=g, params=params, plane_index=0, nplanes=1, bz=0)
+    out1, _ = msh.motion_filter_volume_sharded(
+        vol, mesh42, geom=g, params=params, plane_index=0, nplanes=1, bz=1)
+    after = msh._volume_fn.cache_info()
+    assert after.misses == before.misses + 1  # second slab: cache hit
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
 
 
 @pytest.fixture(scope="module")

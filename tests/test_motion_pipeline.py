@@ -270,3 +270,27 @@ def test_maybe_kron_plans_gates():
     g2 = mp.plan_geometry(16, 16, 4, 1, block=mp.Dims(8, 8, 4),
                           bp_end=mp.Dims(4, 4, 2))[0]
     assert mp.maybe_kron_plans(g2, ok, allow_cpu=True) is None
+    # volume past the int8 kernels' K bound / VMEM budget: must return
+    # None (plan_matrix would fall back to bf16 digits, which the
+    # i8-kron branch cannot consume — round-4 review, confirmed crash
+    # at 24^3 blocks) — and the probe must fire BEFORE the [V, V] host
+    # kron build
+    g3 = mp.plan_geometry(48, 48, 24, 1, block=mp.Dims(24, 24, 24),
+                          bp_end=mp.Dims(6, 6, 6))[0]
+    assert mp.maybe_kron_plans(g3, ok, allow_cpu=True) is None
+    # ...and filter_blocks still runs the volume on the xla-sep path
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    frames = rng.random((24, 48, 48)).astype(np.float32) * 255
+    blocks = mp.frames_to_blocks(frames, g3)
+    nb = blocks.shape[0]
+    bc = (jnp.zeros(nb, jnp.int32), jnp.zeros(nb, jnp.int32))
+    base = mp.make_plans(g3)
+    out, _ = mp.filter_blocks(jnp.asarray(blocks),
+                              (*base, mp.maybe_kron_plans(g3, ok,
+                                                          allow_cpu=True)),
+                              bc, jnp.asarray(0), geom=g3, params=ok,
+                              plane_index=0, nplanes=1)
+    assert mp.LAST_FAST_PATH == "xla-sep"
+    assert np.isfinite(np.asarray(out)).all()
