@@ -250,7 +250,11 @@ def _frame_table_payload() -> list[tuple[int, dict]]:
         (FLAG_INVALID, {"count": 1}),                  # framecode 0
         (frame_flags, {"count": 1}),                   # framecode 1
         (frame_flags | FLAG_STREAM_ID, {"count": 1}),  # framecode 2
-        (FLAG_INVALID, {"count": 253}),                # 3..255 (incl. 'N')
+        # 3..255: 'N' (0x4E) is reserved and consumes NO count per the
+        # spec's table-filling loop — 252 entries, not 253 (ffmpeg's
+        # decode_main_header rejects count > 256 - (i <= 'N') - i, so
+        # 253 made every written file unreadable by libavformat)
+        (FLAG_INVALID, {"count": 252}),
     ]
 
 
@@ -375,7 +379,8 @@ class NutParseState:
         self.max_distance = 65536
         self.streams: list[dict] = []
         self.info: dict[str, str] = {}
-        self.last_pts = 0
+        self.last_pts: dict[int, int] = {}   # per-stream pts prediction
+        self.sync_pts = 0                     # reset value at syncpoints
         self.last_payload = (0, 0, 0)
 
     # -- header parsing ---------------------------------------------------
@@ -477,9 +482,11 @@ class NutParseState:
     # -- frame parsing ----------------------------------------------------
 
     def parse_frame_header(self, stream, framecode: int,
-                           skip_data: bool = False):
+                           skip_data: bool = False, end: int | None = None):
         """Returns (stream_id, pts, data) or raises; ``skip_data``
-        seeks past the payload (frame counting)."""
+        seeks past the payload (frame counting; ``end`` is the
+        caller's cached end-of-file offset — computed here with two
+        extra seeks per frame otherwise)."""
         flags = self.flags[framecode]
         if flags & FLAG_INVALID:
             raise ValueError(f"invalid NUT framecode {framecode}")
@@ -502,17 +509,22 @@ class NutParseState:
         sid = self.stream_id[framecode]
         if flags & FLAG_STREAM_ID:
             sid = get_v()
+        prev = self.last_pts.get(sid, self.sync_pts)
         if flags & FLAG_CODED_PTS:
             coded = get_v()
-            shift = self.streams[0]["msb_pts_shift"] if self.streams else MSB_PTS_SHIFT
+            # per-STREAM shift and prediction (the spec's pts model);
+            # one shared prediction decoded interleaved audio pts into
+            # the video stream's timeline
+            shift = (self.streams[sid]["msb_pts_shift"]
+                     if sid < len(self.streams) else MSB_PTS_SHIFT)
             if coded < (1 << shift):
                 mask = (1 << shift) - 1
-                delta = self.last_pts - mask // 2
+                delta = prev - mask // 2
                 pts = ((coded - delta) & mask) + delta
             else:
                 pts = coded - (1 << shift)
         else:
-            pts = self.last_pts + self.pts_delta[framecode]
+            pts = prev + self.pts_delta[framecode]
         if flags & FLAG_MATCH_TIME:
             get_v()  # match_time_delta (s coded; consumed as v is wrong —
             #          but only ever present with FLAG_CODED streams we
@@ -542,7 +554,7 @@ class NutParseState:
         nbytes = size - len(head)
         if nbytes < 0 or nbytes > _MAX_FRAME:
             raise _Damaged("implausible NUT frame size")
-        self.last_pts = pts
+        self.last_pts[sid] = pts
         if skip_data:
             # (payload offset, raw byte count, elided head bytes) for
             # the native indexed reader's offset scan.  Validate the
@@ -550,9 +562,10 @@ class NutParseState:
             # truncated final frame must count the same as a resynced
             # read would deliver (i.e. not at all).
             off = stream.tell()
-            end = stream.seek(0, os.SEEK_END)
-            if off + nbytes > end:
+            if end is None:
+                end = stream.seek(0, os.SEEK_END)
                 stream.seek(off)
+            if off + nbytes > end:
                 raise _Damaged("truncated NUT frame")
             self.last_payload = (off, nbytes, len(head))
             stream.seek(off + nbytes)
@@ -649,7 +662,12 @@ class NutReader:
                     p = _Parser(payload)
                     tt = p.get_v()
                     nb = max(len(st.time_bases), 1)
-                    st.last_pts = tt // nb
+                    # reset every stream's pts prediction to the
+                    # syncpoint's global pts (single shared timebase
+                    # in our files; foreign multi-timebase streams are
+                    # approximated by the same value)
+                    st.sync_pts = tt // nb
+                    st.last_pts = {}
                 # index: ignored
                 continue
             if parse_only_headers and not st.streams:
@@ -715,7 +733,10 @@ class NutReader:
             return None
         pos = s.tell()
         pending = self._pending
-        last_pts = self.state.last_pts
+        last_pts = dict(self.state.last_pts)
+        sync_pts = self.state.sync_pts
+        end = s.seek(0, os.SEEK_END)
+        s.seek(pos)
         offs: list[int] | None = []
         try:
             fc = pending
@@ -724,8 +745,8 @@ class NutReader:
                     fc = self._read_until_frame()
                 if fc is None:
                     break
-                sid, _, _ = self.state.parse_frame_header(s, fc,
-                                                          skip_data=True)
+                sid, _, _ = self.state.parse_frame_header(
+                    s, fc, skip_data=True, end=end)
                 fc = None
                 if sid != 0:
                     continue
@@ -742,6 +763,7 @@ class NutReader:
             s.seek(pos)
             self._pending = pending
             self.state.last_pts = last_pts
+            self.state.sync_pts = sync_pts
         return offs
 
     def count_frames(self) -> int | None:
@@ -752,7 +774,10 @@ class NutReader:
             return None
         pos = s.tell()
         pending = self._pending
-        last_pts = self.state.last_pts
+        last_pts = dict(self.state.last_pts)
+        sync_pts = self.state.sync_pts
+        end = s.seek(0, os.SEEK_END)
+        s.seek(pos)
         n = 0
         try:
             fc = pending
@@ -763,7 +788,7 @@ class NutReader:
                     if fc is None:
                         break
                     sid, _, _ = self.state.parse_frame_header(
-                        s, fc, skip_data=True)
+                        s, fc, skip_data=True, end=end)
                 except ValueError as e:
                     # damaged packet: count what a resynced read would
                     # deliver
@@ -778,4 +803,5 @@ class NutReader:
             s.seek(pos)
             self._pending = pending
             self.state.last_pts = last_pts
+            self.state.sync_pts = sync_pts
         return n

@@ -28,6 +28,7 @@ SMPTE170M; image2 implies full-range sRGB).
 from __future__ import annotations
 
 import dataclasses
+import io
 import os
 import re
 import sys
@@ -408,6 +409,8 @@ class _HeaderedReader(VideoReader):
             return
         pos = self._stream.tell()
         fsize = self.pix_fmt.frame_bytes(self.width, self.height)
+        end = self._stream.seek(0, os.SEEK_END)
+        self._stream.seek(pos)
         n = 0
         while True:
             line = self._stream.readline()
@@ -415,6 +418,11 @@ class _HeaderedReader(VideoReader):
                 break
             if not line.startswith(b"FRAME"):
                 raise ValueError(f"bad frame marker in {self.spec!r}")
+            if self._stream.tell() + fsize > end:
+                # truncated final frame (interrupted write): read_frame
+                # will return None for it, so counting it would make
+                # callers (motion's source_d sizing) abort mid-run
+                break
             self._stream.seek(fsize, os.SEEK_CUR)
             n += 1
         self.frames = n
@@ -742,31 +750,40 @@ class NutVideoReader(VideoReader):
             # colorspace_type carries range class (nut.txt): >= 16 full
             cs = s0.get("colorspace_type", 0)
             self.props.color_range = "jpeg" if cs >= 16 or cs == 0 else "mpeg"
-        self.frames = self._nr.count_frames()
-        # native indexed demux (round 4): the Python parser walked the
-        # packet structure; payload preads + the prefetch ring run in
-        # the C++ runtime (native/dspio.cpp dspio_open_indexed)
+        # ONE packet-structure walk at open: the payload-offset scan
+        # both indexes the native demuxer (round 4: payload preads +
+        # the prefetch ring run in the C++ runtime, native/dspio.cpp
+        # dspio_open_indexed) and yields the frame count; count_frames
+        # is the fallback when the scan bails (irregular payloads,
+        # header elision, damage) or the native path is unavailable.
         self._native = None
         self._prefetch = 4
-        if (self.frames and stream.seekable()
-                and spec not in ("-", "pipe:", "pipe:0")
+        offs = None
+        fb = self.pix_fmt.frame_bytes(self.width, self.height)
+        if (stream.seekable() and spec not in ("-", "pipe:", "pipe:0")
                 and os.path.exists(spec)):
             try:
                 from dspfun_tpu.io import native as _native  # noqa: PLC0415
 
                 if _native.available():
-                    fb = self.pix_fmt.frame_bytes(self.width, self.height)
                     offs = self._nr.scan_payload_offsets(fb)
-                    if offs:
-                        self._native = _native.NativeVideoReader(
-                            spec, prefetch=0,
-                            index=(offs, fb,
-                                   self.pix_fmt.plane_dims(self.width,
-                                                           self.height),
-                                   self.pix_fmt.dtype.itemsize,
-                                   (self.width, self.height),
-                                   (self.rate.numerator,
-                                    self.rate.denominator)))
+            except Exception:  # noqa: BLE001 — pure-Python fallback
+                offs = None
+        self.frames = (len(offs) if offs is not None
+                       else self._nr.count_frames())
+        if offs:
+            try:
+                from dspfun_tpu.io import native as _native  # noqa: PLC0415
+
+                self._native = _native.NativeVideoReader(
+                    spec, prefetch=0,
+                    index=(offs, fb,
+                           self.pix_fmt.plane_dims(self.width,
+                                                   self.height),
+                           self.pix_fmt.dtype.itemsize,
+                           (self.width, self.height),
+                           (self.rate.numerator,
+                            self.rate.denominator)))
             except Exception:  # noqa: BLE001 — pure-Python fallback
                 self._native = None
 
@@ -797,19 +814,14 @@ class NutVideoReader(VideoReader):
         if got is None:
             return None
         _, data = got
-        need = pf.frame_bytes(self.width, self.height)
-        if len(data) < need:
+        if len(data) < pf.frame_bytes(self.width, self.height):
             raise ValueError(f"{self.spec!r}: short NUT frame")
-        out = []
-        off = 0
-        for i, (w, h) in enumerate(pf.plane_dims(self.width, self.height)):
-            nb = w * h * pf.dtype.itemsize
-            arr = np.frombuffer(data[off:off + nb], dtype=pf.dtype).reshape(h, w)
-            out.append(np.array(arr) if raw
-                       else _dequantize_plane(arr, pf, i, self.props.color_range))
-            off += nb
+        # one plane split/dequantize implementation for every container
+        # (the y4m/fvid payload reader) — only the byte source differs
+        planes = _read_frame_payload(io.BytesIO(data), pf, self.width,
+                                     self.height, self.props, raw)
         self.frame_index += 1
-        return out
+        return planes
 
     def close(self) -> None:
         if getattr(self, "_native", None) is not None:
@@ -1038,6 +1050,54 @@ class NativeBackedReader(VideoReader):
             self._nr = None
 
 
+class _RecordingStream:
+    """Wraps a pipe while a native container probe runs, so the bytes
+    the probe consumed can be replayed to the ffmpeg bridge when the
+    content turns out foreign (a codec the native demuxer does not
+    carry).  ``stop()`` ends recording once the native open succeeds;
+    ``replay()`` yields a read-only stream of recorded + live bytes."""
+
+    def __init__(self, s):
+        self._s = s
+        self._rec: bytearray | None = bytearray()
+
+    def read(self, n=-1):
+        data = self._s.read(n)
+        if self._rec is not None and data:
+            self._rec += data
+        return data
+
+    def stop(self) -> None:
+        self._rec = None
+
+    def replay(self):
+        head = io.BytesIO(bytes(self._rec or b""))
+        live = self._s
+
+        class _Chain:
+            def read(self, n=-1):
+                out = head.read(n)
+                if n is None or n < 0:
+                    return out + (live.read() or b"")
+                if len(out) < n:
+                    out += live.read(n - len(out)) or b""
+                return out
+
+            def close(self):
+                try:
+                    live.close()
+                except OSError:
+                    pass
+
+        return _Chain()
+
+    def seekable(self):
+        return False
+
+    def close(self):
+        self._s.close()
+
+
 def open_input(spec: str, format: str | None = None,
                native: bool = True, options: str | None = None) -> VideoReader:
     """Open a video input (path, ``-`` pipe, or printf image pattern).
@@ -1067,12 +1127,27 @@ def open_input(spec: str, format: str | None = None,
         elif magic.startswith(b"nut/"):
             # native NUT demux; genuinely foreign codecs inside fall
             # back to the ffmpeg-binary bridge
+            pipe_src = (spec in ("-", "pipe:", "pipe:0")
+                        or not stream.seekable())
+            rec = _RecordingStream(stream) if pipe_src else stream
             try:
-                return NutVideoReader(stream, spec)
+                r = NutVideoReader(rec, spec)
+                if pipe_src:
+                    rec.stop()  # don't accumulate the whole stream
+                return r
             except ValueError:
-                stream.close()
                 from dspfun_tpu.io import ffmpeg_bridge  # noqa: PLC0415
 
+                if pipe_src:
+                    # the NUT probe consumed header bytes the bridge's
+                    # ffmpeg must also see: replay them ahead of the
+                    # still-live pipe (closing fd 0 and reopening '-'
+                    # by name would hand ffmpeg a dead, headerless
+                    # stdin)
+                    return ffmpeg_bridge.open_ffmpeg_input(
+                        spec, "nut", options=options,
+                        stdin_stream=rec.replay())
+                stream.close()
                 return ffmpeg_bridge.open_ffmpeg_input(spec, "nut",
                                                        options=options)
         elif spec in ("-", "pipe:", "pipe:0"):

@@ -118,8 +118,14 @@ static void set_planes_from_fvid(DspioReader* r) {
 
 // Parse one header line ending in '\n'.  Returns 0 on success.
 static int parse_header(DspioReader* r) {
-    char line[1024];
+    // y4m headers can exceed 1 KiB (long/many X parameters); a short
+    // fixed buffer would silently treat the header tail as frame data
+    // and misplace data_start.  64 KiB covers anything sane; if no
+    // newline fits, fail cleanly so open_input falls back to the
+    // pure-Python reader instead of indexing garbage.
+    char line[65536];
     if (!fgets(line, sizeof line, r->f)) return -1;
+    if (!strchr(line, '\n')) return -3;
     char* save = nullptr;
     char* tok = strtok_r(line, " \n", &save);
     if (!tok) return -1;

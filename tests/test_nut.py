@@ -281,6 +281,105 @@ def test_nut_resync_at_syncpoint(tmp_path):
         assert n == 3
 
 
+def test_nut_main_header_framecode_count_interop(tmp_path):
+    """ffmpeg's decode_main_header validates count <= 256 - (i <= 'N')
+    - i per table entry ('N' consumes NO count); 253 at i=3 made every
+    written file unreadable by libavformat (round-4 review)."""
+    path = tmp_path / "ic.nut"
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(str(path), 8, 6, Fraction(25), props) as wr:
+        wr.write_frame_rgb(np.zeros((6, 8, 3), np.float32))
+    from dspfun_tpu.io.nut import MAIN_STARTCODE
+
+    raw = path.read_bytes()
+    i0 = raw.index(MAIN_STARTCODE.to_bytes(8, "big")) + 8
+    p = _Parser(raw[i0 + 1:])          # 1-byte forward_ptr for our header
+    version = p.get_v()
+    assert version == 3
+    p.get_v()                          # stream_count
+    p.get_v()                          # max_distance
+    tb = p.get_v()
+    for _ in range(tb):
+        p.get_v(); p.get_v()
+    i = 0
+    while i < 256:
+        p.get_v()                      # tmp_flag
+        fields = p.get_v()
+        if fields > 0:
+            p.get_s()
+        if fields > 1:
+            p.get_v()
+        if fields > 2:
+            p.get_v()
+        if fields > 3:
+            p.get_v()
+        if fields > 4:
+            p.get_v()
+        count = p.get_v() if fields > 5 else 1
+        # ffmpeg nutdec check: 'N' is excluded from count
+        assert 0 < count <= 256 - (1 if i <= ord("N") else 0) - i, (i, count)
+        for j in range(count):
+            if i == ord("N"):
+                i += 1                 # reserved, consumes no count
+            i += 1
+    assert i == 256
+
+
+def test_nut_per_stream_pts_prediction(tmp_path):
+    """Interleaved frames of a second stream must not perturb the
+    video stream's pts prediction (the spec's per-stream model; a
+    shared last_pts decoded video pts through the audio timeline)."""
+    from dspfun_tpu.io.nut import (
+        MSB_PTS_SHIFT, NutWriter, SYNCPOINT_STARTCODE, _write_packet,
+        crc32_nut, put_v,
+    )
+
+    rng = np.random.default_rng(21)
+    frames = rng.random((3, 6, 8, 3)).astype(np.float32)
+    path = tmp_path / "pts.nut"
+    props = video.parse_color_props("pixel_format=gbrpf32le")
+    with open(path, "wb") as f:
+        nw = NutWriter(f, 8, 6, Fraction(25), video.PIXEL_FORMATS["gbrpf32le"],
+                       props)
+        nw.write_header()
+        nw._header_written = True
+
+        def frame(code, sid, coded_pts, payload):
+            hdr = bytearray([code])
+            if sid is not None:
+                put_v(hdr, sid)
+            put_v(hdr, coded_pts)
+            put_v(hdr, len(payload))
+            hdr.extend(crc32_nut(bytes(hdr)).to_bytes(4, "big"))
+            f.write(bytes(hdr))
+            f.write(payload)
+
+        for i, fr in enumerate(frames):
+            b = bytearray()
+            put_v(b, i)                # syncpoint resets prediction to i
+            put_v(b, 0)
+            _write_packet(f, SYNCPOINT_STARTCODE, bytes(b))
+            # audio-like frame on a WILDLY different pts scale
+            # (absolute coding), then the video frame with LSB-coded
+            # pts — the foreign-muxer form whose decode depends on the
+            # per-stream prediction
+            frame(2, 1, i * 48000 + (1 << MSB_PTS_SHIFT), b"\x11" * 9)
+            g = fr
+            vdata = b"".join([g[..., 1].tobytes(), g[..., 2].tobytes(),
+                              g[..., 0].tobytes()])
+            frame(1, None, i & 0x7F, vdata)
+    with open(path, "rb") as f:
+        nr = NutReader(f)
+        pts = []
+        while True:
+            r = nr.read_frame_bytes()
+            if r is None:
+                break
+            pts.append(r[0])
+    assert pts == [0, 1, 2]
+    assert nr.damaged == 0
+
+
 def test_nut_corrupt_length_field_recovers_overconsumed(tmp_path):
     """A corrupted forward_ptr (continuation bit set) makes the packet
     parser slurp bytes containing later good syncpoints; recovery must

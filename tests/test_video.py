@@ -151,3 +151,70 @@ def test_y4m_16bit_roundtrip(tmp_path):
     r.close()
     err = np.max(np.abs(np.stack(got) - frames))
     assert err <= 0.5 / 65535.0 + 1e-12, err
+
+
+def test_headered_truncated_count_matches_read(tmp_path):
+    """y4m/fvid frame counting must not count a truncated final frame
+    that read_frame will never deliver (the NUT parity fix's sibling;
+    motion sizes source_d from reader.frames and aborted mid-run)."""
+    props = V.parse_color_props("pixel_format=gbrpf32le")
+    rng = np.random.default_rng(30)
+    frames = rng.random((3, 6, 8, 3)).astype(np.float32)
+    for fmt in ("y4m", "fvid"):
+        path = str(tmp_path / f"t.{fmt}")
+        wprops = props if fmt == "fvid" else V.parse_color_props(
+            "pixel_format=yuv444p")
+        with V.open_output(path, 8, 6, Fraction(25), wprops,
+                           format=fmt) as w:
+            for f in frames:
+                w.write_frame_rgb(f)
+        raw = open(path, "rb").read()
+        cut = str(tmp_path / f"cut.{fmt}")
+        open(cut, "wb").write(raw[: len(raw) - 10])
+        for native in (False, True):
+            r = V.open_input(cut, native=native)
+            n = 0
+            while r.read_frame() is not None:
+                n += 1
+            assert n == 2, (fmt, native, n)
+            assert r.frames == 2, (fmt, native, r.frames)
+            r.close()
+
+
+def test_stdin_foreign_nut_replays_probe_bytes(monkeypatch):
+    """A foreign-codec NUT arriving on a PIPE must hand the bridge a
+    stream carrying the probe-consumed header bytes plus the live
+    rest — closing fd 0 and reopening '-' by name gave ffmpeg a dead,
+    headerless stdin (round-4 review)."""
+    import io as _io
+    from types import SimpleNamespace
+
+    from dspfun_tpu.io import ffmpeg_bridge
+    from dspfun_tpu.io.nut import NutWriter
+
+    buf = _io.BytesIO()
+    nw = NutWriter(buf, 8, 6, Fraction(25), SimpleNamespace(name="ffv1"),
+                   V.parse_color_props("pixel_format=yuv420p"))
+    nw.write_header()
+    buf.write(b"\x00" * 64)  # unread payload tail
+    raw = buf.getvalue()
+
+    captured = {}
+
+    def fake_open(spec, format=None, options=None, stdin_stream=None):
+        captured["bytes"] = stdin_stream.read(-1)
+        return "BRIDGE"
+
+    monkeypatch.setattr(ffmpeg_bridge, "open_ffmpeg_input", fake_open)
+
+    class Pipe(_io.BytesIO):
+        def seekable(self):
+            return False
+
+        def peek(self, n):
+            return self.getvalue()[self.tell():self.tell() + n]
+
+    monkeypatch.setattr(V, "_open_stream_in", lambda spec: Pipe(raw))
+    r = V.open_input("-")
+    assert r == "BRIDGE"
+    assert captured["bytes"] == raw  # nothing lost to the failed probe
