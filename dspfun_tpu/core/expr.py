@@ -186,7 +186,9 @@ def _funcs(xp) -> Mapping[str, Callable]:
         "floor": lambda a: xp.floor(a[0]),
         "ceil": lambda a: xp.ceil(a[0]),
         "trunc": lambda a: xp.trunc(a[0]),
-        "round": lambda a: xp.round(a[0]),
+        # C round(): half away from zero (numpy's round is half-even —
+        # round(0.5) would be 0 instead of av_expr's 1)
+        "round": lambda a: xp.sign(a[0]) * xp.floor(xp.abs(a[0]) + 0.5),
         # ffmpeg eval.c e_mod is floor-based: a - floor(a/b)*b (differs
         # from C fmod for negative operands)
         "mod": lambda a: a[0] - xp.floor(a[0] / a[1]) * a[1],

@@ -156,6 +156,22 @@ def spec_forward(
     return f, dc
 
 
+def signmap_restore(f, signmap, xp=jnp):
+    """Sign restoration for ``abs`` spectrums from a ``spec -t sign``
+    map (reference ispec.c:87-98): bytes >= 128 mean positive
+    (copysign(f, tmp-128)), the DC texel keeps its own value, and the
+    map's first texel carries DC.  Returns (signed f, dc).  ONE
+    implementation for both the single-device chain and the --mesh
+    host pre-pass (tools/ispec.py) so the convention cannot drift."""
+    byte = xp.asarray(signmap) * 255.0
+    dc = byte[0, 0, :] / 255.0
+    not_dc = np.ones(f.shape[:2] + (1,), dtype=bool)
+    not_dc[0, 0, 0] = False
+    not_dc = xp.asarray(not_dc)
+    f = xp.where(not_dc, xp.where(byte >= 128, xp.abs(f), -xp.abs(f)), f)
+    return f, dc
+
+
 def spec_inverse(
     f: jnp.ndarray,
     params: SpecChainParams,
@@ -183,11 +199,7 @@ def spec_inverse(
 
     if s == "abs":
         if signmap is not None:
-            # bytes >= 128 are positive (ispec.c:95: copysign(f, tmp-128))
-            byte = signmap * 255.0
-            dc = byte[0, 0, :] / 255.0
-            sign_pos = byte >= 128
-            f = jnp.where(not_dc_texel, jnp.where(sign_pos, jnp.abs(f), -jnp.abs(f)), f)
+            f, dc = signmap_restore(f, signmap, jnp)
     elif s == "shift":
         f = (f * 255 / 254 - 0.5) * 2
     elif s == "saturate":

@@ -144,6 +144,13 @@ def unserialize(text: str) -> ScanOrder:
     """Parse either format; a first line containing ',' (or blank)
     selects coordinate, else index (reference scan_precomputed.c:106-120)."""
     lines = text.split("\n")
+    # str.split leaves one final '' when the text ends with a newline;
+    # that artifact is not a line (the reference's getline never yields
+    # it).  Every OTHER blank line — including newline-terminated
+    # trailing ones — is a genuinely empty scan index and must be kept
+    # (dropping them shrank the scan's limit on round trips).
+    if lines and lines[-1] == "":
+        lines.pop()
     if not lines:
         raise ValueError("empty scan file")
     first = lines[0]
@@ -162,11 +169,6 @@ def unserialize(text: str) -> ScanOrder:
                 xs.append(int(x_s))
                 ys.append(int(y_s))
             per_index.append((ys, xs))
-        # trailing newline produces one empty trailing index; the
-        # reference's getline loop does the same only for interior
-        # blank lines, so drop trailing empties.
-        while per_index and not per_index[-1][0]:
-            per_index.pop()
         if not per_index:
             raise ValueError("empty scan file")
         return ScanOrder.from_lists(

@@ -46,8 +46,10 @@ def parse_color(spec: str) -> tuple[float, float, float, float]:
                 vals.append(float(t[:-1]) / 100.0)
             else:
                 v = float(t)
-                # rgb() channel values are 0-255, alpha is 0-1
-                vals.append(v / 255.0 if i < 3 and v > 1 else v)
+                # rgb() numeric channel values are 0-255 (ImageMagick's
+                # convention — uniformly, so rgb(1,2,3) is near-black,
+                # not a mixed-scale bright red); alpha is 0-1
+                vals.append(v / 255.0 if i < 3 else v)
         if len(vals) == 3:
             vals.append(1.0)
         if len(vals) != 4:

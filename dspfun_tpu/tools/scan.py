@@ -280,7 +280,11 @@ def main(argv: list[str] | None = None) -> int:
 
     out_w = width * (2 if visualize else 1)
     out_h = height * (2 if intermediates else 1)
-    props = video.parse_color_props(oopt)
+    try:
+        props = video.parse_color_props(oopt)
+    except ValueError as e:
+        print(f"Bad --ff-opts option: {e}", file=sys.stderr)
+        return 1
     props.pix_fmt = props.pix_fmt or "gbrpf32le"
     props.color_range = props.color_range or "jpeg"
     if linear or not img.linear:

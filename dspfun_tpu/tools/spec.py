@@ -53,7 +53,7 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     x = np.asarray(img.pixels)
-    mesh = _resolve_mesh(mesh_spec, x.shape)
+    mesh = _resolve_mesh(mesh_spec)
     if mesh is not None:
         from dspfun_tpu.parallel import spec_sharded as ss  # noqa: PLC0415
 
@@ -87,10 +87,10 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def _resolve_mesh(mesh_spec, shape):
+def _resolve_mesh(mesh_spec):
     """-M/--mesh (or the DSPFUN_MESH env var when the flag is absent,
     matching motion): shard the whole-image transform over the mesh
-    'space' axis when the image divides it."""
+    'space' axis (any size — rows pad internally)."""
     from dspfun_tpu.parallel.mesh import mesh_from_spec  # noqa: PLC0415
 
     try:
@@ -101,7 +101,6 @@ def _resolve_mesh(mesh_spec, shape):
         return None
     if mesh is None:
         return None
-    s = mesh.shape["space"] * mesh.shape.get("time", 1)
     if mesh.shape.get("time", 1) != 1:
         print("spec mesh uses the space axis only; pass -M N", file=sys.stderr)
         return None

@@ -116,14 +116,26 @@ def main(argv: list[str] | None = None) -> int:
                 print(USAGE, file=sys.stderr)
                 return 1
         elif flag == "-r":
-            parts = arg.split("x")
-            logical_width = float(parts[0])
-            if len(parts) > 1:
-                logical_height = float(parts[1])
+            try:
+                parts = arg.split("x")
+                logical_width = float(parts[0])
+                if len(parts) > 1:
+                    logical_height = float(parts[1])
+            except ValueError:
+                print(USAGE, file=sys.stderr)
+                return 1
         elif flag == "-v":
-            vw, vh = (int(t) for t in arg.split("x"))
+            try:
+                vw, vh = (int(t) for t in arg.split("x"))
+            except ValueError:
+                print(USAGE, file=sys.stderr)
+                return 1
         elif flag == "-p":
-            vx, vy = (float(t) for t in arg.split("x"))
+            try:
+                vx, vy = (float(t) for t in arg.split("x"))
+            except ValueError:
+                print(USAGE, file=sys.stderr)
+                return 1
         elif flag == "-c":
             centered = True
         elif flag == "-P":
@@ -133,7 +145,11 @@ def main(argv: list[str] | None = None) -> int:
         elif flag == "-g":
             gamma = True
         elif flag == "-n":
-            nframes = int(arg)
+            try:
+                nframes = int(arg)
+            except ValueError:
+                print(USAGE, file=sys.stderr)
+                return 1
         elif flag == "-q":
             quiet = True
         elif flag == "-x":
@@ -213,7 +229,11 @@ def main(argv: list[str] | None = None) -> int:
         centered, input_coords, pct_coords,
     )
 
-    props = video.parse_color_props(oopt)
+    try:
+        props = video.parse_color_props(oopt)
+    except ValueError as e:
+        print(f"Bad --ff-opts option: {e}", file=sys.stderr)
+        return 1
     props.pix_fmt = props.pix_fmt or "gbrpf32le"
     props.color_range = props.color_range or "jpeg"
     if gamma or not img.linear:
@@ -227,8 +247,12 @@ def main(argv: list[str] | None = None) -> int:
         from dspfun_tpu.utils.checkpoint import load_state  # noqa: PLC0415
 
         st = load_state(resume_file)
+        # vx/vy are post-resolve (covering -p/-c/-P/-%), so a rerun
+        # with a different camera position or -g restarts instead of
+        # appending frames from a different path onto the old ones
         zoom_cfg = [vw, vh, nframes, scaling_type,
-                    list(map(str, exprstrs)), list(xscale), list(yscale)]
+                    list(map(str, exprstrs)), list(xscale), list(yscale),
+                    float(vx), float(vy), int(bool(gamma))]
         if st.get("cfg") == zoom_cfg:
             start_frame = min(int(st.get("frame", 0)), nframes)
 

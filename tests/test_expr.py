@@ -94,3 +94,13 @@ def test_semicolon_sequences_with_st_ld():
     assert e({"x": 3.0}) == 7.0
     e2 = parse_expr("st(0,x);st(1,ld(0)*ld(0));ld(1);", ("x",))
     assert e2({"x": 4.0}) == 16.0
+
+
+def test_round_is_half_away_from_zero():
+    """C round() (what av_expr binds) rounds halves away from zero;
+    numpy's half-even gave round(0.5)=0 and round(2.5)=2 — different
+    scan orders / coefficients than the reference (round-4 review)."""
+    e = parse_expr("round(x)", ("x",))
+    for v, want in [(0.5, 1.0), (2.5, 3.0), (-0.5, -1.0), (-2.5, -3.0),
+                    (1.4, 1.0), (-1.6, -2.0)]:
+        assert e({"x": v}) == want, (v, want)

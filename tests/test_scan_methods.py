@@ -60,6 +60,29 @@ def test_serialize_roundtrip_both_formats():
         np.testing.assert_array_equal(o2.xs, o.xs)
 
 
+def test_coordinate_roundtrip_keeps_trailing_empty_indexes():
+    """Only str.split's final-newline artifact may be dropped: every
+    newline-terminated blank line is a genuinely empty scan index (the
+    reference's getline appends one per blank line) — dropping them
+    shrank the limit on -f round trips (round-4 review)."""
+    from dspfun_tpu.ops.scan_order import ScanOrder
+
+    per = [([0], [0]), ([1, 0], [0, 1]), ([], [])]
+    o = ScanOrder.from_lists(
+        [(np.array(y, np.int32), np.array(x, np.int32)) for y, x in per])
+    assert o.limit == 3
+    text = serialize(o, "coordinate")
+    assert text.endswith("\n\n")      # empty final index = blank line
+    o2 = unserialize(text)
+    assert o2.limit == 3
+    y2, x2 = o2.coords(2)
+    assert len(y2) == 0
+    # an interior empty index survives too
+    o3 = unserialize("0,0 \n\n1,1 \n")
+    assert o3.limit == 3
+    assert len(o3.coords(1)[0]) == 0
+
+
 def test_row_column_intervals():
     o = order_of("row", 5, 3)
     assert o.limit == 3 and (o.intervals() == 5).all()
