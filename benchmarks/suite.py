@@ -77,7 +77,11 @@ def _block_spec_chain_np(img, n=8):
     stored = (f / (2 * gain) + 0.5) * 254 / 255          # flat encode
     f2 = (stored * 255 / 254 - 0.5) * (2 * gain)         # decode
     f2 = f2 / (grid * gain)[None, :, None, :, None]
-    y = scipy.fft.dctn(f2, type=3, axes=(1, 3), workers=1) / (4.0 * n * n)
+    # f2/(grid*gain) == F/(4n^2), and DCT3(DCT2(x)) = 4n^2 x, so this
+    # IS the image — no further normalisation (an extra /(4n^2) here
+    # and in the device chain's si made the 'round trip' return
+    # img/256 and understated the published error 256x; round 4)
+    y = scipy.fft.dctn(f2, type=3, axes=(1, 3), workers=1)
     return y.reshape(h, w, c)
 
 
@@ -106,7 +110,10 @@ def bench_spec_blockwise(quick):
     prec = Precision(coeff="float32", intermediate="f32")
     g8 = np.sqrt(2.0) ** (np.arange(n) != 0)
     sf = math.sqrt(gain / (4.0 * n * n))
-    si = math.sqrt(1.0 / (gain * 4.0 * n * n))
+    # forward already folded the 1/(4n^2); the inverse only unwinds the
+    # gain (si = sqrt(1/(gain*4n^2)) returned img/256 — a true round
+    # trip measures error at image scale)
+    si = math.sqrt(1.0 / gain)
     pf = jax.device_put(bdiag_axis_plan(
         size, (g8[:, None] * basis_mod.dct2_matrix(n)) * sf, prec))
     pi = jax.device_put(bdiag_axis_plan(
@@ -216,8 +223,10 @@ def bench_zoom(quick):
 
     def base():
         up = scipy.fft.dctn(Fp, type=3, axes=(0, 1), workers=1) / (4.0 * w * h)
+        # x^(1/2.4) as cbrt(x)^(1/0.8) — the actual sRGB OETF exponent
+        # (1/0.4 computed x^(5/6); timing-equivalent but wrong math)
         _ = np.where(up <= 0.0031308, up * 12.92,
-                     1.055 * np.cbrt(np.abs(up)) ** (1 / 0.4) - 0.055)
+                     1.055 * np.cbrt(np.abs(up)) ** (1 / 0.8) - 0.055)
 
     base_dt = _time_host(base, reps=2)
     out_mp = (2 * w) * (2 * h) / 1e6

@@ -39,6 +39,7 @@ __all__ = [
     "dct2_matrix",
     "dct3_matrix",
     "scan_basis_matrix",
+    "clamp_scale",
     "zoom_scaled_basis",
     "basis_fn",
     "basis_matrix",
@@ -62,7 +63,9 @@ def dct2_matrix(n: int) -> np.ndarray:
     """
     k = np.arange(n, dtype=np.float64)[:, None]
     j = np.arange(n, dtype=np.float64)[None, :]
-    return 2.0 * np.cos(_PI * k * (2.0 * j + 1.0) / (2.0 * n))
+    m = 2.0 * np.cos(_PI * k * (2.0 * j + 1.0) / (2.0 * n))
+    m.setflags(write=False)  # cached: in-place edits would corrupt it
+    return m
 
 
 @functools.lru_cache(maxsize=None)
@@ -75,7 +78,17 @@ def dct3_matrix(n: int) -> np.ndarray:
     j = np.arange(n, dtype=np.float64)[None, :]
     m = 2.0 * np.cos(_PI * j * (2.0 * k + 1.0) / (2.0 * n))
     m[:, 0] = 1.0
+    m.setflags(write=False)  # cached: in-place edits would corrupt it
     return m
+
+
+def clamp_scale(n: int, num: float, den: float) -> tuple[float, float]:
+    """Minimum logical size is one sample (reference zoom.c:37-40,
+    277-284) — the single copy of the clamp rule (zoom_pipeline
+    re-exports it)."""
+    if n * num / den < 1:
+        return 1.0, float(n)
+    return num, den
 
 
 def scan_basis_matrix(n: int) -> np.ndarray:
@@ -112,9 +125,11 @@ def zoom_scaled_basis(
     ``[nvectors, ncomponents-1]`` (the j=0 / DC column is handled by the
     caller with an implicit 1/2 weight, zoom.c:364,369).
     """
-    if sampling_len * scale_num / scale_den < 1:
-        scale_num, scale_den = 1.0, float(sampling_len)
-    ncomponents = min(sampling_len, round(sampling_len * scale_num / scale_den))
+    scale_num, scale_den = clamp_scale(sampling_len, scale_num, scale_den)
+    # C round(): half away from zero — Python's half-even round() kept
+    # one fewer frequency when L*num/den lands exactly on x.5
+    ncomponents = min(sampling_len,
+                      math.floor(sampling_len * scale_num / scale_den + 0.5))
     b = np.arange(nvectors, dtype=np.float64)[:, None]
     j = np.arange(1, max(ncomponents, 1), dtype=np.float64)[None, :]
     if scaling_type == "native":
@@ -124,12 +139,12 @@ def zoom_scaled_basis(
         k = (b + offset) * scale_den / scale_num
         big_n = float(sampling_len)
     elif scaling_type == "centered":
-        k = (
-            (b + offset)
-            * (sampling_len - 1)
-            * scale_den
-            / (sampling_len * scale_num - scale_den)
-        )
+        # scale exactly 1/L zeroes the denominator, but then
+        # ncomponents == 1 and j is empty, so the basis is never
+        # evaluated (the reference's n-loop doesn't run either) — the
+        # placeholder only silences the 0-divide warning
+        den0 = sampling_len * scale_num - scale_den
+        k = (b + offset) * (sampling_len - 1) * scale_den / (den0 or 1.0)
         big_n = float(sampling_len)
     else:
         raise ValueError(f"unknown scaling type {scaling_type!r}")

@@ -329,7 +329,9 @@ def _uniform_grid_np(shape: tuple[int, ...]) -> np.ndarray:
         idx = [None] * len(shape)
         idx[ax] = slice(None)
         g = g + (np.arange(n) != 0)[tuple(idx)]
-    return np.sqrt(2.0) ** g
+    out = np.sqrt(2.0) ** g
+    out.setflags(write=False)  # cached: in-place edits would corrupt it
+    return out
 
 
 def uniform_grid(shape: Sequence[int]) -> np.ndarray:

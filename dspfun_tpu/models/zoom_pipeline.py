@@ -49,11 +49,9 @@ def forward_spectrum(image: np.ndarray, precision: Precision | None = None) -> j
     return dct2_nd(jnp.asarray(image, dtype=p.coeff_dtype), (0, 1), p)
 
 
-def clamp_scale(n: int, num: float, den: float) -> tuple[float, float]:
-    """Minimum logical size is one sample (reference zoom.c:277-284)."""
-    if n * num / den < 1:
-        return 1.0, float(n)
-    return num, den
+# minimum-logical-size clamp (reference zoom.c:277-284): one shared
+# implementation, canonical in core/basis.py next to the basis it gates
+clamp_scale = basis_mod.clamp_scale
 
 
 def padded_zoom_basis(
@@ -251,7 +249,10 @@ def _device_basis(scaling_id, num, den, offset, nvectors, sampling_len,
     too_small = l * num / den < 1.0
     num = jnp.where(too_small, 1.0, num)
     den = jnp.where(too_small, float(l), den)
-    ncomp = jnp.minimum(float(l), jnp.round(l * num / den))
+    # C round() (half away from zero): jnp.round is half-even and kept
+    # one fewer frequency at exact-x.5 logical sizes (matches
+    # basis.zoom_scaled_basis's floor(x+0.5))
+    ncomp = jnp.minimum(float(l), jnp.floor(l * num / den + 0.5))
     b_idx = jnp.arange(nvectors, dtype=jnp.int32)
     if b0 is not None:
         b_idx = b_idx + b0

@@ -45,6 +45,7 @@ def _kron_cached(dims: tuple[int, ...], kind: str) -> np.ndarray:
     m = np.array([[1.0]])
     for n in dims:
         m = np.kron(m, mk(n))
+    m.setflags(write=False)  # cached: in-place edits would corrupt it
     return m
 
 

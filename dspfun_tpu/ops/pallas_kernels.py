@@ -102,7 +102,10 @@ def fused_block_filter(
 
     ``coeff_filter`` is the per-coefficient linear multiplier (folded
     into the forward matrix); ``quant``/``threshold`` run between the
-    matmuls on the VPU in the filtered-coefficient domain;
+    matmuls on the VPU in the filtered-coefficient domain — the
+    threshold stage follows the reference's gating (motion.c:721): it
+    is active only when ``threshold[1] != 0``, so a lower bound alone
+    is a no-op, exactly as in motion;
     ``post_filter`` is a per-coefficient multiplier applied after the
     middle (folded into the inverse matrix — e.g. motion's inverse
     uniform renorm).  The round-trip normalisation 1/(2^n V) is folded

@@ -121,3 +121,44 @@ def test_zoom_basis_downscale_truncates():
     basis, ncomp = zoom_scaled_basis("interpolated", 1, 2, 0.0, 8, 16)
     assert ncomp == 8
     assert basis.shape == (8, 7)
+
+
+def test_zoom_basis_ncomponents_rounds_half_away():
+    """C round() keeps the frequency at exact-x.5 logical sizes
+    (Python/np half-even dropped it: round(2.5)=2 vs lround's 3)."""
+    from dspfun_tpu.core.basis import zoom_scaled_basis
+
+    basis, ncomp = zoom_scaled_basis("interpolated", 1, 2, 0.0, 4, 5)
+    assert ncomp == 3                    # round(5*1/2) = 3, not 2
+    assert basis.shape == (4, 2)
+
+
+def test_zoom_basis_centered_at_min_scale_is_silent():
+    """Scale exactly 1/L: ncomponents == 1 (DC only) and the centered
+    denominator is zero, but the basis is never evaluated — no warning,
+    no NaN (the reference's loop body doesn't run either)."""
+    import warnings
+
+    from dspfun_tpu.core.basis import zoom_scaled_basis
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        basis, ncomp = zoom_scaled_basis("centered", 1, 8, 0.0, 4, 8)
+    assert ncomp == 1
+    assert basis.shape == (4, 0)
+    assert np.isfinite(basis).all()
+
+
+def test_cached_matrices_are_readonly():
+    """lru_cached basis/grid matrices are shared across every plan; an
+    in-place edit must fail loudly instead of corrupting the cache."""
+    import pytest
+
+    from dspfun_tpu.core.basis import dct2_matrix, dct3_matrix
+    from dspfun_tpu.core.transforms import uniform_grid
+    from dspfun_tpu.ops.blockdct import kron_dct_matrix
+
+    for m in (dct2_matrix(8), dct3_matrix(8), uniform_grid((4, 4)),
+              kron_dct_matrix((2, 2), "dct2")):
+        with pytest.raises(ValueError):
+            m[0, 0] = 99.0

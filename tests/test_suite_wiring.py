@@ -55,3 +55,17 @@ def test_config_runs_quick(suite, idx):
         assert err <= 1e-5, res
     elif err is not None:
         assert err <= 5e-5, res
+
+
+def test_config1_chain_is_a_true_round_trip():
+    """The config-1 oracle (and therefore the device chain it pins)
+    must return the IMAGE, not img/(4n^2): an extra 1/256 in both made
+    the published error read 256x too small (round-4 review)."""
+    import numpy as np
+
+    from benchmarks.suite import _block_spec_chain_np
+
+    rng = np.random.default_rng(3)
+    img = rng.random((32, 32, 3))
+    out = _block_spec_chain_np(img, 8)
+    np.testing.assert_allclose(out, img, atol=1e-9)
