@@ -1,0 +1,235 @@
+"""Native FFV1 codec binding (native/ffv1.cpp, RFC 9043).
+
+FFV1 is the reference's *default* output codec for every video tool
+(reference motion/motion.c:447, motion/rotate.c:128,
+motion/transcode.c:76, zoom/zoom.c:306, scan/scan.c:326 all pass
+AV_CODEC_ID_FFV1); the reference gets it from libavcodec.  This
+binding exposes the framework's own implementation — version 1
+bitstream, range coder, YCbCr/gray at 8..16 bits — so the reference's
+default FFV1-in-NUT paths encode and decode with zero external
+binaries.  colorspace 1 (RGB/RCT) and the golomb coder are not
+implemented: the framework's integer planar formats are all
+YCbCr/gray (io/video.py PIXEL_FORMATS); float formats cannot ride
+FFV1 at all and keep the rawvideo payload path.
+
+Like io/native.py, the library builds on demand with ``make`` and
+callers gate on :func:`available` — the NUT writer falls back to
+rawvideo payloads when the toolchain is missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+
+
+class _CParams(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in (
+        "version", "coder", "colorspace", "bits", "chroma_planes",
+        "h_shift", "v_shift", "transparency", "width", "height")]
+
+
+@dataclass
+class FFV1Params:
+    """Decoded parameter set (RFC 9043 section 4.2)."""
+
+    bits: int = 8
+    chroma_planes: bool = True
+    h_shift: int = 0
+    v_shift: int = 0
+    transparency: bool = False
+    version: int = 1
+
+    def pix_fmt_name(self) -> str:
+        """Map onto the framework's PIXEL_FORMATS registry name."""
+        if self.transparency:
+            raise ValueError("FFV1 alpha plane has no native pixel format")
+        if not self.chroma_planes:
+            if self.bits == 8:
+                return "gray"
+            if self.bits == 16:
+                return "gray16le"
+            raise ValueError(f"FFV1 gray at {self.bits} bits unsupported")
+        sub = {(1, 1): "420", (1, 0): "422", (0, 0): "444"}.get(
+            (self.h_shift, self.v_shift))
+        if sub is None:
+            raise ValueError(
+                f"FFV1 chroma shift {self.h_shift}/{self.v_shift} has no "
+                "native pixel format")
+        if self.bits == 8:
+            return f"yuv{sub}p"
+        if self.bits in (10, 12, 16):
+            return f"yuv{sub}p{self.bits}le"
+        raise ValueError(f"FFV1 YCbCr at {self.bits} bits unsupported")
+
+
+def params_for_pix_fmt(pf) -> FFV1Params:
+    """FFV1 parameter set for a PixelFormat, or raise ValueError."""
+    if pf.is_float or pf.is_rgb:
+        raise ValueError(f"{pf.name}: FFV1 codes integer YCbCr/gray only")
+    if pf.ncomp == 1:
+        return FFV1Params(bits=pf.depth, chroma_planes=False)
+    if pf.ncomp != 3:
+        raise ValueError(f"{pf.name}: unsupported plane count")
+    return FFV1Params(bits=pf.depth, chroma_planes=True,
+                      h_shift=pf.chroma_shift[0], v_shift=pf.chroma_shift[1])
+
+
+def _build() -> str | None:
+    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libffv1.so"))
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "ffv1.cpp"))
+    if not os.path.exists(src):
+        return None
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(src), "libffv1.so"],
+            check=True, capture_output=True, timeout=120,
+        )
+    except (subprocess.SubprocessError, OSError) as e:
+        print(f"ffv1 native build failed ({e}); FFV1 unavailable",
+              file=sys.stderr)
+        return None
+    return so if os.path.exists(so) else None
+
+
+def _load() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        so = _build()
+        if not so:
+            return None
+        lib = ctypes.CDLL(so)
+        c = ctypes
+        u8p = c.POINTER(c.c_uint8)
+        lib.ffv1_encode.restype = c.c_int64
+        lib.ffv1_encode.argtypes = [c.POINTER(u8p), c.POINTER(c.c_int64),
+                                    c.POINTER(_CParams), u8p, c.c_int64]
+        lib.ffv1_max_packet.restype = c.c_int64
+        lib.ffv1_max_packet.argtypes = [c.POINTER(_CParams)]
+        lib.ffv1_probe.restype = c.c_int32
+        lib.ffv1_probe.argtypes = [c.c_char_p, c.c_int64, c.POINTER(_CParams)]
+        lib.ffv1_decoder_new.restype = c.c_void_p
+        lib.ffv1_decoder_new.argtypes = []
+        lib.ffv1_decoder_free.restype = None
+        lib.ffv1_decoder_free.argtypes = [c.c_void_p]
+        lib.ffv1_decode.restype = c.c_int32
+        lib.ffv1_decode.argtypes = [c.c_void_p, c.c_char_p, c.c_int64,
+                                    c.POINTER(u8p), c.POINTER(c.c_int64),
+                                    c.POINTER(_CParams)]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _cparams(p: FFV1Params, width: int, height: int) -> _CParams:
+    return _CParams(p.version, 1, 0, p.bits, int(p.chroma_planes),
+                    p.h_shift, p.v_shift, int(p.transparency),
+                    width, height)
+
+
+def _plane_ptrs(planes: list[np.ndarray]):
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    ptrs = (u8p * len(planes))(
+        *[pl.ctypes.data_as(u8p) for pl in planes])
+    strides = (ctypes.c_int64 * len(planes))(
+        *[pl.strides[0] // pl.itemsize for pl in planes])
+    return ptrs, strides
+
+
+def encode_frame(planes: list[np.ndarray], params: FFV1Params,
+                 width: int, height: int) -> bytes:
+    """Encode one keyframe; planes are uint8/uint16 C-contiguous rows."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native FFV1 library unavailable")
+    dt = np.uint16 if params.bits > 8 else np.uint8
+    planes = [np.ascontiguousarray(pl, dtype=dt) for pl in planes]
+    cp = _cparams(params, width, height)
+    cap = lib.ffv1_max_packet(ctypes.byref(cp))
+    out = np.empty(cap, np.uint8)
+    ptrs, strides = _plane_ptrs(planes)
+    n = lib.ffv1_encode(ptrs, strides, ctypes.byref(cp),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        cap)
+    if n < 0:
+        raise RuntimeError("FFV1 encode overflow")  # cap bound is generous
+    return out[:n].tobytes()
+
+
+def probe(packet: bytes, width: int, height: int) -> FFV1Params:
+    """Parse the parameter set of a keyframe packet."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native FFV1 library unavailable")
+    cp = _CParams(width=width, height=height)
+    if not lib.ffv1_probe(packet, len(packet), ctypes.byref(cp)):
+        raise ValueError("unsupported FFV1 bitstream (v2+/golomb/RGB, or "
+                         "not a keyframe)")
+    return FFV1Params(bits=cp.bits, chroma_planes=bool(cp.chroma_planes),
+                      h_shift=cp.h_shift, v_shift=cp.v_shift,
+                      transparency=bool(cp.transparency), version=cp.version)
+
+
+class FFV1Decoder:
+    """Stateful packet decoder (inter frames continue adaptation)."""
+
+    def __init__(self, width: int, height: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native FFV1 library unavailable")
+        self._lib = lib
+        self._h = lib.ffv1_decoder_new()
+        self.width, self.height = width, height
+        self.params: FFV1Params | None = None
+
+    def decode(self, packet: bytes) -> list[np.ndarray]:
+        if self.params is None:
+            self.params = probe(packet, self.width, self.height)
+        p = self.params
+        dt = np.uint16 if p.bits > 8 else np.uint8
+        dims = [(self.width, self.height)]
+        if p.chroma_planes:
+            cw = (self.width + (1 << p.h_shift) - 1) >> p.h_shift
+            ch = (self.height + (1 << p.v_shift) - 1) >> p.v_shift
+            dims += [(cw, ch), (cw, ch)]
+        if p.transparency:
+            dims.append((self.width, self.height))
+        planes = [np.empty((h, w), dt) for (w, h) in dims]
+        ptrs, strides = _plane_ptrs(planes)
+        cp = _cparams(p, self.width, self.height)
+        ok = self._lib.ffv1_decode(self._h, packet, len(packet),
+                                   ptrs, strides, ctypes.byref(cp))
+        if not ok:
+            raise ValueError("corrupt or unsupported FFV1 packet")
+        return planes
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.ffv1_decoder_free(self._h)
+            self._h = None
+
+    def __del__(self):  # noqa: D105
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter shutdown
+            pass

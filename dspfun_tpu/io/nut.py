@@ -263,12 +263,14 @@ class NutWriter:
     frame is a keyframe)."""
 
     def __init__(self, stream, width: int, height: int, rate: Fraction,
-                 pix_fmt, props, start_index: int = 0):
+                 pix_fmt, props, start_index: int = 0,
+                 codec: str = "rawvideo"):
         self._stream = stream
         self.width, self.height = width, height
         self.rate = rate
         self.pix_fmt = pix_fmt
         self.props = props
+        self.codec = codec  # "rawvideo" | "ffv1" (native, io/ffv1.py)
         self.frame_index = start_index
         self._header_written = start_index > 0  # append mode
 
@@ -298,10 +300,15 @@ class NutWriter:
         put_v(b, 0)                 # stream_id
         put_v(b, 0)                 # stream_class: video
         name = self.pix_fmt.name
-        tag = _KNOWN_TAGS.get(name)
-        csd = b""
-        if tag is None:
-            tag, csd = b"DSPF", name.encode("ascii")
+        if self.codec == "ffv1":
+            # ffmpeg's NUT tag for FFV1; v1 carries its parameter set
+            # in every keyframe, so codec_specific_data stays empty
+            tag, csd = b"FFV1", b""
+        else:
+            tag = _KNOWN_TAGS.get(name)
+            csd = b""
+            if tag is None:
+                tag, csd = b"DSPF", name.encode("ascii")
         put_vb(b, tag)              # fourcc
         put_v(b, 0)                 # time_base_id
         put_v(b, MSB_PTS_SHIFT)     # msb_pts_shift

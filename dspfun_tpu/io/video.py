@@ -703,9 +703,9 @@ class FvidWriter(VideoWriter):
 
 
 class NutVideoReader(VideoReader):
-    """Native NUT demux (io/nut.py): rawvideo payloads, the reference's
-    default motion container family (FFV1-in-NUT at motion.c:447 —
-    here rawvideo-in-NUT, negotiated like the fvid path)."""
+    """Native NUT demux (io/nut.py): FFV1 and rawvideo payloads — the
+    reference's default motion container family (FFV1-in-NUT at
+    motion.c:447) decoded by the native codec (io/ffv1.py)."""
 
     def __init__(self, stream, spec):
         from dspfun_tpu.io import nut as _nut  # noqa: PLC0415
@@ -717,7 +717,27 @@ class NutVideoReader(VideoReader):
             raise ValueError(f"{spec!r}: NUT stream header missing")
         s0 = st.streams[0]
         tag = bytes(s0["fourcc"])
-        if tag == b"DSPF":
+        self.width, self.height = s0["width"], s0["height"]
+        self._ffv1 = None
+        self._first_packet: bytes | None = None
+        if tag == b"FFV1":
+            from dspfun_tpu.io import ffv1 as _ffv1  # noqa: PLC0415
+
+            if not _ffv1.available():
+                raise ValueError(
+                    f"{spec!r}: FFV1-in-NUT needs the native codec "
+                    "(toolchain missing) or the ffmpeg bridge")
+            got = self._nr.read_frame_bytes()
+            if got is None:
+                raise ValueError(f"{spec!r}: FFV1 NUT stream has no frames")
+            _, pkt = got
+            # unsupported FFV1 variants (v2+/golomb/RGB/alpha) raise
+            # ValueError here and the open path falls back to the bridge
+            params = _ffv1.probe(pkt, self.width, self.height)
+            name = params.pix_fmt_name()
+            self._ffv1 = _ffv1.FFV1Decoder(self.width, self.height)
+            self._first_packet = pkt
+        elif tag == b"DSPF":
             name = s0["codec_specific"].decode("ascii", "replace")
         else:
             from dspfun_tpu.io.nut import _TAG_TO_FMT  # noqa: PLC0415
@@ -725,10 +745,10 @@ class NutVideoReader(VideoReader):
             name = _TAG_TO_FMT.get(tag, "")
         if name not in PIXEL_FORMATS:
             raise ValueError(
-                f"{spec!r}: NUT codec {tag!r} is not native rawvideo; "
-                "use the ffmpeg bridge (--format nut) for foreign codecs")
+                f"{spec!r}: NUT codec {tag!r} is not native FFV1 or "
+                "rawvideo; use the ffmpeg bridge (--format nut) for "
+                "foreign codecs")
         self.pix_fmt = PIXEL_FORMATS[name]
-        self.width, self.height = s0["width"], s0["height"]
         tbid = s0["time_base_id"]
         tb = (st.time_bases[tbid] if 0 <= tbid < len(st.time_bases)
               else Fraction(1, 25))
@@ -758,6 +778,12 @@ class NutVideoReader(VideoReader):
         # header elision, damage) or the native path is unavailable.
         self._native = None
         self._prefetch = 4
+        if self._ffv1 is not None:
+            # variable packet sizes: no raw-payload index; the first
+            # packet was consumed by the probe above
+            cf = self._nr.count_frames()
+            self.frames = None if cf is None else cf + 1
+            return
         offs = None
         fb = self.pix_fmt.frame_bytes(self.width, self.height)
         if (stream.seekable() and spec not in ("-", "pipe:", "pipe:0")
@@ -796,6 +822,22 @@ class NutVideoReader(VideoReader):
 
     def read_frame(self, raw: bool = False):
         pf = self.pix_fmt
+        if self._ffv1 is not None:
+            if self._first_packet is not None:
+                pkt, self._first_packet = self._first_packet, None
+            else:
+                got = self._nr.read_frame_bytes()
+                if got is None:
+                    return None
+                _, pkt = got
+            planes = self._ffv1.decode(pkt)
+            self.frame_index += 1
+            if raw:
+                return planes
+            return [
+                _dequantize_plane(p, pf, i, self.props.color_range)
+                for i, p in enumerate(planes)
+            ]
         if self._native is not None:
             if self._prefetch:
                 self._native.start_prefetch(self._prefetch)
@@ -827,20 +869,33 @@ class NutVideoReader(VideoReader):
         if getattr(self, "_native", None) is not None:
             self._native.close()
             self._native = None
+        if getattr(self, "_ffv1", None) is not None:
+            self._ffv1.close()
+            self._ffv1 = None
         super().close()
 
 
 class NutVideoWriter(VideoWriter):
-    """Native NUT mux (io/nut.py), rawvideo payloads."""
+    """Native NUT mux (io/nut.py): FFV1 payloads by default (the
+    reference's default codec, motion.c:447, via the native codec in
+    io/ffv1.py) or rawvideo."""
 
     def __init__(self, stream, spec, width, height, rate, pix_fmt, props,
-                 start_index: int = 0):
+                 start_index: int = 0, codec: str = "rawvideo"):
         from dspfun_tpu.io import nut as _nut  # noqa: PLC0415
 
         super().__init__(stream, spec, "nut", width, height, rate,
                          pix_fmt, props)
+        self.codec = codec
+        self._ffv1_params = None
+        if codec == "ffv1":
+            from dspfun_tpu.io import ffv1 as _ffv1  # noqa: PLC0415
+
+            self._ffv1_params = _ffv1.params_for_pix_fmt(pix_fmt)
+            self._ffv1_encode = _ffv1.encode_frame
         self._nw = _nut.NutWriter(stream, width, height, rate, pix_fmt,
-                                  props, start_index=start_index)
+                                  props, start_index=start_index,
+                                  codec=codec)
         self.frame_index = start_index
         self._wrote_header = start_index > 0  # appending: header exists
 
@@ -849,17 +904,34 @@ class NutVideoWriter(VideoWriter):
             self._nw.write_header()
             self._nw._header_written = True
 
+    def _encode_planes(self, planes: list[np.ndarray]) -> bytes:
+        return self._ffv1_encode(planes, self._ffv1_params,
+                                 self.width, self.height)
+
     def write_frame_payload(self, payload: bytes) -> None:
         self._write_header()
         self._wrote_header = True
-        self._nw.write_frame_bytes(payload)
+        if self._ffv1_params is not None:
+            # device-packed payload bytes are the quantized planes in
+            # layout order: split and run them through the encoder
+            pf = self.pix_fmt
+            planes = []
+            off = 0
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            for (w, h) in pf.plane_dims(self.width, self.height):
+                nb = w * h * pf.dtype.itemsize
+                planes.append(buf[off:off + nb].view(pf.dtype).reshape(h, w))
+                off += nb
+            self._nw.write_frame_bytes(self._encode_planes(planes))
+        else:
+            self._nw.write_frame_bytes(payload)
         self.frame_index = self._nw.frame_index
 
     def write_frame(self, planes: list[np.ndarray], raw: bool = False) -> None:
         self._write_header()
         self._wrote_header = True
         pf = self.pix_fmt
-        chunks = []
+        quantized = []
         for i, p in enumerate(planes):
             if raw and not pf.is_float:
                 maxv = (1 << pf.depth) - 1
@@ -868,8 +940,12 @@ class NutVideoWriter(VideoWriter):
                 q = np.asarray(p, dtype=pf.dtype)
             else:
                 q = _quantize_plane(p, pf, i, self.props.color_range)
-            chunks.append(q.tobytes())
-        self._nw.write_frame_bytes(b"".join(chunks))
+            quantized.append(q)
+        if self._ffv1_params is not None:
+            data = self._encode_planes(quantized)
+        else:
+            data = b"".join(q.tobytes() for q in quantized)
+        self._nw.write_frame_bytes(data)
         self.frame_index = self._nw.frame_index
 
 
@@ -1244,24 +1320,50 @@ def open_output(
         return w
 
     fmt = _sniff_format(spec, format, for_output=True)
-    if fmt == "nut" and codec not in (None, "", "rawvideo"):
-        # a genuinely foreign codec (e.g. -c ffv1): bridge territory
-        fmt = "ffmpeg"
     if fmt == "nut":
         pf = PIXEL_FORMATS[_negotiate_pix_fmt(fmt, props)]
-        _default_props(fmt, props)
-        start = 0
-        if append and spec not in ("-", "pipe:", "pipe:1") \
-                and os.path.exists(spec) and os.path.getsize(spec) > 0:
-            with open(spec, "rb") as f:
-                from dspfun_tpu.io.nut import NutReader  # noqa: PLC0415
+        # FFV1 is the reference's default for FFV1-capable outputs
+        # (motion/README.md:70, motion.c:447); the native codec covers
+        # integer YCbCr/gray.  Float/RGB content keeps the lossless
+        # rawvideo payloads (FFV1 has no float pixel formats — the
+        # reference's ffapi would convert; rawvideo preserves more).
+        from dspfun_tpu.io import ffv1 as _ffv1  # noqa: PLC0415
 
-                start = NutReader(f).count_frames() or 0
-            stream = open(spec, "ab")
+        can_ffv1 = (not pf.is_float and not pf.is_rgb
+                    and _ffv1.available())
+        if codec in (None, ""):
+            use = "ffv1" if can_ffv1 else "rawvideo"
+        elif codec == "rawvideo":
+            use = "rawvideo"
+        elif codec == "ffv1" and can_ffv1:
+            use = "ffv1"
         else:
-            stream = _open_stream_out(spec)
-        return NutVideoWriter(stream, spec, width, height, rate, pf, props,
-                              start_index=start)
+            use = None  # genuinely foreign codec: bridge territory
+        if use is None:
+            fmt = "ffmpeg"
+        else:
+            _default_props(fmt, props)
+            start = 0
+            if append and spec not in ("-", "pipe:", "pipe:1") \
+                    and os.path.exists(spec) and os.path.getsize(spec) > 0:
+                with open(spec, "rb") as f:
+                    from dspfun_tpu.io.nut import NutReader  # noqa: PLC0415
+
+                    r = NutReader(f)
+                    start = r.count_frames() or 0
+                    # appended frames must match the existing payloads
+                    tag = (bytes(r.state.streams[0]["fourcc"])
+                           if r.state.streams else b"")
+                use = "ffv1" if tag == b"FFV1" else "rawvideo"
+                if use == "ffv1" and not can_ffv1:
+                    raise RuntimeError(
+                        f"{spec!r}: cannot append to an FFV1 NUT file "
+                        "without the native codec")
+                stream = open(spec, "ab")
+            else:
+                stream = _open_stream_out(spec)
+            return NutVideoWriter(stream, spec, width, height, rate, pf,
+                                  props, start_index=start, codec=use)
     if fmt == "ffmpeg":
         if append:
             # resuming would re-run `ffmpeg -y` and destroy the frames

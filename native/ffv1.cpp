@@ -1,0 +1,609 @@
+// Native FFV1 codec (RFC 9043), versions 0/1, range coder, YCbCr/gray.
+//
+// FFV1 is the *default* output codec of every reference video tool
+// (reference motion/motion.c:447, motion/rotate.c:128,
+// motion/transcode.c:76, zoom/zoom.c:306, scan/scan.c:326 all pass
+// AV_CODEC_ID_FFV1 to ffapi_open_output) — a lossless intra codec the
+// reference gets from libavcodec.  This environment has no FFmpeg, so
+// the framework carries its own implementation of the published
+// bitstream (RFC 9043 "FFV1 Video Coding Format Versions 0, 1, and 3"),
+// exposed through a plain C ABI for ctypes (dspfun_tpu/io/ffv1.py).
+//
+// Scope: version 1 encode (whole-frame range coder, every frame a
+// keyframe, 3-input context model), version 0/1 decode including
+// 5-input context files, 8..16 bits per raw sample, chroma subsampling
+// and an alpha plane.  colorspace 1 (RGB via JPEG2000-RCT) and the
+// golomb-rice coder are not implemented — the framework's planar
+// integer formats are all YCbCr/gray (io/video.py PIXEL_FORMATS), and
+// ffmpeg's encoder only uses golomb when explicitly asked.
+//
+// Honest caveat (mirrors io/nut.py's): no FFmpeg exists in this build
+// environment, so cross-implementation bit-compatibility is untested;
+// the bitstream follows RFC 9043 and is pinned by exhaustive
+// encode/decode round-trip tests plus checked-in byte goldens
+// (tests/test_ffv1.py) so it cannot drift silently.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------
+// Range coder (RFC 9043 section 4.1).  The default state transition
+// table is derived, not stored: starting from probability one half,
+// each state's successor follows an exponential-decay adaptation with
+// factor 0.05 in 32-bit fixed point, mirrored for the zero branch
+// (RFC 9043 section 4.1.3's default table is the fixed point of this
+// recurrence; 214748364 == trunc(0.05 * 2^32)).
+// ---------------------------------------------------------------------
+
+struct StateTables {
+  uint8_t one[256];
+  uint8_t zero[256];
+
+  StateTables() {
+    const int64_t kOne = int64_t(1) << 32;
+    const int64_t kFactor = 214748364;  // trunc(0.05 * 2^32)
+    const int kMaxP = 256 - 8;
+    std::memset(one, 0, sizeof(one));
+    std::memset(zero, 0, sizeof(zero));
+
+    int last_p8 = 0;
+    int64_t p = kOne / 2;
+    for (int i = 0; i < 128; i++) {
+      int p8 = int((256 * p + kOne / 2) >> 32);
+      if (p8 <= last_p8) p8 = last_p8 + 1;
+      if (last_p8 && last_p8 < 256 && p8 <= kMaxP) one[last_p8] = uint8_t(p8);
+      p += ((kOne - p) * kFactor + kOne / 2) >> 32;
+      last_p8 = p8;
+    }
+    for (int i = 256 - kMaxP; i <= kMaxP; i++) {
+      if (one[i]) continue;
+      p = (int64_t(i) * kOne + 128) >> 8;
+      p += ((kOne - p) * kFactor + kOne / 2) >> 32;
+      int p8 = int((256 * p + kOne / 2) >> 32);
+      if (p8 <= i) p8 = i + 1;
+      if (p8 > kMaxP) p8 = kMaxP;
+      one[i] = uint8_t(p8);
+    }
+    for (int i = 1; i < 255; i++) zero[i] = uint8_t(256 - one[256 - i]);
+  }
+};
+
+const StateTables kStates;
+
+struct RangeEncoder {
+  uint8_t* buf;
+  int64_t cap;
+  int64_t pos = 0;
+  bool overflow = false;
+  uint32_t low = 0;
+  uint32_t range = 0xFF00;
+  int outstanding_count = 0;
+  int outstanding_byte = -1;  // <0: none pending yet
+
+  RangeEncoder(uint8_t* b, int64_t c) : buf(b), cap(c) {}
+
+  void emit(uint8_t b) {
+    if (pos < cap)
+      buf[pos] = b;
+    else
+      overflow = true;
+    pos++;
+  }
+
+  void renorm() {
+    while (range < 0x100) {
+      if (outstanding_byte < 0) {
+        outstanding_byte = int(low >> 8);
+      } else if (low <= 0xFF00) {
+        emit(uint8_t(outstanding_byte));
+        for (; outstanding_count; outstanding_count--) emit(0xFF);
+        outstanding_byte = int(low >> 8);
+      } else if (low >= 0x10000) {  // carry propagates into the pending byte
+        emit(uint8_t(outstanding_byte + 1));
+        for (; outstanding_count; outstanding_count--) emit(0x00);
+        outstanding_byte = int((low >> 8) & 0xFF);
+      } else {
+        outstanding_count++;
+      }
+      low = (low & 0xFF) << 8;
+      range <<= 8;
+    }
+  }
+
+  void put(uint8_t* state, bool bit) {
+    uint32_t r1 = (range * (*state)) >> 8;
+    if (bit) {
+      low += range - r1;
+      range = r1;
+      *state = kStates.one[*state];
+    } else {
+      range -= r1;
+      *state = kStates.zero[*state];
+    }
+    renorm();
+  }
+
+  // Flush: force the remaining low bits out, then the pending byte, so
+  // a decoder reading this buffer (zero-filled past the end) resolves
+  // every symbol written.
+  int64_t terminate() {
+    range = 0xFF;
+    low += 0xFF;
+    renorm();
+    range = 0xFF;
+    renorm();
+    if (outstanding_byte >= 0) {
+      emit(uint8_t(outstanding_byte));
+      for (; outstanding_count; outstanding_count--) emit(0xFF);
+    }
+    emit(0);
+    return overflow ? -1 : pos;
+  }
+};
+
+struct RangeDecoder {
+  const uint8_t* buf;
+  int64_t size;
+  int64_t pos = 0;
+  uint32_t low = 0;
+  uint32_t range = 0xFF00;
+
+  RangeDecoder(const uint8_t* b, int64_t s) : buf(b), size(s) {
+    low = uint32_t(next()) << 8;
+    low |= next();
+  }
+
+  uint8_t next() { return pos < size ? buf[pos++] : 0; }
+
+  void refill() {
+    if (range < 0x100) {
+      range <<= 8;
+      low <<= 8;
+      low += next();
+    }
+  }
+
+  bool get(uint8_t* state) {
+    uint32_t r1 = (range * (*state)) >> 8;
+    range -= r1;
+    if (low < range) {
+      *state = kStates.zero[*state];
+      refill();
+      return false;
+    }
+    low -= range;
+    range = r1;
+    *state = kStates.one[*state];
+    refill();
+    return true;
+  }
+};
+
+// ---------------------------------------------------------------------
+// Adaptive binarization of signed integers (RFC 9043 section 4.1.5):
+// per-context 32-state vector — state 0 the zero flag, 1..10 unary
+// exponent, 11..21 sign, 22..31 mantissa bits (indices clamped).
+// ---------------------------------------------------------------------
+
+constexpr int kContextSize = 32;
+
+inline int log2i(uint32_t v) {
+  return 31 - __builtin_clz(v);
+}
+
+void put_symbol(RangeEncoder& c, uint8_t* state, int v, bool is_signed) {
+  if (!v) {
+    c.put(state, true);
+    return;
+  }
+  const uint32_t a = uint32_t(v < 0 ? -int64_t(v) : v);
+  const int e = log2i(a);
+  c.put(state, false);
+  for (int i = 0; i < e; i++) c.put(state + 1 + (i < 9 ? i : 9), true);
+  c.put(state + 1 + (e < 9 ? e : 9), false);
+  for (int i = e - 1; i >= 0; i--)
+    c.put(state + 22 + (i < 9 ? i : 9), (a >> i) & 1);
+  if (is_signed) c.put(state + 11 + (e < 10 ? e : 10), v < 0);
+}
+
+// Returns INT32_MIN on a corrupt (runaway-exponent) stream.
+int get_symbol(RangeDecoder& c, uint8_t* state, bool is_signed) {
+  if (c.get(state)) return 0;
+  int e = 0;
+  while (c.get(state + 1 + (e < 9 ? e : 9))) {
+    if (++e > 31) return INT32_MIN;
+  }
+  uint32_t a = 1;
+  for (int i = e - 1; i >= 0; i--)
+    a = (a << 1) | uint32_t(c.get(state + 22 + (i < 9 ? i : 9)));
+  if (is_signed && c.get(state + 11 + (e < 10 ? e : 10)))
+    return -int(a);
+  return int(a);
+}
+
+// ---------------------------------------------------------------------
+// Context model (RFC 9043 section 3): quantized neighbour gradients.
+// quant_table entries come premultiplied by the running context count
+// so the context index is a plain sum of five lookups.
+// ---------------------------------------------------------------------
+
+struct QuantTables {
+  int32_t t[5][256];
+  int context_count = 0;  // distinct |context| values
+  bool five_input = false;
+};
+
+// The framework's encoder quantizer: 11 symmetric buckets
+// 0, ±[1,2], ±[3,4], ±[5,8], ±[9,16], ±[17,...] on the first three
+// gradients (the classic small FFV1 context set), tables 3/4 zero.
+int quant11(int d) {
+  int a = d < 0 ? -d : d;
+  int v = a == 0 ? 0 : a <= 2 ? 1 : a <= 4 ? 2 : a <= 8 ? 3 : a <= 16 ? 4 : 5;
+  return d < 0 ? -v : v;
+}
+
+QuantTables encoder_quant_tables() {
+  QuantTables q;
+  std::memset(q.t, 0, sizeof(q.t));
+  int scale = 1;
+  for (int ti = 0; ti < 3; ti++) {
+    for (int i = 1; i < 128; i++) q.t[ti][i] = scale * quant11(i);
+    for (int i = 1; i < 128; i++) q.t[ti][256 - i] = -q.t[ti][i];
+    q.t[ti][128] = -q.t[ti][127];
+    scale *= 11;
+  }
+  q.context_count = (scale + 1) / 2;  // symmetric: sign folds
+  q.five_input = false;
+  return q;
+}
+
+// Serialized as run lengths between value changes over [1,128), one
+// fresh 32-state context per table (RFC 9043 section 4.2.6).  The
+// premultiplication cancels in the change detection, so the scale is
+// irrelevant here.
+void write_quant_table(RangeEncoder& c, const int32_t* qt, int scale) {
+  uint8_t state[kContextSize];
+  std::memset(state, 128, sizeof(state));
+  int last = 0;
+  int i;
+  for (i = 1; i < 128; i++) {
+    if (qt[i] != qt[i - 1]) {
+      put_symbol(c, state, i - last - 1, false);
+      last = i;
+    }
+  }
+  put_symbol(c, state, i - last - 1, false);
+  (void)scale;
+}
+
+// Returns the number of distinct values (2v-1) or -1 on corruption.
+int read_quant_table(RangeDecoder& c, int32_t* qt, int scale) {
+  uint8_t state[kContextSize];
+  std::memset(state, 128, sizeof(state));
+  std::memset(qt, 0, 256 * sizeof(*qt));
+  int i = 0;  // runs cover [0, 128): "length - 1" coded per value segment
+  int v = 0;
+  for (; i < 128; v++) {
+    int run = get_symbol(c, state, false);
+    if (run < 0 || run + 1 > 128 - i) return -1;
+    for (int len = run + 1; len--;) qt[i++] = scale * v;
+  }
+  for (int j = 1; j < 128; j++) qt[256 - j] = -qt[j];
+  qt[128] = -qt[127];
+  return 2 * v - 1;
+}
+
+// ---------------------------------------------------------------------
+// Per-plane sample coding (RFC 9043 section 3.8).  A three-row ring of
+// int32 samples with guard cells reproduces the border rules: the top
+// rows read zero, the left border of each row is the sample above, the
+// right border repeats the last column.
+// ---------------------------------------------------------------------
+
+struct PlaneContexts {
+  std::vector<uint8_t> states;  // context_count * kContextSize
+  void reset(int context_count) {
+    states.assign(size_t(context_count) * kContextSize, 128);
+  }
+};
+
+struct Ring {
+  std::vector<int32_t> buf;
+  int stride = 0;
+  int32_t* row[3];  // row[0]=current, row[1]=above, row[2]=two above
+
+  void init(int w) {
+    stride = w + 6;
+    buf.assign(size_t(stride) * 3, 0);
+    for (int i = 0; i < 3; i++) row[i] = buf.data() + size_t(stride) * i + 3;
+  }
+
+  void rotate(int w) {
+    int32_t* t = row[2];
+    row[2] = row[1];
+    row[1] = row[0];
+    row[0] = t;
+    row[0][-1] = row[1][0];      // left border: sample above
+    row[1][w] = row[1][w - 1];   // right border of the row above
+  }
+};
+
+inline int med3(int a, int b, int c) {
+  // median of (a, b, c)
+  if (a > b) { int t = a; a = b; b = t; }
+  if (b > c) { b = c; }
+  return a > b ? a : b;
+}
+
+inline int context_of(const QuantTables& q, const int32_t* cur,
+                      const int32_t* above, const int32_t* above2, int x) {
+  const int lt = above[x - 1], t = above[x], rt = above[x + 1], l = cur[x - 1];
+  int ctx = q.t[0][(l - lt) & 0xFF] + q.t[1][(lt - t) & 0xFF] +
+            q.t[2][(t - rt) & 0xFF];
+  if (q.five_input)
+    ctx += q.t[3][(cur[x - 2] - l) & 0xFF] + q.t[4][(above2[x] - t) & 0xFF];
+  return ctx;
+}
+
+inline int predict(const int32_t* cur, const int32_t* above, int x) {
+  const int l = cur[x - 1], t = above[x], lt = above[x - 1];
+  return med3(l, l + t - lt, t);
+}
+
+inline int fold(int diff, int bits) {
+  if (bits == 8) return int(int8_t(diff));
+  diff &= (1 << bits) - 1;
+  if (diff & (1 << (bits - 1))) diff -= 1 << bits;
+  return diff;
+}
+
+template <typename Sample>
+void encode_plane(RangeEncoder& c, const QuantTables& q, PlaneContexts& pc,
+                  const Sample* src, int64_t stride, int w, int h, int bits) {
+  Ring ring;
+  ring.init(w);
+  for (int y = 0; y < h; y++) {
+    ring.rotate(w);
+    int32_t* cur = ring.row[0];
+    for (int x = 0; x < w; x++) cur[x] = int32_t(src[y * stride + x]);
+    for (int x = 0; x < w; x++) {
+      int ctx = context_of(q, cur, ring.row[1], ring.row[2], x);
+      int diff = cur[x] - predict(cur, ring.row[1], x);
+      if (ctx < 0) {
+        ctx = -ctx;
+        diff = -diff;
+      }
+      put_symbol(c, pc.states.data() + size_t(ctx) * kContextSize,
+                 fold(diff, bits), true);
+    }
+  }
+}
+
+template <typename Sample>
+bool decode_plane(RangeDecoder& c, const QuantTables& q, PlaneContexts& pc,
+                  Sample* dst, int64_t stride, int w, int h, int bits) {
+  Ring ring;
+  ring.init(w);
+  const int mask = (1 << bits) - 1;
+  for (int y = 0; y < h; y++) {
+    ring.rotate(w);
+    int32_t* cur = ring.row[0];
+    for (int x = 0; x < w; x++) {
+      int ctx = context_of(q, cur, ring.row[1], ring.row[2], x);
+      bool flip = ctx < 0;
+      if (flip) ctx = -ctx;
+      int diff = get_symbol(
+          c, pc.states.data() + size_t(ctx) * kContextSize, true);
+      if (diff == INT32_MIN) return false;
+      if (flip) diff = -diff;
+      cur[x] = (predict(cur, ring.row[1], x) + diff) & mask;
+    }
+    for (int x = 0; x < w; x++) dst[y * stride + x] = Sample(cur[x]);
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------
+// Frame layer (RFC 9043 section 4.2/4.3, versions 0/1: the parameter
+// set rides at the start of every keyframe; no slices).
+// ---------------------------------------------------------------------
+
+struct Params {
+  int32_t version = 1;
+  int32_t coder = 1;  // 1 = range coder, default state table
+  int32_t colorspace = 0;
+  int32_t bits = 8;
+  int32_t chroma_planes = 1;
+  int32_t h_shift = 0;
+  int32_t v_shift = 0;
+  int32_t transparency = 0;
+  int32_t width = 0;   // ABI convenience (not in the bitstream)
+  int32_t height = 0;
+};
+
+int plane_count(const Params& p) {
+  return 1 + (p.chroma_planes ? 2 : 0) + (p.transparency ? 1 : 0);
+}
+
+// context set per plane: luma 0, both chroma share 1, alpha 2
+int context_set(const Params& p, int plane) {
+  if (p.chroma_planes && (plane == 1 || plane == 2)) return 1;
+  return plane >= 1 ? 2 : 0;
+}
+
+void plane_dims(const Params& p, int plane, int* w, int* h) {
+  if (p.chroma_planes && (plane == 1 || plane == 2)) {
+    *w = (p.width + (1 << p.h_shift) - 1) >> p.h_shift;
+    *h = (p.height + (1 << p.v_shift) - 1) >> p.v_shift;
+  } else {
+    *w = p.width;
+    *h = p.height;
+  }
+}
+
+void write_header(RangeEncoder& c, const Params& p, const QuantTables& q) {
+  uint8_t state[kContextSize];
+  std::memset(state, 128, sizeof(state));
+  put_symbol(c, state, p.version, false);
+  put_symbol(c, state, p.coder, false);
+  put_symbol(c, state, p.colorspace, false);
+  if (p.version > 0) put_symbol(c, state, p.bits, false);
+  c.put(state, p.chroma_planes != 0);
+  put_symbol(c, state, p.h_shift, false);
+  put_symbol(c, state, p.v_shift, false);
+  c.put(state, p.transparency != 0);
+  for (int i = 0; i < 5; i++) write_quant_table(c, q.t[i], 0);
+}
+
+bool read_header(RangeDecoder& c, Params& p, QuantTables& q) {
+  uint8_t state[kContextSize];
+  std::memset(state, 128, sizeof(state));
+  p.version = get_symbol(c, state, false);
+  if (p.version < 0 || p.version > 1) return false;  // v2+: extradata-based
+  p.coder = get_symbol(c, state, false);
+  if (p.coder != 1) return false;  // golomb (0) / custom table (2) unsupported
+  p.colorspace = get_symbol(c, state, false);
+  if (p.colorspace != 0) return false;  // RGB-RCT unsupported
+  p.bits = p.version > 0 ? get_symbol(c, state, false) : 8;
+  if (p.bits == 0) p.bits = 8;  // "0 = inherit" never written by encoders here
+  if (p.bits < 1 || p.bits > 16) return false;
+  p.chroma_planes = c.get(state);
+  p.h_shift = get_symbol(c, state, false);
+  p.v_shift = get_symbol(c, state, false);
+  p.transparency = c.get(state);
+  if (p.h_shift < 0 || p.h_shift > 4 || p.v_shift < 0 || p.v_shift > 4)
+    return false;
+  int context_count = 1;
+  for (int i = 0; i < 5; i++) {
+    int ret = read_quant_table(c, q.t[i], context_count);
+    if (ret < 0 || int64_t(context_count) * ret > 32768) return false;
+    context_count *= ret;
+  }
+  q.context_count = (context_count + 1) / 2;
+  q.five_input = q.t[3][127] != 0 || q.t[4][127] != 0;
+  return true;
+}
+
+struct Decoder {
+  Params params;
+  QuantTables quant;
+  PlaneContexts contexts[3];
+  bool have_params = false;
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------
+
+extern "C" {
+
+// Encode one keyframe.  planes: plane_count pointers (uint8 when
+// bits <= 8, uint16 otherwise); strides in SAMPLES.  Returns the
+// packet size, or -1 if out_cap was too small.
+int64_t ffv1_encode(const uint8_t* const* planes, const int64_t* strides,
+                    const Params* params, uint8_t* out, int64_t out_cap) {
+  const Params& p = *params;
+  RangeEncoder c(out, out_cap);
+  uint8_t keystate = 128;
+  c.put(&keystate, true);  // keyframe
+  QuantTables q = encoder_quant_tables();
+  write_header(c, p, q);
+  PlaneContexts contexts[3];
+  for (auto& pc : contexts) pc.reset(q.context_count);
+  for (int pl = 0; pl < plane_count(p); pl++) {
+    int w, h;
+    plane_dims(p, pl, &w, &h);
+    PlaneContexts& pc = contexts[context_set(p, pl)];
+    if (p.bits <= 8)
+      encode_plane(c, q, pc, planes[pl], strides[pl], w, h, p.bits);
+    else
+      encode_plane(c, q, pc,
+                   reinterpret_cast<const uint16_t*>(planes[pl]),
+                   strides[pl], w, h, p.bits);
+  }
+  return c.terminate();
+}
+
+// Parse the parameter set of a keyframe packet into *params
+// (width/height are left untouched — they come from the container).
+// Returns 1 on success, 0 if not a supported FFV1 keyframe.
+int32_t ffv1_probe(const uint8_t* data, int64_t size, Params* params) {
+  RangeDecoder c(data, size);
+  uint8_t keystate = 128;
+  if (!c.get(&keystate)) return 0;  // inter frame: no parameter set
+  QuantTables q;
+  Params p = *params;
+  if (!read_header(c, p, q)) return 0;
+  int32_t w = params->width, h = params->height;
+  *params = p;
+  params->width = w;
+  params->height = h;
+  return 1;
+}
+
+void* ffv1_decoder_new(void) { return new Decoder(); }
+
+void ffv1_decoder_free(void* dec) { delete static_cast<Decoder*>(dec); }
+
+// Decode one packet into caller-allocated planes (layout per the
+// parameter set; strides in samples).  Keyframes refresh the parameter
+// set and reset contexts; inter frames continue adaptation (RFC 9043
+// section 4.3).  Returns 1 on success, 0 on unsupported/corrupt data.
+int32_t ffv1_decode(void* handle, const uint8_t* data, int64_t size,
+                    uint8_t* const* planes, const int64_t* strides,
+                    Params* out_params) {
+  Decoder& d = *static_cast<Decoder*>(handle);
+  RangeDecoder c(data, size);
+  uint8_t keystate = 128;
+  bool key = c.get(&keystate);
+  if (key) {
+    Params p;
+    p.width = d.params.width;
+    p.height = d.params.height;
+    if (out_params) {
+      p.width = out_params->width;
+      p.height = out_params->height;
+    }
+    if (!read_header(c, p, d.quant)) return 0;
+    d.params = p;
+    for (auto& pc : d.contexts) pc.reset(d.quant.context_count);
+    d.have_params = true;
+  } else if (!d.have_params) {
+    return 0;  // inter frame before any keyframe
+  }
+  const Params& p = d.params;
+  for (int pl = 0; pl < plane_count(p); pl++) {
+    int w, h;
+    plane_dims(p, pl, &w, &h);
+    PlaneContexts& pc = d.contexts[context_set(p, pl)];
+    bool ok;
+    if (p.bits <= 8)
+      ok = decode_plane(c, d.quant, pc, planes[pl], strides[pl], w, h, p.bits);
+    else
+      ok = decode_plane(c, d.quant, pc,
+                        reinterpret_cast<uint16_t*>(planes[pl]),
+                        strides[pl], w, h, p.bits);
+    if (!ok) return 0;
+  }
+  if (out_params) *out_params = p;
+  return 1;
+}
+
+// Worst-case packet size for ffv1_encode's out buffer.
+int64_t ffv1_max_packet(const Params* params) {
+  const Params& p = *params;
+  int64_t samples = 0;
+  for (int pl = 0; pl < plane_count(p); pl++) {
+    int w, h;
+    plane_dims(p, pl, &w, &h);
+    samples += int64_t(w) * h;
+  }
+  return samples * (p.bits <= 8 ? 4 : 8) + 65536;
+}
+
+}  // extern "C"

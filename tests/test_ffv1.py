@@ -1,0 +1,237 @@
+"""Native FFV1 codec (native/ffv1.cpp via io/ffv1.py, RFC 9043).
+
+FFV1 is the reference's default output codec for every video tool
+(reference motion/motion.c:447, rotate.c:128, transcode.c:76,
+zoom/zoom.c:306, scan/scan.c:326); these tests pin the native
+implementation: lossless round-trips over the full supported format
+matrix, bitstream-drift goldens, NUT integration (default codec,
+append inheritance, device-packed payload path), and the bridge
+fallback for unsupported variants.
+"""
+
+import hashlib
+import os
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from dspfun_tpu.io import ffv1, video
+
+pytestmark = pytest.mark.skipif(
+    not ffv1.available(), reason="native FFV1 library unavailable")
+
+
+def _planes_for(pf, w, h, rng, smooth=False):
+    maxv = (1 << pf.depth) - 1
+    out = []
+    for (pw, ph) in pf.plane_dims(w, h):
+        if smooth:
+            base = (np.arange(ph)[:, None] * 2 + np.arange(pw)[None, :]) \
+                % (maxv + 1)
+            p = (base + rng.integers(0, 3, (ph, pw))) % (maxv + 1)
+        else:
+            p = rng.integers(0, maxv + 1, (ph, pw))
+        out.append(p.astype(pf.dtype))
+    return out
+
+
+@pytest.mark.parametrize("name", [
+    "gray", "gray16le", "yuv420p", "yuv422p", "yuv444p",
+    "yuv420p10le", "yuv422p12le", "yuv444p16le",
+])
+@pytest.mark.parametrize("size", [(1, 1), (2, 2), (17, 9), (64, 48)])
+def test_roundtrip_matrix(name, size):
+    pf = video.PIXEL_FORMATS[name]
+    w, h = size
+    rng = np.random.default_rng(hash((name, size)) % (2**32))
+    params = ffv1.params_for_pix_fmt(pf)
+    planes = _planes_for(pf, w, h, rng)
+    pkt = ffv1.encode_frame(planes, params, w, h)
+    got = ffv1.probe(pkt, w, h)
+    assert got.pix_fmt_name() == name
+    dec = ffv1.FFV1Decoder(w, h)
+    out = dec.decode(pkt)
+    for a, b in zip(planes, out):
+        assert np.array_equal(a, b)
+    dec.close()
+
+
+def test_multiframe_decoder_state():
+    """Keyframes reset context state; a stream of several frames
+    decodes each one exactly (every native frame is a keyframe)."""
+    pf = video.PIXEL_FORMATS["yuv420p"]
+    params = ffv1.params_for_pix_fmt(pf)
+    rng = np.random.default_rng(7)
+    dec = ffv1.FFV1Decoder(24, 16)
+    for _ in range(6):
+        planes = _planes_for(pf, 24, 16, rng, smooth=True)
+        pkt = ffv1.encode_frame(planes, params, 24, 16)
+        out = dec.decode(pkt)
+        for a, b in zip(planes, out):
+            assert np.array_equal(a, b)
+    dec.close()
+
+
+def test_bitstream_golden():
+    """Encoded bytes for a fixed input are pinned — the bitstream
+    cannot drift silently (a format, not just an invertible pair)."""
+    pf = video.PIXEL_FORMATS["yuv420p"]
+    params = ffv1.params_for_pix_fmt(pf)
+    rng = np.random.default_rng(12345)
+    planes = _planes_for(pf, 32, 24, rng, smooth=True)
+    pkt = ffv1.encode_frame(planes, params, 32, 24)
+    digest = hashlib.sha256(pkt).hexdigest()
+    # regenerate with: python -c "import tests.test_ffv1 as t; ..."
+    assert digest == GOLDEN_SHA256, (digest, len(pkt))
+
+
+GOLDEN_SHA256 = \
+    "4b9ce4fad35512e075143950bcf8adc31fd5d3d86bc6946a9f435285c01b3930"
+
+
+def test_compression_on_smooth_content():
+    pf = video.PIXEL_FORMATS["yuv420p"]
+    params = ffv1.params_for_pix_fmt(pf)
+    rng = np.random.default_rng(3)
+    planes = _planes_for(pf, 128, 96, rng, smooth=True)
+    pkt = ffv1.encode_frame(planes, params, 128, 96)
+    raw = sum(p.nbytes for p in planes)
+    assert len(pkt) < 0.5 * raw, (len(pkt), raw)
+
+
+def test_corrupt_packet_raises():
+    pf = video.PIXEL_FORMATS["yuv420p"]
+    params = ffv1.params_for_pix_fmt(pf)
+    rng = np.random.default_rng(5)
+    planes = _planes_for(pf, 16, 16, rng)
+    pkt = bytearray(ffv1.encode_frame(planes, params, 16, 16))
+    # a truncated-to-garbage header must fail cleanly, not crash
+    with pytest.raises(ValueError):
+        ffv1.probe(bytes(255 - b for b in pkt[:8]), 16, 16)
+
+
+def test_inter_frame_before_keyframe_rejected():
+    """A packet whose first rac bit decodes as 'inter' cannot start a
+    stream (RFC 9043 section 4.3: no parameter set yet)."""
+    dec = ffv1.FFV1Decoder(8, 8)
+    with pytest.raises(ValueError):
+        # 0xFF.. decodes the keyframe bit as 0 with the fresh 128 state
+        dec.decode(b"\xff" * 64)
+    dec.close()
+
+
+# ---------------------------------------------------------------------------
+# NUT integration
+# ---------------------------------------------------------------------------
+
+
+def test_nut_default_codec_is_ffv1_for_integer_formats(tmp_path):
+    """Non-pipe .nut outputs default to FFV1 exactly like the reference
+    (motion/README.md:70); float keeps rawvideo payloads."""
+    props = video.parse_color_props("pixel_format=yuv420p")
+    p = tmp_path / "a.nut"
+    rng = np.random.default_rng(11)
+    pf = video.PIXEL_FORMATS["yuv420p"]
+    frames = [_planes_for(pf, 24, 18, rng, smooth=True) for _ in range(3)]
+    with video.open_output(str(p), 24, 18, Fraction(30), props) as wr:
+        assert wr.codec == "ffv1"
+        for f in frames:
+            wr.write_frame([x.astype(np.float64) for x in f], raw=True)
+    with video.open_input(str(p)) as r:
+        assert r.pix_fmt.name == "yuv420p"
+        assert r.frames == 3
+        for f in frames:
+            got = r.read_frame(raw=True)
+            for a, b in zip(f, got):
+                assert np.array_equal(a, b)
+        assert r.read_frame() is None
+
+    fprops = video.parse_color_props("pixel_format=gbrpf32le")
+    with video.open_output(str(tmp_path / "f.nut"), 8, 6, Fraction(25),
+                           fprops) as wr:
+        assert wr.codec == "rawvideo"
+
+
+def test_nut_ffv1_append_inherits_codec(tmp_path):
+    props = video.parse_color_props("pixel_format=yuv420p")
+    p = tmp_path / "ap.nut"
+    pf = video.PIXEL_FORMATS["yuv420p"]
+    rng = np.random.default_rng(13)
+    frames = [_planes_for(pf, 16, 12, rng) for _ in range(4)]
+    with video.open_output(str(p), 16, 12, Fraction(25), props) as wr:
+        assert wr.codec == "ffv1"
+        for f in frames[:2]:
+            wr.write_frame([x.astype(np.float64) for x in f], raw=True)
+    with video.open_output(str(p), 16, 12, Fraction(25), props,
+                           append=True) as wr:
+        assert wr.codec == "ffv1"
+        assert wr.frame_index == 2
+        for f in frames[2:]:
+            wr.write_frame([x.astype(np.float64) for x in f], raw=True)
+    with video.open_input(str(p)) as r:
+        assert r.frames == 4
+        for f in frames:
+            got = r.read_frame(raw=True)
+            for a, b in zip(f, got):
+                assert np.array_equal(a, b)
+    # a rawvideo file keeps rawvideo on append even though the format
+    # default is now ffv1
+    q = tmp_path / "raw.nut"
+    with video.open_output(str(q), 16, 12, Fraction(25), props,
+                           codec="rawvideo") as wr:
+        wr.write_frame([x.astype(np.float64) for x in frames[0]], raw=True)
+    with video.open_output(str(q), 16, 12, Fraction(25), props,
+                           append=True) as wr:
+        assert wr.codec == "rawvideo"
+
+
+def test_nut_ffv1_payload_path_matches_write_frame(tmp_path):
+    """The device-packed payload path (quantized plane bytes) encodes
+    to the same decoded planes as write_frame."""
+    props = video.parse_color_props("pixel_format=yuv420p")
+    pf = video.PIXEL_FORMATS["yuv420p"]
+    rng = np.random.default_rng(17)
+    planes = _planes_for(pf, 24, 16, rng, smooth=True)
+    payload = b"".join(p.tobytes() for p in planes)
+    p = tmp_path / "pl.nut"
+    with video.open_output(str(p), 24, 16, Fraction(25), props) as wr:
+        assert wr.codec == "ffv1"
+        wr.write_frame_payload(payload)
+    with video.open_input(str(p)) as r:
+        got = r.read_frame(raw=True)
+        for a, b in zip(planes, got):
+            assert np.array_equal(a, b)
+
+
+def test_nut_ffv1_16bit_and_seek(tmp_path):
+    props = video.parse_color_props("pixel_format=yuv444p16le")
+    pf = video.PIXEL_FORMATS["yuv444p16le"]
+    rng = np.random.default_rng(19)
+    frames = [_planes_for(pf, 12, 10, rng) for _ in range(5)]
+    p = tmp_path / "hd.nut"
+    with video.open_output(str(p), 12, 10, Fraction(25), props) as wr:
+        assert wr.codec == "ffv1"
+        for f in frames:
+            wr.write_frame([x.astype(np.float64) for x in f], raw=True)
+    with video.open_input(str(p)) as r:
+        r.seek_frame(3)
+        got = r.read_frame(raw=True)
+        for a, b in zip(frames[3], got):
+            assert np.array_equal(a, b)
+
+
+def test_unsupported_variant_routes_to_bridge(tmp_path):
+    """A NUT file whose FFV1 stream the native decoder rejects falls
+    back to the ffmpeg bridge (which raises here: no binary)."""
+    from dspfun_tpu.io.nut import NutWriter
+
+    props = video.parse_color_props("pixel_format=yuv420p")
+    pf = video.PIXEL_FORMATS["yuv420p"]
+    p = tmp_path / "alien.nut"
+    with open(p, "wb") as f:
+        nw = NutWriter(f, 8, 6, Fraction(25), pf, props, codec="ffv1")
+        nw.write_header()
+        nw.write_frame_bytes(b"\x00" * 64)  # keyframe bit then garbage
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        video.open_input(str(p))

@@ -127,12 +127,22 @@ def test_nut_magic_over_wrong_extension(tmp_path):
 
 
 def test_nut_foreign_codec_routes_to_bridge(tmp_path):
-    """-c ffv1 on a .nut output is a genuinely foreign codec: bridge
-    territory (which raises without an ffmpeg binary here)."""
+    """A genuinely foreign codec on a .nut output is bridge territory
+    (which raises without an ffmpeg binary here); -c ffv1 is native
+    since the io/ffv1.py codec landed (reference default,
+    motion.c:447)."""
     props = video.parse_color_props("pixel_format=yuv420p")
     with pytest.raises(RuntimeError, match="ffmpeg"):
         video.open_output(str(tmp_path / "e.nut"), 8, 6, Fraction(25),
-                          props, codec="ffv1")
+                          props, codec="h264")
+    with video.open_output(str(tmp_path / "f.nut"), 8, 6, Fraction(25),
+                           props, codec="ffv1") as wr:
+        assert wr.codec == "ffv1"
+        wr.write_frame([np.zeros((6, 8))] + [np.zeros((3, 4))] * 2,
+                       raw=True)
+    with video.open_input(str(tmp_path / "f.nut")) as r:
+        assert r.pix_fmt.name == "yuv420p"
+        assert all(np.all(p == 0) for p in r.read_frame(raw=True))
 
 
 def test_nut_headers_parse_standalone(tmp_path):
