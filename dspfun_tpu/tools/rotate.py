@@ -33,7 +33,7 @@ HELP = """Usage: rotate [options] [-]xyz <infile> <outfile>
   -f <fmt>        input format name (e.g. for pipe input).
   -F <fmt>        output format name. [default: from output file extension]
   -c <optstring>  Option string specifying the pixel format and color properties to convert to for processing.
-  -e <enc>        output encoder name (accepted for CLI parity)
+  -e <enc>        output encoder name. [default: FFV1 or selected by format]
   -l <int>        log level (accepted for CLI parity)
 """
 
@@ -97,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
     frames = 0
     offset = 0
     quiet = False
-    ifmt = ofmt = cprops = None
+    ifmt = ofmt = cprops = codec = None
     for flag, arg in flags:
         if flag == "-h":
             print(HELP)
@@ -119,6 +119,8 @@ def main(argv: list[str] | None = None) -> int:
             ofmt = arg
         elif flag == "-c":
             cprops = arg
+        elif flag == "-e":
+            codec = arg  # native ffv1/rawvideo, else the ffmpeg bridge
 
     if len(args) < 3:
         print(USAGE, file=sys.stderr)
@@ -220,7 +222,7 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         writer = video.open_output(args[2], out_w, out_h, rate, props,
-                                   format=ofmt)
+                                   format=ofmt, codec=codec)
     except Exception as e:  # noqa: BLE001
         print(f"error opening output file {args[2]}: {e}", file=sys.stderr)
         return 1

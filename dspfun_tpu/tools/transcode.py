@@ -26,7 +26,7 @@ HELP = """Usage: transcode [options] <infile> <outfile>
   -f <fmt>        input format name (e.g. for pipe input).
   -F <fmt>        output format name. [default: from output file extension]
   -c <optstring>  Option string specifying the pixel format and color properties to convert to for processing.
-  -e <enc>        output encoder name (accepted for CLI parity)
+  -e <enc>        output encoder name. [default: FFV1 or selected by format]
   -l <int>        log level (accepted for CLI parity)
 """
 
@@ -46,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     frames = 0
     offset = 0
     quiet = False
-    ifmt = ofmt = cprops = None
+    ifmt = ofmt = cprops = codec = None
     for flag, arg in flags:
         if flag == "-h":
             print(HELP)
@@ -65,7 +65,9 @@ def main(argv: list[str] | None = None) -> int:
             ofmt = arg
         elif flag == "-c":
             cprops = arg
-        # -o, -O, -e, -l: parity only
+        elif flag == "-e":
+            codec = arg  # native ffv1/rawvideo, else the ffmpeg bridge
+        # -o, -O, -l: parity only
 
     if len(args) < 2:
         print(USAGE, file=sys.stderr)
@@ -106,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         writer = video.open_output(
             args[1], reader.width, reader.height, rate or reader.rate,
-            props, format=ofmt,
+            props, format=ofmt, codec=codec,
         )
     except Exception as e:  # noqa: BLE001
         print(f"Error opening output context: {e}", file=sys.stderr)

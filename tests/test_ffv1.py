@@ -221,6 +221,35 @@ def test_nut_ffv1_16bit_and_seek(tmp_path):
             assert np.array_equal(a, b)
 
 
+def test_transcode_rotate_e_flag_selects_codec(tmp_path):
+    """transcode/rotate -e (reference transcode.c:23, rotate.c:39)
+    selects between the native codecs; the default is FFV1 like the
+    reference."""
+    from dspfun_tpu.io.nut import NutReader
+    from dspfun_tpu.tools import rotate, transcode
+
+    props = video.parse_color_props("pixel_format=yuv420p")
+    clip = tmp_path / "c.y4m"
+    with video.open_output(str(clip), 16, 12, Fraction(25), props) as wr:
+        for i in range(3):
+            wr.write_frame([np.full((12, 16), 60.0 + i),
+                            np.full((6, 8), 128.0),
+                            np.full((6, 8), 128.0)], raw=True)
+    assert transcode.main(["-q", str(clip), str(tmp_path / "d.nut")]) == 0
+    assert transcode.main(["-q", "-e", "rawvideo", str(clip),
+                           str(tmp_path / "r.nut")]) == 0
+    assert rotate.main(["-q", "zyx", str(clip),
+                        str(tmp_path / "rot.nut")]) == 0
+    for name, tag in (("d.nut", b"FFV1"), ("r.nut", b"I420"),
+                      ("rot.nut", b"FFV1")):
+        with open(tmp_path / name, "rb") as f:
+            assert bytes(NutReader(f).state.streams[0]["fourcc"]) == tag
+    # and the FFV1 transcode inverts byte-exactly
+    back = tmp_path / "back.y4m"
+    assert transcode.main(["-q", str(tmp_path / "d.nut"), str(back)]) == 0
+    assert back.read_bytes() == clip.read_bytes()
+
+
 def test_unsupported_variant_routes_to_bridge(tmp_path):
     """A NUT file whose FFV1 stream the native decoder rejects falls
     back to the ffmpeg bridge (which raises here: no binary)."""
