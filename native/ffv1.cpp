@@ -570,6 +570,16 @@ int32_t ffv1_decode(void* handle, const uint8_t* data, int64_t size,
       p.height = out_params->height;
     }
     if (!read_header(c, p, d.quant)) return 0;
+    if (d.have_params &&
+        (p.colorspace != d.params.colorspace || p.bits != d.params.bits ||
+         p.chroma_planes != d.params.chroma_planes ||
+         p.h_shift != d.params.h_shift || p.v_shift != d.params.v_shift ||
+         p.transparency != d.params.transparency)) {
+      // the caller sized its plane buffers from the first keyframe; a
+      // mid-stream parameter change (corrupt or hostile data) must not
+      // redirect writes into them
+      return 0;
+    }
     d.params = p;
     for (auto& pc : d.contexts) pc.reset(d.quant.context_count);
     d.have_params = true;

@@ -221,6 +221,54 @@ def test_nut_ffv1_16bit_and_seek(tmp_path):
             assert np.array_equal(a, b)
 
 
+def test_decoder_fuzz_never_crashes():
+    """Random garbage, truncations, and bit-flipped real packets decode
+    to an error or to (wrong) planes — never a crash or hang, and never
+    a write outside the caller's plane buffers (mid-stream parameter
+    changes are rejected)."""
+    pf = video.PIXEL_FORMATS["yuv420p"]
+    params = ffv1.params_for_pix_fmt(pf)
+    rng = np.random.default_rng(23)
+    planes = _planes_for(pf, 24, 16, rng, smooth=True)
+    good = ffv1.encode_frame(planes, params, 24, 16)
+    dec = ffv1.FFV1Decoder(24, 16)
+    dec.decode(good)  # establish parameters
+    for trial in range(200):
+        kind = trial % 3
+        if kind == 0:
+            pkt = rng.bytes(rng.integers(1, 400))
+        elif kind == 1:
+            cut = int(rng.integers(1, len(good)))
+            pkt = good[:cut]
+        else:
+            buf = bytearray(good)
+            for _ in range(int(rng.integers(1, 6))):
+                buf[int(rng.integers(0, len(buf)))] ^= \
+                    int(rng.integers(1, 256))
+            pkt = bytes(buf)
+        try:
+            out = dec.decode(pkt)
+            for p, ref in zip(out, planes):
+                assert p.shape == ref.shape
+        except ValueError:
+            pass
+    # the decoder still works after all that abuse
+    out = dec.decode(good)
+    for a, b in zip(planes, out):
+        assert np.array_equal(a, b)
+    dec.close()
+
+    # a stream whose second keyframe changes the parameter set is
+    # rejected (buffers were sized from the first)
+    other = ffv1.encode_frame(
+        [planes[0]], ffv1.FFV1Params(bits=8, chroma_planes=False), 24, 16)
+    dec2 = ffv1.FFV1Decoder(24, 16)
+    dec2.decode(good)
+    with pytest.raises(ValueError):
+        dec2.decode(other)
+    dec2.close()
+
+
 def test_transcode_rotate_e_flag_selects_codec(tmp_path):
     """transcode/rotate -e (reference transcode.c:23, rotate.c:39)
     selects between the native codecs; the default is FFV1 like the
