@@ -105,24 +105,31 @@ class Precision:
             intermediate=_LETTER_INTER.get(intermediate.upper(), "hilo"),
         )
 
+    @classmethod
+    def parse(cls, spec: str) -> "Precision":
+        """Parse the ``[coeff:]intermediate[@tol]`` policy syntax — the
+        DSPFUN_PRECISION env-var language, usable programmatically.
+        Examples: "f32", "hilo", "bf16:f32", "f64:f64", "exact@1e-5",
+        "i8@1e-5"."""
+        if not spec:
+            return cls()
+        spec, _, tol_s = spec.partition("@")
+        coeff, _, inter = spec.partition(":")
+        if not inter:
+            coeff, inter = "float32", coeff
+        coeff = {"f32": "float32", "bf16": "bfloat16",
+                 "f64": "float64"}.get(coeff, coeff)
+        return cls(coeff=coeff, intermediate=inter,
+                   tol=float(tol_s) if tol_s else None)
+
 
 def _from_env() -> Precision:
     """DSPFUN_PRECISION=[coeff:]intermediate[@tol] — the runtime
     replacement for the reference's COEFF_PRECISION/
-    INTERMEDIATE_PRECISION compile flags (include/precision.h:26-57).
-    Examples: "f32", "hilo", "bf16:f32", "f64:f64", "exact@1e-5"."""
+    INTERMEDIATE_PRECISION compile flags (include/precision.h:26-57)."""
     import os  # noqa: PLC0415
 
-    spec = os.environ.get("DSPFUN_PRECISION", "")
-    if not spec:
-        return Precision()
-    spec, _, tol_s = spec.partition("@")
-    coeff, _, inter = spec.partition(":")
-    if not inter:
-        coeff, inter = "float32", coeff
-    coeff = {"f32": "float32", "bf16": "bfloat16", "f64": "float64"}.get(coeff, coeff)
-    return Precision(coeff=coeff, intermediate=inter,
-                     tol=float(tol_s) if tol_s else None)
+    return Precision.parse(os.environ.get("DSPFUN_PRECISION", ""))
 
 
 _default = _from_env()
