@@ -318,8 +318,15 @@ class NutWriter:
         put_vb(b, csd)              # codec_specific_data
         put_v(b, self.width)
         put_v(b, self.height)
-        put_v(b, 0)                 # sample_width (0 = unknown aspect)
-        put_v(b, 0)                 # sample_height
+        # pixel aspect (0/0 = unknown, per nut.txt)
+        sw = sh = 0
+        sar = getattr(self.props, "sample_aspect", None)
+        if sar:
+            num, _, den = sar.partition(":")
+            if num.isdigit() and den.isdigit() and int(den):
+                sw, sh = int(num), int(den)
+        put_v(b, sw)                # sample_width
+        put_v(b, sh)                # sample_height
         cs = _COLORSPACE_TYPES.get(
             (self.props.color_space, self.props.color_range), 0)
         put_v(b, cs)                # colorspace_type

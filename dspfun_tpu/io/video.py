@@ -132,6 +132,7 @@ class ColorProps:
     color_trc: str | None = None         # "iec61966-2-1", "smpte170m", "linear", ...
     color_space: str | None = None       # "rgb", "bt709", "smpte170m", ...
     chroma_location: str | None = None   # "left", "center", "topleft"
+    sample_aspect: str | None = None     # pixel SAR "num:den"; None unknown
 
     def copy(self) -> "ColorProps":
         return dataclasses.replace(self)
@@ -497,6 +498,10 @@ class Y4MReader(_HeaderedReader):
                 self.rate = Fraction(int(n), int(d))
             elif k == "C":
                 ctag = v
+            elif k == "A":
+                # pixel aspect; 0:0 means unknown (y4m convention)
+                if v not in ("0:0", ""):
+                    self.props.sample_aspect = v
             elif k == "X":
                 if v.upper() in ("COLORRANGE=FULL",):
                     self.props.color_range = "jpeg"
@@ -543,6 +548,8 @@ class FvidReader(_HeaderedReader):
                 self.props.color_primaries = v
             elif k == "L":
                 self.props.chroma_location = v
+            elif k == "A":
+                self.props.sample_aspect = v
 
 
 class ImageSeqReader(VideoReader):
@@ -681,8 +688,9 @@ class VideoWriter:
 class Y4MWriter(VideoWriter):
     def _write_header(self):
         ctag = _y4m_ctag(self.pix_fmt.name, self.props.chroma_location)
+        sar = self.props.sample_aspect or "1:1"
         hdr = f"YUV4MPEG2 W{self.width} H{self.height} " \
-              f"F{self.rate.numerator}:{self.rate.denominator} Ip A1:1 C{ctag}"
+              f"F{self.rate.numerator}:{self.rate.denominator} Ip A{sar} C{ctag}"
         if self.props.color_range == "jpeg":
             hdr += " XCOLORRANGE=FULL"
         self._stream.write((hdr + "\n").encode("ascii"))
@@ -696,6 +704,7 @@ class FvidWriter(VideoWriter):
             ("R", self.props.color_range), ("T", self.props.color_trc),
             ("S", self.props.color_space), ("P", self.props.color_primaries),
             ("L", self.props.chroma_location),
+            ("A", self.props.sample_aspect),
         ):
             if val:
                 hdr += f" {tag}{val}"
@@ -766,6 +775,9 @@ class NutVideoReader(VideoReader):
             color_space=info.get("X-dspfun-color_space"),
             chroma_location=info.get("X-dspfun-chroma_location"),
         )
+        sw, sh = s0.get("sample_width", 0), s0.get("sample_height", 0)
+        if sw and sh:
+            self.props.sample_aspect = f"{sw}:{sh}"
         if self.props.color_range is None:
             # colorspace_type carries range class (nut.txt): >= 16 full
             cs = s0.get("colorspace_type", 0)

@@ -218,3 +218,33 @@ def test_stdin_foreign_nut_replays_probe_bytes(monkeypatch):
     r = V.open_input("-")
     assert r == "BRIDGE"
     assert captured["bytes"] == raw  # nothing lost to the failed probe
+
+
+def test_sample_aspect_passthrough(tmp_path):
+    """The pixel aspect ratio survives every native container: y4m 'A'
+    tag (ffmpeg's y4m muxer writes the stream SAR, so files from real
+    pipelines carry it), fvid 'A' tag, NUT stream-header
+    sample_width/height (nut.txt)."""
+    import numpy as np
+    from fractions import Fraction
+
+    props = V.parse_color_props("pixel_format=yuv420p")
+    props.sample_aspect = "16:11"
+    for name in ("s.y4m", "s.fvid", "s.nut"):
+        p = props.copy()
+        if name.endswith("fvid"):
+            p.pix_fmt = "gbrpf32le"
+        path = str(tmp_path / name)
+        with V.open_output(path, 16, 12, Fraction(25), p) as wr:
+            dims = wr.pix_fmt.plane_dims(16, 12)
+            wr.write_frame([np.zeros((h, w)) for (w, h) in dims], raw=True)
+        with V.open_input(path) as r:
+            assert r.props.sample_aspect == "16:11", name
+    # unknown SAR: y4m defaults to square pixels (A1:1)
+    q = V.parse_color_props("pixel_format=yuv420p")
+    path = str(tmp_path / "nosar.y4m")
+    with V.open_output(path, 16, 12, Fraction(25), q) as wr:
+        wr.write_frame([np.zeros((12, 16)), np.zeros((6, 8)),
+                        np.zeros((6, 8))], raw=True)
+    with V.open_input(path) as r:
+        assert r.props.sample_aspect == "1:1"
