@@ -604,7 +604,11 @@ int32_t ffv1_decode(void* handle, const uint8_t* data, int64_t size,
   return 1;
 }
 
-// Worst-case packet size for ffv1_encode's out buffer.
+// Worst-case packet size for ffv1_encode's out buffer.  A symbol costs
+// at most ~2(bits+3) coded bits, and coding a bit against a
+// mis-adapted state costs up to ~1.6 real bits sustained — 5 B/sample
+// (8-bit) / 9 B/sample (16-bit) bounds that with margin; the encoder
+// still checks overflow and fails cleanly rather than trusting this.
 int64_t ffv1_max_packet(const Params* params) {
   const Params& p = *params;
   int64_t samples = 0;
@@ -613,7 +617,7 @@ int64_t ffv1_max_packet(const Params* params) {
     plane_dims(p, pl, &w, &h);
     samples += int64_t(w) * h;
   }
-  return samples * (p.bits <= 8 ? 4 : 8) + 65536;
+  return samples * (p.bits <= 8 ? 5 : 9) + 65536;
 }
 
 }  // extern "C"
