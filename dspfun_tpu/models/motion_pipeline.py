@@ -347,7 +347,9 @@ def filter_blocks(
     blocks: jax.Array,          # [NB, bd, bh, bw] pel values in 0..255
     plans,                      # ((fwd_d, fwd_h, fwd_w), (inv_d, inv_h, inv_w))
     block_coords,               # (bx[NB], by[NB]) int arrays
-    bz: jax.Array,              # scalar block-depth index
+    bz: jax.Array,              # block-depth index: scalar, or [NB] when
+                                # blocks of several slabs batch into one
+                                # dispatch (tools/motion.py --slab-batch)
     geom: PlaneGeometry,
     params: MotionParams,
     plane_index: int,
@@ -521,7 +523,9 @@ def filter_blocks(
             "depth": float(g.block.d), "components": float(nplanes),
             "bx": bxs.astype(dtype)[:, None, None, None],
             "by": bys.astype(dtype)[:, None, None, None],
-            "bz": bz.astype(dtype),
+            # scalar for the streaming slab loop; [NB] when slabs batch
+            "bz": (bz.astype(dtype)[:, None, None, None]
+                   if getattr(bz, "ndim", 0) else bz.astype(dtype)),
             "bwidth": float(g.nblocks.w), "bheight": float(g.nblocks.h),
             "bdepth": float(g.nblocks.d),
         }

@@ -30,7 +30,7 @@ LONG = [
     "iformat=", "decopts=", "loglevel=", "preserve-dc=", "eval=",
     "fftw-planning-method=", "fftw-wisdom-file=", "fftw-threads=", "quiet",
     "help", "threshold=", "coeff-limit=", "linear", "resume-file=", "mesh=",
-    "coordinator=", "nprocs=", "proc-id=",
+    "coordinator=", "nprocs=", "proc-id=", "slab-batch=",
 ]
 
 # getopt has no optional-argument long options; bare forms of these are
@@ -41,7 +41,7 @@ USAGE = """Usage: motion [options] <infile> [outfile]
 [-s|--size WxHxD] [-b|--blocksize WxHxD] [-p|--bandpass X1xY1xZ1-X2xY2xZ2]
 [-B|--boost float] [-D|--damp float]  [--spectrogram=type] [--ispectrogram=type] [-q|--quant quant] [--threshold] [--coeff-limit limit] [-d|--dither] [--preserve-dc=type] [--eval expression]
 [-r|--framerate] [--keep-rate] [--samesize-chroma] [--frames lim] [--offset pos] [--csp|c colorspace options] [--iformat|--format fmt] [--codec codec] [--encopts|--decopts opts] [--loglevel int]
-[--mesh auto|N|space=N[,time=M]] [--coordinator host:port --nprocs N --proc-id I] [-Q|--quiet]"""
+[--mesh auto|N|space=N[,time=M]] [--slab-batch N|auto] [--coordinator host:port --nprocs N --proc-id I] [-Q|--quiet]"""
 
 EXPR_NAMES = ("c", "x", "y", "z", "i", "width", "height", "depth",
               "components", "bx", "by", "bz", "bwidth", "bheight", "bdepth")
@@ -103,6 +103,7 @@ def main(argv: list[str] | None = None) -> int:
     codec = encopts = decopts = None
     resume_file = None
     mesh_spec = None
+    slab_batch = "auto"
     coordinator = None
     nprocs = 1
     proc_id = 0
@@ -179,6 +180,8 @@ def main(argv: list[str] | None = None) -> int:
             resume_file = arg
         elif flag == "--mesh":
             mesh_spec = arg
+        elif flag == "--slab-batch":
+            slab_batch = arg  # int | "auto"; resolved after mesh setup
         elif flag == "--coordinator":
             coordinator = arg
         elif flag == "--nprocs":
@@ -516,81 +519,161 @@ def main(argv: list[str] | None = None) -> int:
                 "fingerprint": fingerprint,
             })
 
-    try:
-        for bz in range(start_slab, g0.nblocks.d):
-            slab = []
-            for _z in range(g0.block.d):
-                planes = read_proc_planes()
-                if planes is None:
-                    if pending_pack is not None:
-                        flush_pack()  # the previous slab completed
-                    print("Error reading frame: end of stream", file=sys.stderr)
-                    ret = 1
-                    return ret
-                slab.append(planes)
-                read_count += 1
-                if not quiet:
-                    print(f"\rread: {read_count:>{padb}} wrote: "
-                          f"{written:>{pads}}", end="", file=sys.stderr)
-            out_planes = []
-            for i, g in enumerate(geoms):
-                frames = np.stack([slab[z][i] for z in range(g.block.d)])
-                if mesh is not None and use_volume[i]:
-                    # integer pels stage in their native dtype (4x less
-                    # H2D for u8 sources; the jitted chain casts on
-                    # device), float pels as f32
-                    vol_np = np.ascontiguousarray(
-                        frames[: g.block.d, : g.truncated.h, : g.truncated.w])
-                    if vol_np.dtype.kind not in "ui":
-                        vol_np = vol_np.astype(np.float32, copy=False)
-                    if multi:
-                        # every process read the whole clip; stage only
-                        # this host's time-contiguous slab (the DCN
-                        # exchange happens inside make_array_from_
-                        # process_local_data / the Ulysses all_to_alls)
-                        tl = g.block.d // jax.process_count()
-                        pid = jax.process_index()
-                        vol = jax.make_array_from_process_local_data(
-                            msh.volume_sharding(mesh),
-                            vol_np[pid * tl : (pid + 1) * tl],
-                        )
-                    else:
-                        vol = jax.device_put(jnp.asarray(vol_np),
-                                             msh.volume_sharding(mesh))
-                    out, c = msh.motion_filter_volume_sharded(
-                        vol, mesh, geom=g, params=params[i],
-                        plane_index=i, nplanes=proc_fmt.ncomp, bz=bz,
-                    )
-                    if multi:
-                        import jax.experimental.multihost_utils as mhu  # noqa: PLC0415
+    # --slab-batch: how many consecutive slabs' blocks run as ONE
+    # filter_blocks dispatch per plane (single-device block path only;
+    # mesh/multi keep their per-slab collectives and staging).  Exact:
+    # blocks are independent across slabs and bz rides per-block into
+    # the --eval environment.  Batching amortises the per-dispatch cost
+    # and fills the MXU's block (M) dimension on the short-tile kron
+    # fast paths (benchmarks/calib_r4_slabbatch.py).
+    if slab_batch == "auto":
+        slab_b = 1
+    else:
+        slab_b = max(1, int(slab_batch))
+    if mesh is not None or multi:
+        slab_b = 1
 
-                        out = mhu.process_allgather(out, tiled=True)
-                    coded += msh.coded_count(c)
-                    out_planes.append(np.asarray(out))
-                    continue
+    def read_slab():
+        """block.d frames in processing form, or None at EOF."""
+        nonlocal read_count
+        slab = []
+        for _z in range(g0.block.d):
+            planes = read_proc_planes()
+            if planes is None:
+                return None
+            slab.append(planes)
+            read_count += 1
+            if not quiet:
+                print(f"\rread: {read_count:>{padb}} wrote: "
+                      f"{written:>{pads}}", end="", file=sys.stderr)
+        return slab
+
+    _bc_tiled: dict = {}
+
+    def compute_block_slabs(slabs, bz0):
+        """Per-slab out_planes lists for S consecutive slabs starting at
+        bz0 — the single-device block path, batched per plane."""
+        nonlocal coded
+        S = len(slabs)
+        outs = [[] for _ in range(S)]
+        for i, g in enumerate(geoms):
+            per = []
+            for slab in slabs:
+                frames = np.stack([slab[z][i] for z in range(g.block.d)])
                 blocks = mp.frames_to_blocks(frames, g)
                 if blocks.dtype.kind not in "ui":
                     # float pels stage as f32; integer pels keep their
                     # native dtype across H2D and cast on device
                     blocks = blocks.astype(np.float32, copy=False)
-                if mesh is not None:
+                per.append(blocks)
+            nb = per[0].shape[0]
+            if S > 1:
+                big = np.concatenate(per)
+                key = (i, S)
+                if key not in _bc_tiled:
+                    bxs, bys = bcoords[i]
+                    _bc_tiled[key] = (jnp.tile(bxs, S), jnp.tile(bys, S))
+                bc = _bc_tiled[key]
+                bzv = jnp.asarray(np.repeat(
+                    np.arange(bz0, bz0 + S, dtype=np.int32), nb))
+            else:
+                big, bc, bzv = per[0], bcoords[i], jnp.asarray(bz0)
+            out, c = mp.filter_blocks(
+                jnp.asarray(big), plans[i], bc, bzv, geom=g,
+                params=params[i], plane_index=i, nplanes=proc_fmt.ncomp,
+            )
+            coded += int(np.asarray(c).sum())
+            # blocks_to_frames is pure reshape/transpose: applied to the
+            # device array it stays on device for the packed emission
+            for s in range(S):
+                outs[s].append(
+                    mp.blocks_to_frames(out[s * nb:(s + 1) * nb], g))
+        return outs
+
+    out_queue: list = []
+    eof = False
+    try:
+        for bz in range(start_slab, g0.nblocks.d):
+            if out_queue:
+                out_planes = out_queue.pop(0)
+            elif mesh is None:
+                staged = []
+                if not eof:
+                    for _s in range(min(slab_b, g0.nblocks.d - bz)):
+                        s_ = read_slab()
+                        if s_ is None:
+                            eof = True
+                            break
+                        staged.append(s_)
+                if not staged:
+                    if pending_pack is not None:
+                        flush_pack()  # the previous slab completed
+                    print("Error reading frame: end of stream", file=sys.stderr)
+                    ret = 1
+                    return ret
+                out_queue.extend(compute_block_slabs(staged, bz))
+                out_planes = out_queue.pop(0)
+            else:
+                slab = read_slab()
+                if slab is None:
+                    if pending_pack is not None:
+                        flush_pack()  # the previous slab completed
+                    print("Error reading frame: end of stream", file=sys.stderr)
+                    ret = 1
+                    return ret
+                out_planes = []
+                for i, g in enumerate(geoms):
+                    frames = np.stack([slab[z][i] for z in range(g.block.d)])
+                    if use_volume[i]:
+                        # integer pels stage in their native dtype (4x
+                        # less H2D for u8 sources; the jitted chain
+                        # casts on device), float pels as f32
+                        vol_np = np.ascontiguousarray(
+                            frames[: g.block.d, : g.truncated.h,
+                                   : g.truncated.w])
+                        if vol_np.dtype.kind not in "ui":
+                            vol_np = vol_np.astype(np.float32, copy=False)
+                        if multi:
+                            # every process read the whole clip; stage
+                            # only this host's time-contiguous slab (the
+                            # DCN exchange happens inside make_array_
+                            # from_process_local_data / the Ulysses
+                            # all_to_alls)
+                            tl = g.block.d // jax.process_count()
+                            pid = jax.process_index()
+                            vol = jax.make_array_from_process_local_data(
+                                msh.volume_sharding(mesh),
+                                vol_np[pid * tl : (pid + 1) * tl],
+                            )
+                        else:
+                            vol = jax.device_put(jnp.asarray(vol_np),
+                                                 msh.volume_sharding(mesh))
+                        out, c = msh.motion_filter_volume_sharded(
+                            vol, mesh, geom=g, params=params[i],
+                            plane_index=i, nplanes=proc_fmt.ncomp, bz=bz,
+                        )
+                        if multi:
+                            import jax.experimental.multihost_utils as mhu  # noqa: PLC0415
+
+                            out = mhu.process_allgather(out, tiled=True)
+                        coded += msh.coded_count(c)
+                        out_planes.append(np.asarray(out))
+                        continue
+                    blocks = mp.frames_to_blocks(frames, g)
+                    if blocks.dtype.kind not in "ui":
+                        # float pels stage as f32; integer pels keep
+                        # their native dtype across H2D, cast on device
+                        blocks = blocks.astype(np.float32, copy=False)
                     out, c = psh.shard_blocks_filter(
                         jnp.asarray(blocks), plans[i],
                         bcoords[i], jnp.asarray(bz), mesh,
                         geom=g, params=params[i],
                         plane_index=i, nplanes=proc_fmt.ncomp,
                     )
-                else:
-                    out, c = mp.filter_blocks(
-                        jnp.asarray(blocks), plans[i],
-                        bcoords[i], jnp.asarray(bz), geom=g, params=params[i],
-                        plane_index=i, nplanes=proc_fmt.ncomp,
-                    )
-                coded += int(np.asarray(c).sum())
-                # blocks_to_frames is pure reshape/transpose: applied
-                # to the device array it stays on device for the packed
-                # emission path below
-                out_planes.append(mp.blocks_to_frames(out, g))
+                    coded += int(np.asarray(c).sum())
+                    # blocks_to_frames is pure reshape/transpose: on the
+                    # device array it stays on device for packed emission
+                    out_planes.append(mp.blocks_to_frames(out, g))
             # indivisible block grids truncate a plane's processed
             # region (reference warns and leaves the surplus rows of
             # its frame buffer stale, motion.c:437-439); pad emitted

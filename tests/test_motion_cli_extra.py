@@ -215,3 +215,30 @@ def test_transcode_passthrough_byte_exact(tmp_path):
     for t in range(3):
         for c in range(3):
             np.testing.assert_array_equal(got[t][c], planes[t, c])
+
+
+def test_slab_batch_byte_identical(tmp_path):
+    """--slab-batch N runs several slabs' blocks as one dispatch; the
+    output is byte-identical to the streaming per-slab run, including
+    the --eval `bz` variable (which rides per-block when batched) and
+    the sequential dither."""
+    import numpy as np
+    from fractions import Fraction
+    from dspfun_tpu.io import video
+    from dspfun_tpu.tools import motion as motion_tool
+
+    rng = np.random.default_rng(31)
+    props = video.parse_color_props("pixel_format=yuv420p")
+    clip = str(tmp_path / "c.y4m")
+    with video.open_output(clip, 32, 16, Fraction(25), props) as wr:
+        for _ in range(20):  # 5 slabs of depth 4: batch 3 hits the tail
+            wr.write_frame([rng.integers(0, 256, (16, 32)).astype(float),
+                            rng.integers(0, 256, (8, 16)).astype(float),
+                            rng.integers(0, 256, (8, 16)).astype(float)],
+                           raw=True)
+    for extra in ([], ["--eval", "c*gte(bz,2)"], ["-q", "8", "-d"]):
+        a, b = str(tmp_path / "a.y4m"), str(tmp_path / "b.y4m")
+        args = ["-Q", "-b", "8x8x4", "-p", "0x0x0-4x4x2", "-D", "0", *extra]
+        assert motion_tool.main([*args, clip, a]) == 0
+        assert motion_tool.main([*args, "--slab-batch", "3", clip, b]) == 0
+        assert open(a, "rb").read() == open(b, "rb").read(), extra
