@@ -115,5 +115,30 @@ def main() -> int:
     return 0
 
 
+def _retrying_main() -> int:
+    """The axon tunnel occasionally refuses init for a stretch
+    (UNAVAILABLE: TPU backend setup/compile error); a failed backend
+    init is cached for the process, so retry in fresh child processes
+    rather than zeroing a whole round's capture on a transient outage.
+    The JSON line is printed by the successful child only."""
+    import subprocess
+
+    env = {**os.environ, "DSPFUN_BENCH_CHILD": "1"}
+    rc = 1
+    for attempt in range(3):
+        rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
+                             env=env)
+        if rc == 0:
+            return 0
+        print(f"bench attempt {attempt + 1} failed (rc={rc})"
+              + ("; retrying in 120 s" if attempt < 2 else ""),
+              file=sys.stderr)
+        if attempt < 2:
+            time.sleep(120)
+    return rc
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("DSPFUN_BENCH_CHILD"):
+        sys.exit(main())
+    sys.exit(_retrying_main())
