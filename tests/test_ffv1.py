@@ -221,6 +221,29 @@ def test_nut_ffv1_16bit_and_seek(tmp_path):
             assert np.array_equal(a, b)
 
 
+@pytest.mark.parametrize("name,size", [
+    ("yuv420p", (24, 18)), ("gray", (9, 7)), ("yuv444p16le", (6, 5)),
+])
+def test_python_reference_decoder_agrees(name, size):
+    """An independent pure-Python decoder (tests/ffv1_pyref.py, written
+    from RFC 9043) decodes the C++ encoder's bitstream to the same
+    planes — a mirrored encoder/decoder bug in the C++ would round-trip
+    silently but fail here."""
+    from tests import ffv1_pyref
+
+    pf = video.PIXEL_FORMATS[name]
+    w, h = size
+    params = ffv1.params_for_pix_fmt(pf)
+    rng = np.random.default_rng(hash((name, "pyref")) % (2**32))
+    planes = _planes_for(pf, w, h, rng, smooth=True)
+    pkt = ffv1.encode_frame(planes, params, w, h)
+    got_params, got = ffv1_pyref.decode_keyframe(pkt, w, h)
+    assert got_params["bits"] == pf.depth
+    assert bool(got_params["chroma_planes"]) == (pf.ncomp == 3)
+    for a, b in zip(planes, got):
+        assert np.array_equal(a, b)
+
+
 def test_decoder_fuzz_never_crashes():
     """Random garbage, truncations, and bit-flipped real packets decode
     to an error or to (wrong) planes — never a crash or hang, and never
