@@ -203,6 +203,8 @@ class FFV1Decoder:
         self.params: FFV1Params | None = None
 
     def decode(self, packet: bytes) -> list[np.ndarray]:
+        if self._h is None:
+            raise RuntimeError("FFV1Decoder is closed")
         if self.params is None:
             self.params = probe(packet, self.width, self.height)
         p = self.params

@@ -1339,15 +1339,20 @@ def open_output(
         # integer YCbCr/gray.  Float/RGB content keeps the lossless
         # rawvideo payloads (FFV1 has no float pixel formats — the
         # reference's ffapi would convert; rawvideo preserves more).
-        from dspfun_tpu.io import ffv1 as _ffv1  # noqa: PLC0415
+        def can_ffv1():
+            # availability may trigger the on-demand native build:
+            # probe it only when ffv1 could actually be selected
+            if pf.is_float or pf.is_rgb:
+                return False
+            from dspfun_tpu.io import ffv1 as _ffv1  # noqa: PLC0415
 
-        can_ffv1 = (not pf.is_float and not pf.is_rgb
-                    and _ffv1.available())
+            return _ffv1.available()
+
         if codec in (None, ""):
-            use = "ffv1" if can_ffv1 else "rawvideo"
+            use = "ffv1" if can_ffv1() else "rawvideo"
         elif codec == "rawvideo":
             use = "rawvideo"
-        elif codec == "ffv1" and can_ffv1:
+        elif codec == "ffv1" and can_ffv1():
             use = "ffv1"
         else:
             use = None  # genuinely foreign codec: bridge territory
@@ -1367,7 +1372,7 @@ def open_output(
                     tag = (bytes(r.state.streams[0]["fourcc"])
                            if r.state.streams else b"")
                 use = "ffv1" if tag == b"FFV1" else "rawvideo"
-                if use == "ffv1" and not can_ffv1:
+                if use == "ffv1" and not can_ffv1():
                     raise RuntimeError(
                         f"{spec!r}: cannot append to an FFV1 NUT file "
                         "without the native codec")

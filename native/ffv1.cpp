@@ -288,7 +288,9 @@ int read_quant_table(RangeDecoder& c, int32_t* qt, int scale) {
   int v = 0;
   for (; i < 128; v++) {
     int run = get_symbol(c, state, false);
-    if (run < 0 || run + 1 > 128 - i) return -1;
+    // unsigned compare: run + 1 would overflow signed int at the
+    // INT32_MAX a crafted stream can encode
+    if (run < 0 || uint32_t(run) + 1u > uint32_t(128 - i)) return -1;
     for (int len = run + 1; len--;) qt[i++] = scale * v;
   }
   for (int j = 1; j < 128; j++) qt[256 - j] = -qt[j];
@@ -569,7 +571,12 @@ int32_t ffv1_decode(void* handle, const uint8_t* data, int64_t size,
       p.width = out_params->width;
       p.height = out_params->height;
     }
-    if (!read_header(c, p, d.quant)) return 0;
+    // parse into locals and commit ONLY after every check passes: a
+    // rejected header must not leave torn decoder state (quant tables
+    // whose premultiplied entries index past the still-old context
+    // vectors on the next inter frame)
+    QuantTables q;
+    if (!read_header(c, p, q)) return 0;
     if (d.have_params &&
         (p.colorspace != d.params.colorspace || p.bits != d.params.bits ||
          p.chroma_planes != d.params.chroma_planes ||
@@ -581,6 +588,7 @@ int32_t ffv1_decode(void* handle, const uint8_t* data, int64_t size,
       return 0;
     }
     d.params = p;
+    d.quant = q;
     for (auto& pc : d.contexts) pc.reset(d.quant.context_count);
     d.have_params = true;
   } else if (!d.have_params) {

@@ -212,3 +212,71 @@ def decode_keyframe(packet: bytes, width: int, height: int):
                   h_shift=h_shift, v_shift=v_shift,
                   transparency=transparency, contexts=contexts)
     return params, planes
+
+
+class RangeEncoder:
+    """Minimal encoder counterpart (for crafting test bitstreams)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.low = 0
+        self.range = 0xFF00
+        self.outstanding_count = 0
+        self.outstanding_byte = -1
+
+    def _renorm(self):
+        while self.range < 0x100:
+            if self.outstanding_byte < 0:
+                self.outstanding_byte = self.low >> 8
+            elif self.low <= 0xFF00:
+                self.out.append(self.outstanding_byte)
+                self.out.extend(b"\xff" * self.outstanding_count)
+                self.outstanding_count = 0
+                self.outstanding_byte = self.low >> 8
+            elif self.low >= 0x10000:
+                self.out.append(self.outstanding_byte + 1)
+                self.out.extend(b"\x00" * self.outstanding_count)
+                self.outstanding_count = 0
+                self.outstanding_byte = (self.low >> 8) & 0xFF
+            else:
+                self.outstanding_count += 1
+            self.low = (self.low & 0xFF) << 8
+            self.range <<= 8
+
+    def put(self, state: bytearray, idx: int, bit: int) -> None:
+        r1 = (self.range * state[idx]) >> 8
+        if bit:
+            self.low += self.range - r1
+            self.range = r1
+            state[idx] = ONE_STATE[state[idx]]
+        else:
+            self.range -= r1
+            state[idx] = ZERO_STATE[state[idx]]
+        self._renorm()
+
+    def put_symbol(self, state: bytearray, v: int, signed: bool) -> None:
+        if not v:
+            self.put(state, 0, 1)
+            return
+        a = abs(v)
+        e = a.bit_length() - 1
+        self.put(state, 0, 0)
+        for i in range(e):
+            self.put(state, 1 + min(i, 9), 1)
+        self.put(state, 1 + min(e, 9), 0)
+        for i in range(e - 1, -1, -1):
+            self.put(state, 22 + min(i, 9), (a >> i) & 1)
+        if signed:
+            self.put(state, 11 + min(e, 10), int(v < 0))
+
+    def terminate(self) -> bytes:
+        self.range = 0xFF
+        self.low += 0xFF
+        self._renorm()
+        self.range = 0xFF
+        self._renorm()
+        if self.outstanding_byte >= 0:
+            self.out.append(self.outstanding_byte)
+            self.out.extend(b"\xff" * self.outstanding_count)
+        self.out.append(0)
+        return bytes(self.out)

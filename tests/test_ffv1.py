@@ -11,6 +11,7 @@ fallback for unsupported variants.
 
 import hashlib
 import os
+import zlib
 from fractions import Fraction
 
 import numpy as np
@@ -44,7 +45,8 @@ def _planes_for(pf, w, h, rng, smooth=False):
 def test_roundtrip_matrix(name, size):
     pf = video.PIXEL_FORMATS[name]
     w, h = size
-    rng = np.random.default_rng(hash((name, size)) % (2**32))
+    rng = np.random.default_rng(
+        zlib.crc32(name.encode()) ^ (size[0] << 16) ^ size[1])
     params = ffv1.params_for_pix_fmt(pf)
     planes = _planes_for(pf, w, h, rng)
     pkt = ffv1.encode_frame(planes, params, w, h)
@@ -234,7 +236,7 @@ def test_python_reference_decoder_agrees(name, size):
     pf = video.PIXEL_FORMATS[name]
     w, h = size
     params = ffv1.params_for_pix_fmt(pf)
-    rng = np.random.default_rng(hash((name, "pyref")) % (2**32))
+    rng = np.random.default_rng(zlib.crc32(name.encode()) ^ 0xFF51)
     planes = _planes_for(pf, w, h, rng, smooth=True)
     pkt = ffv1.encode_frame(planes, params, w, h)
     got_params, got = ffv1_pyref.decode_keyframe(pkt, w, h)
@@ -290,6 +292,79 @@ def test_decoder_fuzz_never_crashes():
     with pytest.raises(ValueError):
         dec2.decode(other)
     dec2.close()
+
+
+def _hostile_header(table0_runs, table1_runs=()):
+    """Craft a v1 keyframe whose header carries attacker-chosen quant
+    table runs (tests/ffv1_pyref.RangeEncoder)."""
+    from tests import ffv1_pyref as ref
+
+    enc = ref.RangeEncoder()
+    ks = bytearray([128])
+    enc.put(ks, 0, 1)  # keyframe
+    st = ref.fresh_state()
+    for v in (1, 1, 0, 8):  # version, coder, colorspace, bits
+        enc.put_symbol(st, v, False)
+    enc.put(st, 0, 1)  # chroma_planes
+    enc.put_symbol(st, 1, False)
+    enc.put_symbol(st, 1, False)
+    enc.put(st, 0, 0)  # transparency
+    for runs in (table0_runs, table1_runs):
+        qst = ref.fresh_state()
+        for r in runs:
+            enc.put_symbol(qst, r, False)
+    return enc.terminate()
+
+
+def test_rejected_keyframe_leaves_decoder_state_intact():
+    """A keyframe whose header fails validation mid-parse (review
+    finding: 255x255-level quant tables trip the 32768-context guard
+    AFTER table 0 parsed) must not leave torn quant/context state that
+    a following inter frame indexes out of bounds."""
+    pf = video.PIXEL_FORMATS["yuv420p"]
+    params = ffv1.params_for_pix_fmt(pf)
+    rng = np.random.default_rng(41)
+    planes = _planes_for(pf, 16, 12, rng, smooth=True)
+    good = ffv1.encode_frame(planes, params, 16, 12)
+    dec = ffv1.FFV1Decoder(16, 12)
+    dec.decode(good)
+    # 128 single-entry runs per table -> 255 distinct levels each;
+    # 255*255 > 32768 fails read_header after table 0 completed
+    hostile = _hostile_header([0] * 128, [0] * 128)
+    with pytest.raises(ValueError):
+        dec.decode(hostile)
+    # an inter frame right after the rejected keyframe: decodes as
+    # garbage samples or raises — must not touch memory out of bounds
+    from tests import ffv1_pyref as ref
+
+    enc = ref.RangeEncoder()
+    ks = bytearray([128])
+    enc.put(ks, 0, 0)  # inter
+    inter = enc.terminate() + bytes(256)
+    try:
+        out = dec.decode(inter)
+        for p, g in zip(out, planes):
+            assert p.shape == g.shape
+    except ValueError:
+        pass
+    # and the decoder still decodes good frames exactly
+    out = dec.decode(good)
+    for a, b in zip(planes, out):
+        assert np.array_equal(a, b)
+    dec.close()
+
+
+def test_int32_max_quant_run_rejected():
+    """A quant-table run symbol of INT32_MAX must be rejected without
+    signed overflow (review finding: 'run + 1' UB; ffmpeg guards this
+    with unsigned arithmetic for the same reason)."""
+    hostile = _hostile_header([2**31 - 1])
+    dec = ffv1.FFV1Decoder(8, 8)
+    with pytest.raises(ValueError):
+        dec.decode(hostile)
+    dec.close()
+    with pytest.raises(ValueError):
+        ffv1.probe(hostile, 8, 8)
 
 
 def test_transcode_rotate_e_flag_selects_codec(tmp_path):
