@@ -835,14 +835,25 @@ class NutVideoReader(VideoReader):
     def read_frame(self, raw: bool = False):
         pf = self.pix_fmt
         if self._ffv1 is not None:
-            if self._first_packet is not None:
-                pkt, self._first_packet = self._first_packet, None
-            else:
-                got = self._nr.read_frame_bytes()
-                if got is None:
-                    return None
-                _, pkt = got
-            planes = self._ffv1.decode(pkt)
+            while True:
+                if self._first_packet is not None:
+                    pkt, self._first_packet = self._first_packet, None
+                else:
+                    got = self._nr.read_frame_bytes()
+                    if got is None:
+                        return None
+                    _, pkt = got
+                try:
+                    planes = self._ffv1.decode(pkt)
+                    break
+                except ValueError:
+                    # payload-level damage: drop the frame and continue
+                    # at the next packet (every native frame is a
+                    # keyframe with reset contexts), mirroring the
+                    # container-level syncpoint recovery
+                    self._nr.damaged += 1
+                    print("nut: damaged FFV1 frame, skipping",
+                          file=sys.stderr)
             self.frame_index += 1
             if raw:
                 return planes
