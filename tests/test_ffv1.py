@@ -396,6 +396,37 @@ def test_transcode_rotate_e_flag_selects_codec(tmp_path):
     assert back.read_bytes() == clip.read_bytes()
 
 
+def test_version0_keyframe_decodes():
+    """Version-0 streams omit bits_per_raw_sample (implied 8); the
+    decoder handles them (docs/TOOLS.md claims v0 decode — this crafts
+    one, since the native encoder only writes v1)."""
+    from tests import ffv1_pyref as ref
+
+    enc = ref.RangeEncoder()
+    ks = bytearray([128])
+    enc.put(ks, 0, 1)  # keyframe
+    st = ref.fresh_state()
+    for v in (0, 1, 0):  # version 0, range coder, YCbCr — NO bits field
+        enc.put_symbol(st, v, False)
+    enc.put(st, 0, 0)  # no chroma planes (gray)
+    enc.put_symbol(st, 0, False)
+    enc.put_symbol(st, 0, False)
+    enc.put(st, 0, 0)  # no alpha
+    for _ in range(5):  # trivial quant tables: one 128-run of zeros
+        qst = ref.fresh_state()
+        enc.put_symbol(qst, 127, False)
+    # one 1x1 gray plane: context 0, predict 0 -> diff == sample
+    cst = bytearray([128] * 32)
+    enc.put_symbol(cst, 199, True)
+    pkt = enc.terminate()
+    got = ffv1.probe(pkt, 1, 1)
+    assert got.version == 0 and got.bits == 8 and not got.chroma_planes
+    dec = ffv1.FFV1Decoder(1, 1)
+    (plane,) = dec.decode(pkt)
+    assert plane.shape == (1, 1) and plane[0, 0] == 199
+    dec.close()
+
+
 def test_stored_golden_file_decodes():
     """A checked-in FFV1-in-NUT file pins the DECODER against stored
     bytes (the sha golden pins the encoder; this catches decode-side
