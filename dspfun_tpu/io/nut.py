@@ -273,6 +273,11 @@ class NutWriter:
         self.codec = codec  # "rawvideo" | "ffv1" (native, io/ffv1.py)
         self.frame_index = start_index
         self._header_written = start_index > 0  # append mode
+        # syncpoint byte positions for the EOF index packet (seekable
+        # fresh files only; appended sessions skip the index — the
+        # prior session's syncpoint positions are unknown)
+        self._sync_positions: list[int] = []
+        self._appending = start_index > 0
 
     def write_header(self) -> None:
         s = self._stream
@@ -294,6 +299,12 @@ class NutWriter:
             put_v(b, 0)             # tmp_size
             put_v(b, 0)             # tmp_res
             put_v(b, extra["count"])
+        # header_count_minus1 + elision list: REQUIRED after the frame
+        # table — libavformat reads it unconditionally, and without it
+        # header_count parses from stray bytes and every frame fails
+        # the header_idx validity check (found with a real libavformat
+        # via cv2; tests/test_interop_cv2.py)
+        put_v(b, 0)
         _write_packet(s, MAIN_STARTCODE, bytes(b))
         # --- stream header ----------------------------------------------
         b = bytearray()
@@ -360,6 +371,11 @@ class NutWriter:
         s = self._stream
         pts = self.frame_index
         # syncpoint (one per frame; every frame is a key frame)
+        try:
+            if s.seekable():
+                self._sync_positions.append(s.tell())
+        except (AttributeError, OSError):
+            pass
         b = bytearray()
         put_v(b, pts * 1 + 0)       # global_key_pts in tt coding
         put_v(b, 0)                 # back_ptr_div16 (all-intra)
@@ -372,6 +388,41 @@ class NutWriter:
         s.write(bytes(hdr))
         s.write(data)
         self.frame_index += 1
+
+    def write_index(self) -> None:
+        """EOF index packet (nut.txt): syncpoint positions div16 +
+        per-stream keyframe runs + the trailing index_ptr, so
+        libavformat gets exact duration/seeking instead of the
+        read_timestamp fallback (validated against a real libavformat
+        via cv2 — tests/test_interop_cv2.py).  Skipped for pipes,
+        appended sessions, and empty streams."""
+        if self._appending or not self._sync_positions:
+            return
+        s = self._stream
+        n = len(self._sync_positions)
+        b = bytearray()
+        put_v(b, self.frame_index * 1 + 0)  # max_pts in tt coding
+        put_v(b, n)
+        last = 0
+        for pos in self._sync_positions:
+            put_v(b, pos // 16 - last)      # delta-coded positions
+            last = pos // 16
+        # stream 0 keyframe bitmap, run-coded (type=1, flag=0): slot 0
+        # means "keyframe before the first syncpoint" and must be 0
+        # (libavformat rejects the index otherwise); the remaining
+        # slots stay 0 too — per-keyframe pts entries are redundant
+        # when every frame is a keyframe, and libavformat then seeks
+        # by syncpoint search (exact, as every syncpoint is a seek
+        # point here).  The trailing !flag run terminator lands in the
+        # parser's sentinel slot and is never consumed.
+        put_v(b, (n << 2) | 1)
+        # index_ptr: byte length of the whole index packet (startcode
+        # to EOF); the u64 sits inside the payload so sizes are stable
+        fwd = bytearray()
+        put_v(fwd, len(b) + 8 + 4)          # payload + index_ptr + crc
+        total = 8 + len(fwd) + len(b) + 8 + 4
+        payload = bytes(b) + total.to_bytes(8, "big")
+        _write_packet(s, INDEX_STARTCODE, payload)
 
 
 # ---------------------------------------------------------------------------

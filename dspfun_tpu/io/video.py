@@ -971,6 +971,14 @@ class NutVideoWriter(VideoWriter):
         self._nw.write_frame_bytes(data)
         self.frame_index = self._nw.frame_index
 
+    def close(self) -> None:
+        # EOF index packet: exact duration/seek for libavformat readers
+        try:
+            self._nw.write_index()
+        except (OSError, ValueError):
+            pass  # index is an optimisation; never fail the close
+        super().close()
+
 
 class RawReader(VideoReader):
     """Headerless fixed-size frames (ffmpeg ``-f rawvideo`` transport).

@@ -1,0 +1,148 @@
+"""Cross-implementation interop tests against a REAL FFmpeg.
+
+OpenCV (cv2) bundles genuine libavformat/libavcodec; these tests
+validate the native containers and the FFV1 codec against it — the
+contract the ffmpeg-binary bridge's shim tests cannot cover (no
+standalone binary exists in this environment).  What is pinned here:
+
+* the native NUT muxer's bytes parse in real libavformat (main header
+  framecode table + elision count, stream header, syncpoints, and the
+  EOF index packet giving exact duration and seeking),
+* the native FFV1 encoder's bitstream decodes BIT-EXACTLY in real
+  libavcodec (state tables, range coder, flush, header, quant tables,
+  context model, borders),
+* real libavformat-muxed NUT demuxes in the native reader, and
+  real-FFmpeg FFV1 (version 3) falls back to the bridge with a clear
+  error.
+
+Skipped when cv2 is not installed (e.g. the minimal CI environment).
+"""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from dspfun_tpu.io import video  # noqa: E402
+
+
+def _write_gray(path, frames, codec=None):
+    props = video.parse_color_props("pixel_format=gray")
+    h, w = frames[0].shape
+    with video.open_output(str(path), w, h, Fraction(25), props,
+                           codec=codec) as wr:
+        for f in frames:
+            wr.write_frame([f.astype(float)], raw=True)
+
+
+def _cv_frames(path, raw=False):
+    cap = cv2.VideoCapture(str(path), cv2.CAP_FFMPEG)
+    assert cap.isOpened()
+    if raw:
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+    out = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        out.append(frame)
+    cap.release()
+    return out
+
+
+def test_ffv1_bitstream_decodes_bit_exactly_in_real_libavcodec(tmp_path):
+    rng = np.random.default_rng(101)
+    frames = [rng.integers(0, 256, (16, 24)).astype(np.uint8)
+              for _ in range(4)]
+    p = tmp_path / "g.nut"
+    _write_gray(p, frames)  # default codec: ffv1
+    got = _cv_frames(p)
+    assert len(got) == 4
+    for f, bgr in zip(frames, got):
+        # gray -> BGR is channel replication: lossless
+        assert np.array_equal(bgr[..., 0], f)
+        assert np.array_equal(bgr[..., 1], f)
+
+
+def test_ffv1_yuv420_luma_bit_exact_in_real_libavcodec(tmp_path):
+    rng = np.random.default_rng(102)
+    props = video.parse_color_props("pixel_format=yuv420p")
+    y = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    u = rng.integers(0, 256, (8, 12)).astype(np.uint8)
+    v = rng.integers(0, 256, (8, 12)).astype(np.uint8)
+    p = tmp_path / "c.nut"
+    with video.open_output(str(p), 24, 16, Fraction(25), props) as wr:
+        assert wr.codec == "ffv1"
+        wr.write_frame([a.astype(float) for a in (y, u, v)], raw=True)
+    (raw,) = _cv_frames(p, raw=True)
+    assert np.array_equal(raw.reshape(-1)[: 24 * 16].reshape(16, 24), y)
+
+
+def test_rawvideo_nut_and_y4m_parse_in_real_libavformat(tmp_path):
+    rng = np.random.default_rng(103)
+    props = video.parse_color_props("pixel_format=yuv420p")
+    y = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    u = np.full((8, 12), 128, np.uint8)
+    v = np.full((8, 12), 90, np.uint8)
+    for name, codec in (("r.nut", "rawvideo"), ("r.y4m", None)):
+        p = tmp_path / name
+        with video.open_output(str(p), 24, 16, Fraction(25), props,
+                               codec=codec) as wr:
+            wr.write_frame([a.astype(float) for a in (y, u, v)], raw=True)
+        (raw,) = _cv_frames(p, raw=True)
+        assert np.array_equal(raw.reshape(-1)[: 24 * 16].reshape(16, 24),
+                              y), name
+
+
+def test_index_gives_exact_count_and_seeking(tmp_path):
+    rng = np.random.default_rng(104)
+    frames = [rng.integers(0, 256, (16, 24)).astype(np.uint8)
+              for _ in range(7)]
+    p = tmp_path / "ix.nut"
+    _write_gray(p, frames)
+    cap = cv2.VideoCapture(str(p), cv2.CAP_FFMPEG)
+    assert cap.isOpened()
+    assert cap.get(cv2.CAP_PROP_FRAME_COUNT) == 7.0
+    assert cap.get(cv2.CAP_PROP_FPS) == 25.0
+    for target in (5, 2, 6, 0):
+        cap.set(cv2.CAP_PROP_POS_FRAMES, target)
+        ok, bgr = cap.read()
+        assert ok and np.array_equal(bgr[..., 0], frames[target]), target
+    cap.release()
+
+
+def test_real_libavformat_muxed_nut_demuxes_natively(tmp_path):
+    rng = np.random.default_rng(105)
+    frames = [rng.integers(0, 256, (16, 24)).astype(np.uint8)
+              for _ in range(3)]
+    p = tmp_path / "real.nut"
+    wr = cv2.VideoWriter(str(p), cv2.CAP_FFMPEG,
+                         cv2.VideoWriter_fourcc(*"I420"), 25, (24, 16))
+    assert wr.isOpened()
+    for f in frames:
+        wr.write(np.dstack([f, f, f]))
+    wr.release()
+    with video.open_input(str(p)) as r:
+        assert type(r).__name__ == "NutVideoReader"
+        assert r.pix_fmt.name == "yuv420p"
+        assert (r.width, r.height) == (24, 16)
+        n = 0
+        while r.read_frame(raw=True) is not None:
+            n += 1
+        assert n == 3
+
+
+def test_real_ffv1_v3_routes_to_bridge(tmp_path):
+    """Real FFmpeg writes FFV1 version 3 (extradata + slices); the
+    native decoder covers v0/v1 and the open path falls back to the
+    bridge with a clear error (no standalone binary here)."""
+    p = tmp_path / "v3.nut"
+    wr = cv2.VideoWriter(str(p), cv2.CAP_FFMPEG,
+                         cv2.VideoWriter_fourcc(*"FFV1"), 25, (24, 16))
+    assert wr.isOpened()
+    wr.write(np.zeros((16, 24, 3), np.uint8))
+    wr.release()
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        video.open_input(str(p))
