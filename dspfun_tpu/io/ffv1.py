@@ -51,9 +51,17 @@ class FFV1Params:
     v_shift: int = 0
     transparency: bool = False
     version: int = 1
+    colorspace: int = 0  # 0 = YCbCr/gray, 1 = RGB (JPEG2000-RCT)
 
     def pix_fmt_name(self) -> str:
         """Map onto the framework's PIXEL_FORMATS registry name."""
+        if self.colorspace == 1:
+            if self.bits != 8:
+                raise ValueError(
+                    f"FFV1 RGB at {self.bits} bits has no native format")
+            # transparency (bgr0 padding or real alpha) decodes but the
+            # 4th plane is dropped — no alpha pixel format exists here
+            return "gbrp"
         if self.transparency:
             raise ValueError("FFV1 alpha plane has no native pixel format")
         if not self.chroma_planes:
@@ -133,6 +141,9 @@ def _load() -> ctypes.CDLL | None:
         lib.ffv1_decode.argtypes = [c.c_void_p, c.c_char_p, c.c_int64,
                                     c.POINTER(u8p), c.POINTER(c.c_int64),
                                     c.POINTER(_CParams)]
+        lib.ffv1_set_extradata.restype = c.c_int32
+        lib.ffv1_set_extradata.argtypes = [c.c_void_p, c.c_char_p,
+                                           c.c_int64, c.POINTER(_CParams)]
         _LIB = lib
         return _LIB
 
@@ -142,9 +153,16 @@ def available() -> bool:
 
 
 def _cparams(p: FFV1Params, width: int, height: int) -> _CParams:
-    return _CParams(p.version, 1, 0, p.bits, int(p.chroma_planes),
-                    p.h_shift, p.v_shift, int(p.transparency),
-                    width, height)
+    return _CParams(p.version, 1, p.colorspace, p.bits,
+                    int(p.chroma_planes), p.h_shift, p.v_shift,
+                    int(p.transparency), width, height)
+
+
+def _params_from_c(cp: _CParams) -> FFV1Params:
+    return FFV1Params(bits=cp.bits, chroma_planes=bool(cp.chroma_planes),
+                      h_shift=cp.h_shift, v_shift=cp.v_shift,
+                      transparency=bool(cp.transparency),
+                      version=cp.version, colorspace=cp.colorspace)
 
 
 def _plane_ptrs(planes: list[np.ndarray]):
@@ -183,17 +201,24 @@ def probe(packet: bytes, width: int, height: int) -> FFV1Params:
         raise RuntimeError("native FFV1 library unavailable")
     cp = _CParams(width=width, height=height)
     if not lib.ffv1_probe(packet, len(packet), ctypes.byref(cp)):
-        raise ValueError("unsupported FFV1 bitstream (v2+/golomb/RGB, or "
-                         "not a keyframe)")
-    return FFV1Params(bits=cp.bits, chroma_planes=bool(cp.chroma_planes),
-                      h_shift=cp.h_shift, v_shift=cp.v_shift,
-                      transparency=bool(cp.transparency), version=cp.version)
+        raise ValueError("unsupported FFV1 bitstream (v2+ without "
+                         "extradata, or not a keyframe)")
+    return _params_from_c(cp)
 
 
 class FFV1Decoder:
-    """Stateful packet decoder (inter frames continue adaptation)."""
+    """Stateful packet decoder (inter frames continue adaptation).
 
-    def __init__(self, width: int, height: int):
+    ``extradata`` (NUT codec_specific_data / matroska CodecPrivate)
+    switches to the version>=2 slice-based decode: both coders
+    (range + Golomb-Rice), YCbCr/gray and RGB-RCT, validated
+    bit-exactly against real libavcodec output
+    (tests/test_interop_cv2.py).  RGB frames decode G,B,R(,A); the
+    alpha plane is dropped from the returned list (no native alpha
+    pixel format)."""
+
+    def __init__(self, width: int, height: int,
+                 extradata: bytes | None = None):
         lib = _load()
         if lib is None:
             raise RuntimeError("native FFV1 library unavailable")
@@ -201,6 +226,16 @@ class FFV1Decoder:
         self._h = lib.ffv1_decoder_new()
         self.width, self.height = width, height
         self.params: FFV1Params | None = None
+        if extradata:
+            cp = _CParams(width=width, height=height)
+            if not lib.ffv1_set_extradata(self._h, extradata,
+                                          len(extradata), ctypes.byref(cp)):
+                lib.ffv1_decoder_free(self._h)
+                self._h = None
+                raise ValueError(
+                    "unsupported FFV1 extradata (version/coder/quant "
+                    "tables out of the decoder's domain)")
+            self.params = _params_from_c(cp)
 
     def decode(self, packet: bytes) -> list[np.ndarray]:
         if self._h is None:
@@ -209,13 +244,16 @@ class FFV1Decoder:
             self.params = probe(packet, self.width, self.height)
         p = self.params
         dt = np.uint16 if p.bits > 8 else np.uint8
-        dims = [(self.width, self.height)]
-        if p.chroma_planes:
-            cw = (self.width + (1 << p.h_shift) - 1) >> p.h_shift
-            ch = (self.height + (1 << p.v_shift) - 1) >> p.v_shift
-            dims += [(cw, ch), (cw, ch)]
-        if p.transparency:
-            dims.append((self.width, self.height))
+        if p.colorspace == 1:
+            dims = [(self.width, self.height)] * (3 + int(p.transparency))
+        else:
+            dims = [(self.width, self.height)]
+            if p.chroma_planes:
+                cw = (self.width + (1 << p.h_shift) - 1) >> p.h_shift
+                ch = (self.height + (1 << p.v_shift) - 1) >> p.v_shift
+                dims += [(cw, ch), (cw, ch)]
+            if p.transparency:
+                dims.append((self.width, self.height))
         planes = [np.empty((h, w), dt) for (w, h) in dims]
         ptrs, strides = _plane_ptrs(planes)
         cp = _cparams(p, self.width, self.height)
@@ -223,6 +261,8 @@ class FFV1Decoder:
                                    ptrs, strides, ctypes.byref(cp))
         if not ok:
             raise ValueError("corrupt or unsupported FFV1 packet")
+        if p.colorspace == 1:
+            return planes[:3]  # G, B, R; padding/alpha dropped
         return planes
 
     def close(self) -> None:

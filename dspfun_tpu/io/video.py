@@ -110,6 +110,7 @@ PIXEL_FORMATS = {
         PixelFormat("yuv444p10le", 3, depth=10),
         PixelFormat("yuv444p12le", 3, depth=12),
         PixelFormat("yuv444p16le", 3, depth=16),
+        PixelFormat("gbrp", 3, is_rgb=True),
         PixelFormat("gbrpf32le", 3, is_float=True, is_rgb=True),
         PixelFormat("grayf32le", 1, is_float=True),
         PixelFormat("yuv444pf32", 3, is_float=True),
@@ -736,16 +737,27 @@ class NutVideoReader(VideoReader):
                 raise ValueError(
                     f"{spec!r}: FFV1-in-NUT needs the native codec "
                     "(toolchain missing) or the ffmpeg bridge")
-            got = self._nr.read_frame_bytes()
-            if got is None:
-                raise ValueError(f"{spec!r}: FFV1 NUT stream has no frames")
-            _, pkt = got
-            # unsupported FFV1 variants (v2+/golomb/RGB/alpha) raise
-            # ValueError here and the open path falls back to the bridge
-            params = _ffv1.probe(pkt, self.width, self.height)
+            csd = bytes(s0["codec_specific"])
+            if csd:
+                # version >= 2: parameters ride in the extradata —
+                # real-FFmpeg files (v3, either coder, YCbCr or RGB).
+                # Unsupported variants raise ValueError here and the
+                # open path falls back to the bridge.
+                self._ffv1 = _ffv1.FFV1Decoder(self.width, self.height,
+                                               extradata=csd)
+                params = self._ffv1.params
+            else:
+                # version 0/1: the parameter set rides in the first
+                # keyframe — probe it (the packet replays on first read)
+                got = self._nr.read_frame_bytes()
+                if got is None:
+                    raise ValueError(
+                        f"{spec!r}: FFV1 NUT stream has no frames")
+                _, pkt = got
+                params = _ffv1.probe(pkt, self.width, self.height)
+                self._ffv1 = _ffv1.FFV1Decoder(self.width, self.height)
+                self._first_packet = pkt
             name = params.pix_fmt_name()
-            self._ffv1 = _ffv1.FFV1Decoder(self.width, self.height)
-            self._first_packet = pkt
         elif tag == b"DSPF":
             name = s0["codec_specific"].decode("ascii", "replace")
         else:
@@ -791,10 +803,11 @@ class NutVideoReader(VideoReader):
         self._native = None
         self._prefetch = 4
         if self._ffv1 is not None:
-            # variable packet sizes: no raw-payload index; the first
-            # packet was consumed by the probe above
+            # variable packet sizes: no raw-payload index; v0/1 probing
+            # consumed (and holds) the first packet
+            held = 1 if self._first_packet is not None else 0
             cf = self._nr.count_frames()
-            self.frames = None if cf is None else cf + 1
+            self.frames = None if cf is None else cf + held
             return
         offs = None
         fb = self.pix_fmt.frame_bytes(self.width, self.height)

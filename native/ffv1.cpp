@@ -150,8 +150,11 @@ struct RangeDecoder {
   int64_t pos = 0;
   uint32_t low = 0;
   uint32_t range = 0xFF00;
+  const StateTables* st;  // default, or a custom table (coder 2)
 
-  RangeDecoder(const uint8_t* b, int64_t s) : buf(b), size(s) {
+  RangeDecoder(const uint8_t* b, int64_t s,
+               const StateTables* tables = &kStates)
+      : buf(b), size(s), st(tables) {
     low = uint32_t(next()) << 8;
     low |= next();
   }
@@ -170,13 +173,13 @@ struct RangeDecoder {
     uint32_t r1 = (range * (*state)) >> 8;
     range -= r1;
     if (low < range) {
-      *state = kStates.zero[*state];
+      *state = st->zero[*state];
       refill();
       return false;
     }
     low -= range;
     range = r1;
-    *state = kStates.one[*state];
+    *state = st->one[*state];
     refill();
     return true;
   }
@@ -489,11 +492,524 @@ bool read_header(RangeDecoder& c, Params& p, QuantTables& q) {
   return true;
 }
 
+// ---------------------------------------------------------------------
+// Version 2/3 decode (RFC 9043 section 4.2/4.3): parameters ride in
+// out-of-band extradata (with their own CRC and optional custom state
+// transition table), frames split into independent slices with
+// range-coded headers, and the sample coder may be the Golomb-Rice
+// bit coder instead of the range coder.  Decode-only — the encoder
+// stays version 1 (which real libavcodec reads; see
+// tests/test_interop_cv2.py).
+// ---------------------------------------------------------------------
+
+struct Extra {
+  int version = 0, micro = 0, coder = 1, colorspace = 0, bits = 8;
+  int chroma_planes = 0, h_shift = 0, v_shift = 0, transparency = 0;
+  int num_h = 1, num_v = 1, qtc = 1, ec = 0, intra = 0;
+  StateTables states;  // default, or custom when coder == 2
+  std::vector<QuantTables> qts;
+  std::vector<std::vector<uint8_t>> initial_states;  // per set; may be empty
+};
+
+// CRC over startcode-free bytes, NUT/MPEG-2 polynomial 0x104C11DB7
+// MSB-first (ffmpeg's AV_CRC_32_IEEE) — used by the v3 extradata and
+// the per-slice integrity trailers.
+uint32_t crc32_ieee(const uint8_t* data, int64_t n) {
+  uint32_t crc = 0;
+  for (int64_t i = 0; i < n; i++) {
+    crc ^= uint32_t(data[i]) << 24;
+    for (int b = 0; b < 8; b++)
+      crc = (crc << 1) ^ (crc & 0x80000000u ? 0x04C11DB7u : 0);
+  }
+  return crc;
+}
+
+bool parse_extradata(const uint8_t* data, int64_t size, Extra& e) {
+  if (size < 4) return false;
+  RangeDecoder c(data, size);
+  uint8_t state[kContextSize];
+  std::memset(state, 128, sizeof(state));
+  e.version = get_symbol(c, state, false);
+  if (e.version < 2 || e.version > 3) return false;
+  if (e.version > 2) {
+    if (crc32_ieee(data, size) != 0) return false;  // stored CRC included
+    c.size = size - 4;  // the trailing CRC is not range-coded payload
+    e.micro = get_symbol(c, state, false);
+  }
+  e.coder = get_symbol(c, state, false);
+  if (e.coder != 0 && e.coder != 1 && e.coder != 2) return false;
+  if (e.coder == 2) {  // custom state transition table, delta-coded
+    for (int i = 1; i < 256; i++) {
+      int d = get_symbol(c, state, true);
+      int v = d + kStates.one[i];
+      if (v < 1 || v > 255 || d == INT32_MIN) return false;
+      e.states.one[i] = uint8_t(v);
+    }
+    for (int i = 1; i < 255; i++)
+      e.states.zero[i] = uint8_t(256 - e.states.one[256 - i]);
+  }
+  e.colorspace = get_symbol(c, state, false);
+  if (e.colorspace != 0 && e.colorspace != 1) return false;
+  e.bits = get_symbol(c, state, false);
+  if (e.bits == 0) e.bits = 8;
+  if (e.bits < 1 || e.bits > 16) return false;
+  e.chroma_planes = c.get(state);
+  e.h_shift = get_symbol(c, state, false);
+  e.v_shift = get_symbol(c, state, false);
+  e.transparency = c.get(state);
+  if (e.h_shift < 0 || e.h_shift > 4 || e.v_shift < 0 || e.v_shift > 4)
+    return false;
+  e.num_h = get_symbol(c, state, false) + 1;
+  e.num_v = get_symbol(c, state, false) + 1;
+  if (e.num_h < 1 || e.num_h > 256 || e.num_v < 1 || e.num_v > 256)
+    return false;
+  e.qtc = get_symbol(c, state, false);
+  if (e.qtc < 1 || e.qtc > 8) return false;
+  e.qts.resize(e.qtc);
+  for (int t = 0; t < e.qtc; t++) {
+    int context_count = 1;
+    for (int i = 0; i < 5; i++) {
+      int ret = read_quant_table(c, e.qts[t].t[i], context_count);
+      if (ret < 0 || int64_t(context_count) * ret > 32768) return false;
+      context_count *= ret;
+    }
+    e.qts[t].context_count = (context_count + 1) / 2;
+    e.qts[t].five_input =
+        e.qts[t].t[3][127] != 0 || e.qts[t].t[4][127] != 0;
+  }
+  e.initial_states.resize(e.qtc);
+  for (int t = 0; t < e.qtc; t++) {
+    if (!c.get(state)) continue;
+    auto& ini = e.initial_states[t];
+    ini.assign(size_t(e.qts[t].context_count) * kContextSize, 128);
+    for (int j = 0; j < e.qts[t].context_count; j++)
+      for (int k = 0; k < kContextSize; k++) {
+        int pred = j ? ini[size_t(j - 1) * kContextSize + k] : 128;
+        int v = get_symbol(c, state, true);
+        if (v == INT32_MIN) return false;
+        ini[size_t(j) * kContextSize + k] = uint8_t((pred + v) & 0xFF);
+      }
+  }
+  if (e.version > 2) {
+    e.ec = get_symbol(c, state, false);
+    if (e.micro > 2) e.intra = get_symbol(c, state, false);
+  }
+  return true;
+}
+
+// MSB-first bit reader over a byte range; reads zero past the end.
+struct BitReader {
+  const uint8_t* buf;
+  int64_t size;
+  int64_t pos = 0;  // in bits
+
+  BitReader(const uint8_t* b, int64_t s) : buf(b), size(s) {}
+
+  int bit() {
+    int64_t byte = pos >> 3;
+    int b = byte < size ? (buf[byte] >> (7 - (pos & 7))) & 1 : 0;
+    pos++;
+    return b;
+  }
+
+  uint32_t bits(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | uint32_t(bit());
+    return v;
+  }
+};
+
+// Golomb-Rice with unary limit + escape (RFC 9043 section 4.3.3).
+int get_ur_golomb(BitReader& gb, int k, int limit, int esc_len) {
+  int q = 0;
+  while (q < limit) {
+    if (gb.bit()) break;
+    q++;
+  }
+  if (q < limit) return (q << k) | int(gb.bits(k));
+  return int(gb.bits(esc_len)) + limit - 1;
+}
+
+int get_sr_golomb(BitReader& gb, int k, int limit, int esc_len) {
+  unsigned v = unsigned(get_ur_golomb(gb, k, limit, esc_len));
+  return int(v >> 1) ^ -int(v & 1);
+}
+
+// Per-context adaptive Rice parameter state (RFC 9043 section 4.3.1).
+struct VlcState {
+  int16_t drift = 0;
+  uint16_t error_sum = 4;
+  int8_t bias = 0;
+  uint8_t count = 1;
+};
+
+void update_vlc_state(VlcState& s, int v) {
+  int drift = s.drift;
+  int count = s.count;
+  int bias = s.bias;
+  s.error_sum = uint16_t(s.error_sum + (v < 0 ? -v : v));
+  drift += v;
+  if (count == 128) {
+    count >>= 1;
+    drift >>= 1;
+    s.error_sum >>= 1;
+  }
+  count++;
+  if (drift <= -count) {
+    bias = bias - 1 > -128 ? bias - 1 : -128;
+    drift = drift + count > -count + 1 ? drift + count : -count + 1;
+  } else if (drift > 0) {
+    bias = bias + 1 < 127 ? bias + 1 : 127;
+    drift = drift - count < 0 ? drift - count : 0;
+  }
+  s.bias = int8_t(bias);
+  s.drift = int16_t(drift);
+  s.count = uint8_t(count);
+}
+
+int get_vlc_symbol(BitReader& gb, VlcState& s, int bits) {
+  int k = 0;
+  for (unsigned i = s.count; i < s.error_sum; i += i) k++;
+  int v = get_sr_golomb(gb, k, 12, bits);
+  v ^= (2 * s.drift + s.count) >> 31;  // sign flip when drift negative
+  int ret = fold(v + s.bias, bits);
+  update_vlc_state(s, v);
+  return ret;
+}
+
+// JPEG-LS style run-length ladder (RFC 9043 section 4.3.4).
+const uint8_t kLog2Run[41] = {
+    0,  0,  0,  0,  1,  1,  1,  1,  2,  2,  2,  2,  3,  3,
+    3,  3,  4,  4,  5,  5,  6,  6,  7,  7,  8,  9,  10, 11,
+    12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24,
+};
+
+struct GolombPlaneState {
+  std::vector<VlcState> vlc;
+  void reset(int context_count) {
+    vlc.assign(size_t(context_count), VlcState());
+  }
+};
+
+// One line in Golomb-Rice mode; run_index persists across lines.
+void golomb_decode_line(BitReader& gb, const QuantTables& q,
+                        GolombPlaneState& pc, int32_t* cur,
+                        const int32_t* above, const int32_t* above2, int w,
+                        int bits, int& run_index) {
+  const int mask = (1 << bits) - 1;
+  int run_count = 0;
+  int run_mode = 0;
+  for (int x = 0; x < w; x++) {
+    int ctx = context_of(q, cur, above, above2, x);
+    bool flip = ctx < 0;
+    if (flip) ctx = -ctx;
+    int diff;
+    if (ctx == 0 && run_mode == 0) run_mode = 1;
+    if (run_mode) {
+      if (run_count == 0 && run_mode == 1) {
+        if (gb.bit()) {
+          run_count = 1 << kLog2Run[run_index];
+          if (x + run_count <= w) run_index++;
+        } else {
+          run_count = kLog2Run[run_index]
+                          ? int(gb.bits(kLog2Run[run_index]))
+                          : 0;
+          if (run_index) run_index--;
+          run_mode = 2;
+        }
+      }
+      run_count--;
+      if (run_count < 0) {
+        run_mode = 0;
+        run_count = 0;
+        diff = get_vlc_symbol(gb, pc.vlc[ctx], bits);
+        if (diff >= 0) diff++;  // zero cannot break a run
+      } else {
+        diff = 0;
+      }
+    } else {
+      diff = get_vlc_symbol(gb, pc.vlc[ctx], bits);
+    }
+    if (flip) diff = -diff;
+    cur[x] = (predict(cur, above, x) + diff) & mask;
+  }
+}
+
+// Range-coder line (shared helper for the v3 slice path).
+bool rac_decode_line(RangeDecoder& c, const QuantTables& q, uint8_t* states,
+                     int32_t* cur, const int32_t* above,
+                     const int32_t* above2, int w, int bits) {
+  const int mask = (1 << bits) - 1;
+  for (int x = 0; x < w; x++) {
+    int ctx = context_of(q, cur, above, above2, x);
+    bool flip = ctx < 0;
+    if (flip) ctx = -ctx;
+    int diff = get_symbol(c, states + size_t(ctx) * kContextSize, true);
+    if (diff == INT32_MIN) return false;
+    if (flip) diff = -diff;
+    cur[x] = (predict(cur, above, x) + diff) & mask;
+  }
+  return true;
+}
+
+struct SliceCoder {
+  // one of the two, per e.coder
+  RangeDecoder* rac = nullptr;
+  BitReader* gb = nullptr;
+};
+
+// Per-slice context-set state (range states or VLC states).
+struct SliceContexts {
+  PlaneContexts rac[3];
+  GolombPlaneState vlc[3];
+  int quant_idx[3] = {0, 0, 0};
+};
+
+// Decode one plane region of a slice into dst (sample units).
+template <typename Sample>
+bool v3_decode_plane(const Extra& e, SliceCoder& co, SliceContexts& sc,
+                     int set, Sample* dst, int64_t stride, int w, int h,
+                     int bits, int& run_index) {
+  const QuantTables& q = e.qts[sc.quant_idx[set]];
+  Ring ring;
+  ring.init(w);
+  if (e.coder == 0) run_index = 0;  // reset per plane (YCbCr mode)
+  for (int y = 0; y < h; y++) {
+    ring.rotate(w);
+    int32_t* cur = ring.row[0];
+    if (e.coder == 0) {
+      golomb_decode_line(*co.gb, q, sc.vlc[set], cur, ring.row[1],
+                         ring.row[2], w, bits, run_index);
+    } else {
+      if (!rac_decode_line(*co.rac, q, sc.rac[set].states.data(), cur,
+                           ring.row[1], ring.row[2], w, bits))
+        return false;
+    }
+    for (int x = 0; x < w; x++) dst[y * stride + x] = Sample(cur[x]);
+  }
+  return true;
+}
+
+// RGB (colorspace 1): planes code line-interleaved G,B,R[,A] with a
+// reversible color transform (RFC 9043 section 3.7.2).  dst points at
+// the slice's top row of each plane; xoff is the slice's column.
+template <typename Sample>
+bool v3_decode_rgb(const Extra& e, SliceCoder& co, SliceContexts& sc,
+                   Sample* const* dst, const int64_t* strides, int64_t xoff,
+                   int w, int h) {
+  const int bits = e.bits;
+  const int cbits = bits <= 8 ? 9 : bits + 1;  // coded sample width
+  const int offset = 1 << bits;
+  const int np = 3 + (e.transparency ? 1 : 0);
+  std::vector<Ring> rings(np);
+  for (int p = 0; p < np; p++) rings[p].init(w);
+  int run_index = 0;  // shared across planes in RGB mode
+  for (int y = 0; y < h; y++) {
+    int32_t* rows[4] = {nullptr, nullptr, nullptr, nullptr};
+    for (int p = 0; p < np; p++) {
+      rings[p].rotate(w);
+      int set = (p + 1) / 2;  // G:0, B/R:1, A:2
+      const QuantTables& q = e.qts[sc.quant_idx[set]];
+      // EVERY plane (alpha included) codes at bits+1 in RGB mode
+      if (e.coder == 0) {
+        golomb_decode_line(*co.gb, q, sc.vlc[set], rings[p].row[0],
+                           rings[p].row[1], rings[p].row[2], w, cbits,
+                           run_index);
+      } else {
+        if (!rac_decode_line(*co.rac, q, sc.rac[set].states.data(),
+                             rings[p].row[0], rings[p].row[1],
+                             rings[p].row[2], w, cbits))
+          return false;
+      }
+      rows[p] = rings[p].row[0];
+    }
+    for (int x = 0; x < w; x++) {
+      int g = rows[0][x];
+      int b = rows[1][x] - offset;
+      int r = rows[2][x] - offset;
+      g -= (b + r) >> 2;
+      b += g;
+      r += g;
+      dst[0][y * strides[0] + xoff + x] = Sample(g);
+      dst[1][y * strides[1] + xoff + x] = Sample(b);
+      dst[2][y * strides[2] + xoff + x] = Sample(r);
+      if (np == 4) dst[3][y * strides[3] + xoff + x] = Sample(rows[3][x]);
+    }
+  }
+  return true;
+}
+
+int v3_context_sets(const Extra& e) { return 2 + (e.transparency ? 1 : 0); }
+
+// Decode one version-3 slice.  slice bytes span [data, data+len);
+// `first` inherits the frame-level coder position (the keyframe bit
+// was consumed from the same byte range).
+template <typename Sample>
+bool v3_decode_slice(const Extra& e, const uint8_t* data, int64_t len,
+                     bool first, bool key, Sample* const* planes,
+                     const int64_t* strides, int width, int height,
+                     std::vector<SliceContexts>& slice_state, int& slice_no) {
+  const StateTables* tables = e.coder == 2 ? &e.states : &kStates;
+  RangeDecoder c(data, len, tables);
+  if (first) {
+    uint8_t keystate = 128;
+    c.get(&keystate);  // the keyframe bit rides in slice 0's bytes
+  }
+  // --- slice header (always range-coded) --------------------------
+  uint8_t state[kContextSize];
+  std::memset(state, 128, sizeof(state));
+  int sx = get_symbol(c, state, false);
+  int sy = get_symbol(c, state, false);
+  int sw = get_symbol(c, state, false) + 1;
+  int sh = get_symbol(c, state, false) + 1;
+  if (sx < 0 || sy < 0 || sw <= 0 || sh <= 0 || sx > e.num_h - sw ||
+      sy > e.num_v - sh)
+    return false;
+  int x0 = int(int64_t(sx) * width / e.num_h);
+  int y0 = int(int64_t(sy) * height / e.num_v);
+  int x1 = int(int64_t(sx + sw) * width / e.num_h);
+  int y1 = int(int64_t(sy + sh) * height / e.num_v);
+  // per-slice persistent contexts keyed by slice grid position
+  int idx = sy * e.num_h + sx;
+  if (idx < 0 || idx >= int(slice_state.size())) return false;
+  SliceContexts& sc = slice_state[idx];
+  slice_no = idx;
+  for (int s = 0; s < v3_context_sets(e); s++) {
+    int qi = get_symbol(c, state, false);
+    if (qi < 0 || qi >= e.qtc) return false;
+    sc.quant_idx[s] = qi;
+  }
+  get_symbol(c, state, false);  // picture_structure
+  get_symbol(c, state, false);  // sar num
+  get_symbol(c, state, false);  // sar den
+  if (key) {
+    for (int s = 0; s < v3_context_sets(e); s++) {
+      int cc = e.qts[sc.quant_idx[s]].context_count;
+      if (e.coder == 0) {
+        sc.vlc[s].reset(cc);
+      } else {
+        const auto& ini = e.initial_states[sc.quant_idx[s]];
+        if (!ini.empty()) {
+          sc.rac[s].states.assign(ini.begin(), ini.end());
+        } else {
+          sc.rac[s].reset(cc);
+        }
+      }
+    }
+  } else {
+    for (int s = 0; s < v3_context_sets(e); s++) {
+      int cc = e.qts[sc.quant_idx[s]].context_count;
+      bool sized = e.coder == 0
+                       ? sc.vlc[s].vlc.size() == size_t(cc)
+                       : sc.rac[s].states.size() == size_t(cc) * 32;
+      if (!sized) return false;  // inter slice before its keyframe
+    }
+  }
+  // --- coder handoff ----------------------------------------------
+  SliceCoder co;
+  BitReader gb(nullptr, 0);
+  if (e.coder == 0) {
+    if (e.version == 3 && e.micro > 1) {
+      uint8_t align = 129;
+      c.get(&align);
+    }
+    int64_t consumed = c.pos - 1;  // the decoder prefetches one byte
+    if (consumed < 0 || consumed > len) return false;
+    gb = BitReader(data + consumed, len - consumed);
+    co.gb = &gb;
+  } else {
+    co.rac = &c;
+  }
+  // --- sample data -------------------------------------------------
+  int wsl = x1 - x0, hsl = y1 - y0;
+  if (wsl <= 0 || hsl <= 0) return false;
+  if (e.colorspace == 1) {
+    Sample* base[4];
+    int np = 3 + (e.transparency ? 1 : 0);
+    for (int p = 0; p < np; p++)
+      base[p] = planes[p] + int64_t(y0) * strides[p];
+    return v3_decode_rgb(e, co, sc, base, strides, x0, wsl, hsl);
+  }
+  // YCbCr: luma, then ceil-shifted chroma, then alpha
+  int run_index = 0;
+  if (!v3_decode_plane(e, co, sc, 0,
+                       planes[0] + int64_t(y0) * strides[0] + x0,
+                       strides[0], wsl, hsl, e.bits, run_index))
+    return false;
+  if (e.chroma_planes) {
+    int cw = (wsl + (1 << e.h_shift) - 1) >> e.h_shift;
+    int ch = (hsl + (1 << e.v_shift) - 1) >> e.v_shift;
+    int cx = x0 >> e.h_shift, cy = y0 >> e.v_shift;
+    for (int p = 1; p <= 2; p++)
+      if (!v3_decode_plane(e, co, sc, 1,
+                           planes[p] + int64_t(cy) * strides[p] + cx,
+                           strides[p], cw, ch, e.bits, run_index))
+        return false;
+  }
+  if (e.transparency) {
+    int p = e.chroma_planes ? 3 : 1;
+    if (!v3_decode_plane(e, co, sc, 2,
+                         planes[p] + int64_t(y0) * strides[p] + x0,
+                         strides[p], wsl, hsl, e.bits, run_index))
+      return false;
+  }
+  return true;
+}
+
+// Walk a v3 packet's slice table (sizes trail the packet) and decode
+// every slice.
+template <typename Sample>
+bool v3_decode_frame(const Extra& e, const uint8_t* data, int64_t size,
+                     Sample* const* planes, const int64_t* strides,
+                     int width, int height,
+                     std::vector<SliceContexts>& slice_state) {
+  // keyframe bit (frame level)
+  const StateTables* tables = e.coder == 2 ? &e.states : &kStates;
+  RangeDecoder c(data, size, tables);
+  uint8_t keystate = 128;
+  bool key = c.get(&keystate);
+  if (!key && e.intra) return false;
+  // slice spans from the trailing size fields, walked back to front
+  // (RFC 9043 section 4.4: every v3 slice ends with a 24-bit size
+  // plus, when ec is set, an error-status byte and a CRC)
+  const int trailer = 3 + (e.ec ? 5 : 0);
+  const int nslices = e.num_h * e.num_v;
+  std::vector<std::pair<int64_t, int64_t>> spans;  // (offset, len)
+  int64_t end = size;
+  for (int i = 0; i < nslices; i++) {
+    if (end < trailer) return false;
+    int64_t v = (int64_t(data[end - trailer]) << 16) |
+                (int64_t(data[end - trailer + 1]) << 8) |
+                int64_t(data[end - trailer + 2]);
+    v += trailer;
+    if (v > end) return false;
+    spans.emplace_back(end - v, v);
+    end -= v;
+  }
+  if (end != 0) return false;  // slice 0 must start at the packet head
+  if (e.ec) {
+    for (auto& [off, len] : spans)
+      if (crc32_ieee(data + off, len) != 0) return false;
+  }
+  // decode front to back (spans were collected back to front)
+  for (auto it = spans.rbegin(); it != spans.rend(); ++it) {
+    int slice_no = -1;
+    if (!v3_decode_slice(e, data + it->first, it->second,
+                         it->first == 0, key, planes, strides, width,
+                         height, slice_state, slice_no))
+      return false;
+  }
+  return true;
+}
+
 struct Decoder {
   Params params;
   QuantTables quant;
   PlaneContexts contexts[3];
   bool have_params = false;
+  Extra* extra = nullptr;  // version >= 2: out-of-band parameters
+  std::vector<SliceContexts> v3_state;
+  ~Decoder() { delete extra; }
 };
 
 }  // namespace
@@ -552,6 +1068,32 @@ void* ffv1_decoder_new(void) { return new Decoder(); }
 
 void ffv1_decoder_free(void* dec) { delete static_cast<Decoder*>(dec); }
 
+// Install version>=2 out-of-band parameters (NUT codec_specific_data /
+// matroska CodecPrivate).  Fills *params from the extra header.
+// Returns 1 on success, 0 on unsupported/corrupt extradata.
+int32_t ffv1_set_extradata(void* handle, const uint8_t* data, int64_t size,
+                           Params* params) {
+  Decoder& d = *static_cast<Decoder*>(handle);
+  auto e = new Extra();
+  if (!parse_extradata(data, size, *e)) {
+    delete e;
+    return 0;
+  }
+  delete d.extra;
+  d.extra = e;
+  if (params) {
+    params->version = e->version;
+    params->coder = e->coder;
+    params->colorspace = e->colorspace;
+    params->bits = e->bits;
+    params->chroma_planes = e->chroma_planes;
+    params->h_shift = e->h_shift;
+    params->v_shift = e->v_shift;
+    params->transparency = e->transparency;
+  }
+  return 1;
+}
+
 // Decode one packet into caller-allocated planes (layout per the
 // parameter set; strides in samples).  Keyframes refresh the parameter
 // set and reset contexts; inter frames continue adaptation (RFC 9043
@@ -560,6 +1102,38 @@ int32_t ffv1_decode(void* handle, const uint8_t* data, int64_t size,
                     uint8_t* const* planes, const int64_t* strides,
                     Params* out_params) {
   Decoder& d = *static_cast<Decoder*>(handle);
+  if (d.extra) {  // version >= 2: slice-based decode
+    const Extra& e = *d.extra;
+    int w = out_params ? out_params->width : d.params.width;
+    int h = out_params ? out_params->height : d.params.height;
+    if (w <= 0 || h <= 0) return 0;
+    static_assert(sizeof(void*) == 8, "");
+    if (d.v3_state.size() != size_t(e.num_h) * e.num_v)
+      d.v3_state.assign(size_t(e.num_h) * e.num_v, SliceContexts());
+    bool ok;
+    if (e.bits <= 8)
+      ok = v3_decode_frame(e, data, size, planes, strides, w, h,
+                           d.v3_state);
+    else
+      ok = v3_decode_frame(e, data, size,
+                           reinterpret_cast<uint16_t* const*>(planes),
+                           strides, w, h, d.v3_state);
+    if (ok && out_params) {
+      Params p;
+      p.version = e.version;
+      p.coder = e.coder;
+      p.colorspace = e.colorspace;
+      p.bits = e.bits;
+      p.chroma_planes = e.chroma_planes;
+      p.h_shift = e.h_shift;
+      p.v_shift = e.v_shift;
+      p.transparency = e.transparency;
+      p.width = w;
+      p.height = h;
+      *out_params = p;
+    }
+    return ok ? 1 : 0;
+  }
   RangeDecoder c(data, size);
   uint8_t keystate = 128;
   bool key = c.get(&keystate);

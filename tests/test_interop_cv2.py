@@ -134,15 +134,57 @@ def test_real_libavformat_muxed_nut_demuxes_natively(tmp_path):
         assert n == 3
 
 
-def test_real_ffv1_v3_routes_to_bridge(tmp_path):
-    """Real FFmpeg writes FFV1 version 3 (extradata + slices); the
-    native decoder covers v0/v1 and the open path falls back to the
-    bridge with a clear error (no standalone binary here)."""
+def test_real_ffv1_v3_rgb_decodes_natively_bit_exact(tmp_path):
+    """Real FFmpeg writes FFV1 version 3 — extradata parameters,
+    Golomb-Rice coder, RGB with the reversible color transform, 2x2
+    slices with CRC trailers.  The native decoder handles all of it;
+    every sample matches real libavcodec's own decode."""
+    rng = np.random.default_rng(106)
+    frames = [rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+              for _ in range(3)]
     p = tmp_path / "v3.nut"
     wr = cv2.VideoWriter(str(p), cv2.CAP_FFMPEG,
                          cv2.VideoWriter_fourcc(*"FFV1"), 25, (24, 16))
     assert wr.isOpened()
-    wr.write(np.zeros((16, 24, 3), np.uint8))
+    for f in frames:
+        wr.write(f)
     wr.release()
-    with pytest.raises(RuntimeError, match="ffmpeg"):
-        video.open_input(str(p))
+    cap = cv2.VideoCapture(str(p), cv2.CAP_FFMPEG)
+    with video.open_input(str(p)) as r:
+        assert type(r).__name__ == "NutVideoReader"
+        assert r.pix_fmt.name == "gbrp"
+        n = 0
+        while True:
+            pl = r.read_frame(raw=True)
+            if pl is None:
+                break
+            ok, bgr = cap.read()
+            assert ok
+            g, b, rr = pl
+            assert np.array_equal(g, bgr[..., 1])
+            assert np.array_equal(b, bgr[..., 0])
+            assert np.array_equal(rr, bgr[..., 2])
+            n += 1
+        assert n == 3
+    cap.release()
+
+
+def test_real_ffv1_v3_gray_decodes_natively_bit_exact(tmp_path):
+    rng = np.random.default_rng(107)
+    frames = [np.clip(np.arange(16)[:, None] * 5 + np.arange(24)[None, :]
+                      + rng.integers(0, 9, (16, 24)), 0, 255).astype(np.uint8)
+              for _ in range(3)]
+    p = tmp_path / "v3g.nut"
+    wr = cv2.VideoWriter(str(p), cv2.CAP_FFMPEG,
+                         cv2.VideoWriter_fourcc(*"FFV1"), 25, (24, 16),
+                         isColor=False)
+    assert wr.isOpened()
+    for f in frames:
+        wr.write(f)
+    wr.release()
+    with video.open_input(str(p)) as r:
+        assert r.pix_fmt.name == "gray"
+        for f in frames:
+            (got,) = r.read_frame(raw=True)
+            assert np.array_equal(got, f)
+        assert r.read_frame() is None
