@@ -911,6 +911,83 @@ class NutVideoReader(VideoReader):
         super().close()
 
 
+class MkvVideoReader(VideoReader):
+    """Native Matroska demux (io/mkv.py) for FFV1 video tracks — the
+    real-world archival pairing of the reference's default codec
+    (ffapi.c:362-559 + AV_CODEC_ID_FFV1).  Seekable sources only;
+    anything the native stack can't decode raises ValueError and the
+    open path falls back to the ffmpeg bridge."""
+
+    def __init__(self, stream, spec):
+        from dspfun_tpu.io import ffv1 as _ffv1  # noqa: PLC0415
+        from dspfun_tpu.io import mkv as _mkv  # noqa: PLC0415
+
+        super().__init__(stream, spec, "matroska")
+        if not stream.seekable():
+            raise ValueError(f"{spec!r}: matroska on a pipe needs the "
+                             "ffmpeg bridge")
+        d = _mkv.MkvDemuxer(stream)
+        t = d.track
+        if t.codec_id != "V_FFV1":
+            raise ValueError(
+                f"{spec!r}: matroska codec {t.codec_id!r} is not native "
+                "FFV1; use the ffmpeg bridge")
+        if not _ffv1.available():
+            raise ValueError(f"{spec!r}: native FFV1 unavailable "
+                             "(toolchain missing)")
+        self.width, self.height = t.width, t.height
+        self.rate = d.rate()
+        if t.codec_private:
+            self._ffv1 = _ffv1.FFV1Decoder(t.width, t.height,
+                                           extradata=t.codec_private)
+            params = self._ffv1.params
+            self._packets = d.scan_packets()
+        else:
+            self._ffv1 = _ffv1.FFV1Decoder(t.width, t.height)
+            self._packets = d.scan_packets()
+            if not self._packets:
+                raise ValueError(f"{spec!r}: matroska FFV1 track is empty")
+            ts, off, ln = self._packets[0]
+            stream.seek(off)
+            params = _ffv1.probe(stream.read(ln), t.width, t.height)
+        name = params.pix_fmt_name()
+        if name not in PIXEL_FORMATS:
+            raise ValueError(f"{spec!r}: FFV1 format {name!r} unsupported")
+        self.pix_fmt = PIXEL_FORMATS[name]
+        self.frames = len(self._packets)
+        self.props = ColorProps(
+            pix_fmt=name, color_range=t.color_range,
+            color_space=t.color_space, color_trc=t.color_trc,
+            color_primaries=t.color_primaries,
+        )
+        if self.props.color_range is None:
+            self.props.color_range = "jpeg" if self.pix_fmt.is_rgb else "mpeg"
+        if self.props.color_space is None and self.pix_fmt.is_rgb:
+            self.props.color_space = "rgb"
+
+    def read_frame(self, raw: bool = False):
+        if self.frame_index >= len(self._packets):
+            return None
+        _, off, ln = self._packets[self.frame_index]
+        self._stream.seek(off)
+        pkt = self._stream.read(ln)
+        planes = self._ffv1.decode(pkt)
+        self.frame_index += 1
+        if raw:
+            return planes
+        pf = self.pix_fmt
+        return [
+            _dequantize_plane(p, pf, i, self.props.color_range)
+            for i, p in enumerate(planes)
+        ]
+
+    def close(self) -> None:
+        if getattr(self, "_ffv1", None) is not None:
+            self._ffv1.close()
+            self._ffv1 = None
+        super().close()
+
+
 class NutVideoWriter(VideoWriter):
     """Native NUT mux (io/nut.py): FFV1 payloads by default (the
     reference's default codec, motion.c:447, via the native codec in
@@ -1270,6 +1347,20 @@ def open_input(spec: str, format: str | None = None,
                 stream.close()
                 return ffmpeg_bridge.open_ffmpeg_input(spec, "nut",
                                                        options=options)
+        elif magic.startswith(b"\x1a\x45\xdf\xa3") \
+                and spec not in ("-", "pipe:", "pipe:0") \
+                and stream.seekable():
+            # matroska/webm: native demux for FFV1 video tracks (the
+            # real-world archival pairing of the reference's default
+            # codec); anything else falls back to the bridge
+            try:
+                return MkvVideoReader(stream, spec)
+            except ValueError:
+                from dspfun_tpu.io import ffmpeg_bridge  # noqa: PLC0415
+
+                stream.close()
+                # probe determines the container, like any foreign magic
+                return ffmpeg_bridge.open_ffmpeg_input(spec, options=options)
         elif spec in ("-", "pipe:", "pipe:0"):
             if magic and not b"YUV4MPEG".startswith(magic[:8]) \
                     and not b"DSPFVID".startswith(magic[:7]):

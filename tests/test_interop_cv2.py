@@ -169,6 +169,72 @@ def test_real_ffv1_v3_rgb_decodes_natively_bit_exact(tmp_path):
     cap.release()
 
 
+def test_real_matroska_ffv1_decodes_natively_bit_exact(tmp_path):
+    """Real libavformat-written .mkv with an FFV1 v3 track demuxes and
+    decodes natively (io/mkv.py + io/ffv1.py), sample-exact against
+    real libavcodec; foreign codecs fall back to the bridge."""
+    rng = np.random.default_rng(108)
+    frames = [rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+              for _ in range(3)]
+    p = tmp_path / "a.mkv"
+    wr = cv2.VideoWriter(str(p), cv2.CAP_FFMPEG,
+                         cv2.VideoWriter_fourcc(*"FFV1"), 25, (24, 16))
+    assert wr.isOpened()
+    for f in frames:
+        wr.write(f)
+    wr.release()
+    cap = cv2.VideoCapture(str(p), cv2.CAP_FFMPEG)
+    with video.open_input(str(p)) as r:
+        assert type(r).__name__ == "MkvVideoReader"
+        assert r.pix_fmt.name == "gbrp"
+        assert r.frames == 3 and r.rate == Fraction(25)
+        n = 0
+        while True:
+            pl = r.read_frame(raw=True)
+            if pl is None:
+                break
+            ok, bgr = cap.read()
+            assert ok
+            assert np.array_equal(pl[0], bgr[..., 1])
+            assert np.array_equal(pl[1], bgr[..., 0])
+            assert np.array_equal(pl[2], bgr[..., 2])
+            n += 1
+        assert n == 3
+    cap.release()
+    # foreign codec inside mkv: bridge territory (raises: no binary)
+    q = tmp_path / "m.mkv"
+    wr = cv2.VideoWriter(str(q), cv2.CAP_FFMPEG,
+                         cv2.VideoWriter_fourcc(*"MJPG"), 25, (24, 16))
+    wr.write(frames[0])
+    wr.release()
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        video.open_input(str(q))
+
+
+def test_real_matroska_tool_chain(tmp_path):
+    """A real .mkv drives a full tool run: motion reads the archive
+    natively and writes the default FFV1-in-NUT."""
+    from dspfun_tpu.tools import transcode
+
+    rng = np.random.default_rng(109)
+    frames = [rng.integers(0, 256, (16, 24)).astype(np.uint8)
+              for _ in range(3)]
+    p = tmp_path / "src.mkv"
+    wr = cv2.VideoWriter(str(p), cv2.CAP_FFMPEG,
+                         cv2.VideoWriter_fourcc(*"FFV1"), 25, (24, 16),
+                         isColor=False)
+    for f in frames:
+        wr.write(f)
+    wr.release()
+    out = tmp_path / "out.nut"
+    assert transcode.main(["-q", str(p), str(out)]) == 0
+    with video.open_input(str(out)) as r:
+        assert r.pix_fmt.name == "gray"
+        for f in frames:
+            (got,) = r.read_frame(raw=True)
+            assert np.array_equal(got, f)
+
+
 def test_real_ffv1_v3_gray_decodes_natively_bit_exact(tmp_path):
     rng = np.random.default_rng(107)
     frames = [np.clip(np.arange(16)[:, None] * 5 + np.arange(24)[None, :]
