@@ -340,6 +340,8 @@ class MkvDemuxer:
         data = self._s.read(end - self._s.tell())
         return self._cluster_ts + rel, data
 
+    # (writer below)
+
     def scan_packets(self) -> list[tuple[int, int, int]]:
         """(timestamp_ticks, payload offset, length) of every video
         frame; consumes the stream body (seek back to replay)."""
@@ -353,3 +355,148 @@ class MkvDemuxer:
             before = self._s.tell() - len(data)
             out.append((ts, before, len(data)))
         return out
+
+
+# ---------------------------------------------------------------------------
+# muxer (FFV1 video track) — the zero-binary fallback for `.mkv`
+# outputs when no ffmpeg exists; with a binary present the bridge
+# handles mkv like the reference's libavformat would
+# ---------------------------------------------------------------------------
+
+
+def _enc_id(eid: int) -> bytes:
+    out = []
+    while eid:
+        out.append(eid & 0xFF)
+        eid >>= 8
+    return bytes(reversed(out))
+
+
+def _enc_size(n: int, length: int | None = None) -> bytes:
+    """EBML size varint; fixed ``length`` pads for backpatching."""
+    if length is None:
+        length = 1
+        while n >= (1 << (7 * length)) - 1 and length < 8:
+            length += 1
+    v = n | (1 << (7 * length))
+    return v.to_bytes(length, "big")
+
+
+def _el(eid: int, payload: bytes) -> bytes:
+    return _enc_id(eid) + _enc_size(len(payload)) + payload
+
+
+def _uint(v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return v.to_bytes(n, "big")
+
+
+class MkvMuxer:
+    """Matroska with one FFV1 video track; every frame a keyframe in
+    its own cluster.  Seekable outputs backpatch the Segment size and
+    Duration on close; pipes leave them unknown (valid per the spec's
+    streaming form)."""
+
+    def __init__(self, stream, width: int, height: int, rate: Fraction,
+                 codec_private: bytes = b"", color_range: str | None = None,
+                 color_space: str | None = None):
+        self._s = stream
+        self.rate = rate
+        self.frame_index = 0
+        self._wrote_header = False
+        self._seg_size_pos: int | None = None
+        self._dur_pos: int | None = None
+        self._width, self._height = width, height
+        self._csd = codec_private
+        self._crange = color_range
+        self._cspace = color_space
+
+    def _header(self) -> None:
+        s = self._s
+        ebml = (_el(0x4286, _uint(1)) + _el(0x42F7, _uint(1))
+                + _el(0x42F2, _uint(4)) + _el(0x42F3, _uint(8))
+                + _el(0x4282, b"matroska") + _el(0x4287, _uint(4))
+                + _el(0x4285, _uint(2)))
+        s.write(_el(0x1A45DFA3, ebml))
+        s.write(_enc_id(_SEGMENT))
+        try:
+            seekable = s.seekable()
+        except AttributeError:
+            seekable = False
+        if seekable:
+            self._seg_size_pos = s.tell()
+        s.write(_enc_size((1 << 56) - 1, 8))  # unknown; backpatched
+        self._seg_start = s.tell() if seekable else None
+        # Info: 1 ms timestamp scale + muxer tags + Duration placeholder
+        info = (_el(_TIMESTAMP_SCALE, _uint(1_000_000))
+                + _el(0x4D80, b"dspfun-tpu") + _el(0x5741, b"dspfun-tpu"))
+        import struct
+
+        if seekable:
+            dur = _enc_id(_DURATION) + _enc_size(8) + struct.pack(">d", 0.0)
+            info_payload = info + dur
+        else:
+            info_payload = info
+        info_el = _el(_INFO, info_payload)
+        if seekable:
+            # the Duration float sits at a fixed tail offset
+            self._dur_pos = s.tell() + len(info_el) - 8
+        s.write(info_el)
+        # Tracks
+        video = _el(_PIXEL_WIDTH, _uint(self._width)) + _el(
+            _PIXEL_HEIGHT, _uint(self._height))
+        colour = b""
+        if self._crange:
+            colour += _el(_RANGE, _uint(1 if self._crange == "mpeg" else 2))
+        mat = {v: k for k, v in _MATRIX_NAMES.items()}.get(self._cspace)
+        if mat is not None:
+            colour += _el(_MATRIX, _uint(mat))
+        if colour:
+            video += _el(_COLOUR, colour)
+        entry = (_el(_TRACK_NUMBER, _uint(1)) + _el(0x73C5, _uint(1))
+                 + _el(_TRACK_TYPE, _uint(1))
+                 + _el(0x9C, _uint(0))  # FlagLacing off
+                 + _el(_CODEC_ID, b"V_FFV1"))
+        if self._csd:
+            entry += _el(_CODEC_PRIVATE, self._csd)
+        entry += _el(_DEFAULT_DURATION,
+                     _uint(round(1_000_000_000 * self.rate.denominator
+                                 / self.rate.numerator)))
+        entry += _el(_VIDEO, video)
+        s.write(_el(_TRACKS, _el(_TRACK_ENTRY, entry)))
+
+    def _ts_ms(self, index: int) -> int:
+        return round(index * 1000 * self.rate.denominator
+                     / self.rate.numerator)
+
+    def write_frame_bytes(self, data: bytes) -> None:
+        if not self._wrote_header:
+            self._header()
+            self._wrote_header = True
+        ts = self._ts_ms(self.frame_index)
+        block = (_enc_size(1)            # track number vint
+                 + (0).to_bytes(2, "big", signed=True)  # relative ts
+                 + bytes([0x80])         # keyframe flag
+                 + data)
+        cluster = _el(_CLUSTER_TS, _uint(ts)) + _el(_SIMPLE_BLOCK, block)
+        self._s.write(_el(_CLUSTER, cluster))
+        self.frame_index += 1
+
+    def finalize(self) -> None:
+        if not self._wrote_header:
+            self._header()
+            self._wrote_header = True
+        if self._seg_size_pos is None:
+            return
+        import struct
+
+        s = self._s
+        end = s.tell()
+        s.seek(self._seg_size_pos)
+        s.write(_enc_size(end - self._seg_start, 8))
+        if self._dur_pos is not None:
+            s.seek(self._dur_pos)
+            s.write(struct.pack(
+                ">d", float(self._ts_ms(self.frame_index - 1)
+                            + self._ts_ms(1)) if self.frame_index else 0.0))
+        s.seek(end)

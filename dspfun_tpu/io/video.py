@@ -988,6 +988,63 @@ class MkvVideoReader(VideoReader):
         super().close()
 
 
+class MkvVideoWriter(VideoWriter):
+    """Native Matroska mux (io/mkv.py) with FFV1 payloads — the
+    zero-binary fallback for `.mkv` outputs; with an ffmpeg binary on
+    PATH the bridge handles mkv exactly like the reference's
+    libavformat would."""
+
+    def __init__(self, stream, spec, width, height, rate, pix_fmt, props):
+        from dspfun_tpu.io import ffv1 as _ffv1  # noqa: PLC0415
+        from dspfun_tpu.io import mkv as _mkv  # noqa: PLC0415
+
+        super().__init__(stream, spec, "matroska", width, height, rate,
+                         pix_fmt, props)
+        self.codec = "ffv1"
+        self._ffv1_params = _ffv1.params_for_pix_fmt(pix_fmt)
+        self._ffv1_encode = _ffv1.encode_frame
+        self._mux = _mkv.MkvMuxer(stream, width, height, rate,
+                                  color_range=props.color_range,
+                                  color_space=props.color_space)
+
+    def _write_header(self):
+        pass  # the muxer writes its header lazily
+
+    def write_frame(self, planes: list[np.ndarray], raw: bool = False) -> None:
+        pf = self.pix_fmt
+        quantized = []
+        for i, p in enumerate(planes):
+            if raw:
+                maxv = (1 << pf.depth) - 1
+                q = np.clip(np.rint(p), 0, maxv).astype(pf.dtype)
+            else:
+                q = _quantize_plane(p, pf, i, self.props.color_range)
+            quantized.append(q)
+        self._mux.write_frame_bytes(self._ffv1_encode(
+            quantized, self._ffv1_params, self.width, self.height))
+        self.frame_index = self._mux.frame_index
+
+    def write_frame_payload(self, payload: bytes) -> None:
+        pf = self.pix_fmt
+        planes = []
+        off = 0
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        for (w, h) in pf.plane_dims(self.width, self.height):
+            nb = w * h * pf.dtype.itemsize
+            planes.append(buf[off:off + nb].view(pf.dtype).reshape(h, w))
+            off += nb
+        self._mux.write_frame_bytes(self._ffv1_encode(
+            planes, self._ffv1_params, self.width, self.height))
+        self.frame_index = self._mux.frame_index
+
+    def close(self) -> None:
+        try:
+            self._mux.finalize()
+        except (OSError, ValueError):
+            pass
+        super().close()
+
+
 class NutVideoWriter(VideoWriter):
     """Native NUT mux (io/nut.py): FFV1 payloads by default (the
     reference's default codec, motion.c:447, via the native codec in
@@ -1514,6 +1571,36 @@ def open_output(
             )
         from dspfun_tpu.io import ffmpeg_bridge  # noqa: PLC0415
 
+        ext = spec.rsplit(".", 1)[-1].lower() if "." in spec else ""
+        if (not ffmpeg_bridge.have_ffmpeg()
+                and ext in ("mkv", "matroska")
+                and (format in (None, "", "matroska", "mkv"))
+                and codec in (None, "", "ffv1")
+                and spec not in ("-", "pipe:", "pipe:1")):
+            # zero-binary fallback: native FFV1-in-Matroska (io/mkv.py)
+            # — with a binary present the bridge mirrors the
+            # reference's libavformat behavior instead.  Content that
+            # FFV1 cannot carry negotiates to the nearest integer
+            # YCbCr/gray format (the reference's ffapi would likewise
+            # convert through the encoder's pix_fmt list)
+            req = props.pix_fmt
+            if req in PIXEL_FORMATS:
+                rf = PIXEL_FORMATS[req]
+                if rf.is_float:
+                    req = "gray16le" if rf.ncomp == 1 else "yuv444p16le"
+                elif rf.is_rgb:
+                    req = "yuv444p"
+            else:
+                req = "yuv420p"
+            from dspfun_tpu.io import ffv1 as _ffv1  # noqa: PLC0415
+
+            if _ffv1.available():
+                pf = PIXEL_FORMATS[req]
+                props.pix_fmt = req
+                _default_props("nut", props)
+                stream = _open_stream_out(spec)
+                return MkvVideoWriter(stream, spec, width, height, rate,
+                                      pf, props)
         return ffmpeg_bridge.open_ffmpeg_output(
             spec, width, height, rate, props,
             format=None if format in (None, "") else format,

@@ -126,7 +126,16 @@ def test_clear_error_without_ffmpeg(tmp_path, no_ffmpeg):
     with pytest.raises(RuntimeError, match="ffmpeg binary"):
         video.open_input(str(src))
     with pytest.raises(RuntimeError, match="ffmpeg binary"):
-        video.open_output(str(tmp_path / "out.mkv"), 16, 8)
+        video.open_output(str(tmp_path / "out.mp4"), 16, 8)
+    # .mkv outputs no longer error binary-less: the native
+    # FFV1-in-Matroska fallback engages (io/mkv.py)
+    w = video.open_output(str(tmp_path / "out.mkv"), 16, 8)
+    assert type(w).__name__ == "MkvVideoWriter"
+    w.write_frame([np.full((8, 16), 0.5), np.full((4, 8), 0.5),
+                   np.full((4, 8), 0.5)])
+    w.close()
+    with video.open_input(str(tmp_path / "out.mkv")) as r:
+        assert r.pix_fmt.name == "yuv420p" and r.frames == 1
 
 
 def test_bridge_input_metadata_and_frames(tmp_path, shims):

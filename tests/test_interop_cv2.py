@@ -235,6 +235,47 @@ def test_real_matroska_tool_chain(tmp_path):
             assert np.array_equal(got, f)
 
 
+def test_native_mkv_write_reads_in_real_libav(tmp_path, monkeypatch):
+    """The native Matroska muxer's files open in real libavformat with
+    exact frame count/fps and decode bit-exactly in real libavcodec;
+    the Colour range element is honored (full-range files come back
+    range-converted, so the exactness check uses limited range)."""
+    import shutil
+
+    monkeypatch.setattr(shutil, "which", lambda name: None)  # no binary
+    rng = np.random.default_rng(110)
+    props = video.parse_color_props(
+        "pixel_format=yuv420p:color_range=limited")
+    p = tmp_path / "ours.mkv"
+    frames = []
+    with video.open_output(str(p), 24, 16, Fraction(30), props) as wr:
+        assert type(wr).__name__ == "MkvVideoWriter"
+        for _ in range(4):
+            y = rng.integers(16, 236, (16, 24)).astype(float)
+            u = rng.integers(16, 241, (8, 12)).astype(float)
+            v = rng.integers(16, 241, (8, 12)).astype(float)
+            frames.append((y, u, v))
+            wr.write_frame([y, u, v], raw=True)
+    # our own demuxer round-trips every plane
+    with video.open_input(str(p)) as r:
+        assert type(r).__name__ == "MkvVideoReader"
+        for (y, u, v) in frames:
+            gy, gu, gv = r.read_frame(raw=True)
+            assert np.array_equal(gy, y.astype(np.uint8))
+            assert np.array_equal(gu, u.astype(np.uint8))
+            assert np.array_equal(gv, v.astype(np.uint8))
+    # real libav: exact metadata + bit-exact luma
+    cap = cv2.VideoCapture(str(p), cv2.CAP_FFMPEG)
+    assert cap.isOpened()
+    assert cap.get(cv2.CAP_PROP_FRAME_COUNT) == 4.0
+    assert cap.get(cv2.CAP_PROP_FPS) == 30.0
+    cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+    for (y, _, _) in frames:
+        ok, raw = cap.read()
+        assert ok and np.array_equal(raw, y.astype(np.uint8))
+    cap.release()
+
+
 def test_real_ffv1_v3_gray_decodes_natively_bit_exact(tmp_path):
     rng = np.random.default_rng(107)
     frames = [np.clip(np.arange(16)[:, None] * 5 + np.arange(24)[None, :]
