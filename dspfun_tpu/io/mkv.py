@@ -91,6 +91,15 @@ class MkvDemuxer:
         self._cluster_end: int | None = None
         self._cluster_ts = 0
         self._segment_end: int | None = None
+        # corrupt length fields must not trigger multi-GB reads
+        self._stream_end: int | None = None
+        try:
+            if stream.seekable():
+                pos = stream.tell()
+                self._stream_end = stream.seek(0, 2)
+                stream.seek(pos)
+        except (AttributeError, OSError):
+            pass
         head = self._read_element()
         if head is None or head.eid != 0x1A45DFA3:
             raise ValueError("not a matroska/EBML stream")
@@ -135,8 +144,11 @@ class MkvDemuxer:
         size = self._read_vint(keep_marker=False)
         if size is None:
             return None
-        return _Element(eid, None if size == -1 else size,
-                        self._s.tell())
+        pos = self._s.tell()
+        if (size != -1 and self._stream_end is not None
+                and pos + size > self._stream_end):
+            raise ValueError("matroska element overruns the file")
+        return _Element(eid, None if size == -1 else size, pos)
 
     def _skip(self, el: _Element) -> None:
         if el.size is None:

@@ -295,3 +295,49 @@ def test_real_ffv1_v3_gray_decodes_natively_bit_exact(tmp_path):
             (got,) = r.read_frame(raw=True)
             assert np.array_equal(got, f)
         assert r.read_frame() is None
+
+
+def test_mkv_demuxer_fuzz_never_hangs(tmp_path):
+    """Truncated/bit-flipped/garbage EBML input terminates with a clean
+    error or a bounded packet walk — never a hang or crash; corrupt
+    length fields cannot trigger unbounded reads."""
+    import io as _io
+
+    rng = np.random.default_rng(111)
+    props = video.parse_color_props("pixel_format=gray")
+    p = tmp_path / "f.mkv"
+    import shutil as _sh
+    frames = [rng.integers(0, 256, (8, 16)).astype(np.uint8)
+              for _ in range(2)]
+    # craft via the native muxer directly (independent of PATH state)
+    from dspfun_tpu.io.mkv import MkvDemuxer, MkvMuxer
+    from dspfun_tpu.io import ffv1 as _ffv1
+
+    params = _ffv1.params_for_pix_fmt(video.PIXEL_FORMATS["gray"])
+    with open(p, "wb") as f:
+        m = MkvMuxer(f, 16, 8, Fraction(25))
+        for fr in frames:
+            m.write_frame_bytes(_ffv1.encode_frame([fr], params, 16, 8))
+        m.finalize()
+    raw = p.read_bytes()
+    for trial in range(150):
+        kind = trial % 3
+        if kind == 0:
+            data = b"\x1a\x45\xdf\xa3" + bytes(
+                rng.integers(0, 256, int(rng.integers(8, 200)),
+                             dtype=np.uint8))
+        elif kind == 1:
+            data = raw[: int(rng.integers(5, len(raw)))]
+        else:
+            b = bytearray(raw)
+            for _ in range(int(rng.integers(1, 6))):
+                b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+            data = bytes(b)
+        try:
+            d = MkvDemuxer(_io.BytesIO(data))
+            n = 0
+            while n < 1000 and d.read_packet() is not None:
+                n += 1
+            assert n < 1000
+        except (ValueError, MemoryError, OverflowError):
+            pass
