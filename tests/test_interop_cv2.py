@@ -11,9 +11,11 @@ standalone binary exists in this environment).  What is pinned here:
 * the native FFV1 encoder's bitstream decodes BIT-EXACTLY in real
   libavcodec (state tables, range coder, flush, header, quant tables,
   context model, borders),
-* real libavformat-muxed NUT demuxes in the native reader, and
-  real-FFmpeg FFV1 (version 3) falls back to the bridge with a clear
-  error.
+* real libavformat-muxed NUT and Matroska demux in the native
+  readers, and real-FFmpeg FFV1 version 3 (golomb/RGB/slices) decodes
+  natively, sample-exact,
+* the native Matroska muxer's files open in real libavformat with
+  exact metadata and decode bit-exactly.
 
 Skipped when cv2 is not installed (e.g. the minimal CI environment).
 """
