@@ -4,13 +4,14 @@ FFV1 is the reference's *default* output codec for every video tool
 (reference motion/motion.c:447, motion/rotate.c:128,
 motion/transcode.c:76, zoom/zoom.c:306, scan/scan.c:326 all pass
 AV_CODEC_ID_FFV1); the reference gets it from libavcodec.  This
-binding exposes the framework's own implementation — version 1
-bitstream, range coder, YCbCr/gray at 8..16 bits — so the reference's
-default FFV1-in-NUT paths encode and decode with zero external
-binaries.  colorspace 1 (RGB/RCT) and the golomb coder are not
-implemented: the framework's integer planar formats are all
-YCbCr/gray (io/video.py PIXEL_FORMATS); float formats cannot ride
-FFV1 at all and keep the rawvideo payload path.
+binding exposes the framework's own implementation, so the
+reference's default FFV1-in-NUT paths encode and decode with zero
+external binaries.  The encoder writes version-1 range-coded
+keyframes (YCbCr/gray, 8..16 bits); the decoder covers versions 0-3
+including extradata parameters, slices, the Golomb-Rice coder, and
+8-bit RGB via the reversible color transform (see FFV1Decoder).
+Float formats cannot ride FFV1 at all and keep the rawvideo payload
+path.
 
 Like io/native.py, the library builds on demand with ``make`` and
 callers gate on :func:`available` — the NUT writer falls back to

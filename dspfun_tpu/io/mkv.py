@@ -113,7 +113,8 @@ class MkvDemuxer:
 
     # -- EBML primitives --------------------------------------------
 
-    def _read_vint(self, keep_marker: bool) -> int | None:
+    def _read_vint(self, keep_marker: bool,
+                   sentinel: bool = True) -> int | None:
         b = self._s.read(1)
         if not b:
             return None
@@ -131,8 +132,9 @@ class MkvDemuxer:
             return None
         for byte in rest:
             v = (v << 8) | byte
-        if not keep_marker:
-            # all-ones data = unknown size
+        if not keep_marker and sentinel:
+            # all-ones data = unknown SIZE (does not apply to other
+            # varint fields like Block track numbers)
             if v == (1 << (7 * length)) - 1:
                 return -1
         return v
@@ -292,8 +294,10 @@ class MkvDemuxer:
                 .limit_denominator(100_000)
         return Fraction(25)
 
-    def read_packet(self) -> tuple[int, bytes] | None:
-        """Next (timestamp_ticks, frame bytes) of the video track."""
+    def read_packet(self, meta: bool = False):
+        """Next (timestamp_ticks, frame bytes) of the video track, or
+        (timestamp_ticks, offset, length) when ``meta`` (no payload
+        read)."""
         while True:
             if self._pending is not None:
                 el, self._pending = self._pending, None
@@ -320,7 +324,7 @@ class MkvDemuxer:
                     if ch is None:
                         break
                     if ch.eid == _BLOCK and got is None:
-                        got = self._read_block(ch)
+                        got = self._read_block(ch, meta=meta)
                     else:
                         self._skip(ch)
                 self._s.seek(end)
@@ -328,7 +332,7 @@ class MkvDemuxer:
                     return got
                 continue
             if el.eid == _SIMPLE_BLOCK:
-                got = self._read_block(el)
+                got = self._read_block(el, meta=meta)
                 if got is not None:
                     return got
                 continue
@@ -336,9 +340,12 @@ class MkvDemuxer:
                 raise ValueError("unknown-size element in stream body")
             self._skip(el)
 
-    def _read_block(self, el: _Element) -> tuple[int, bytes] | None:
+    def _read_block(self, el: _Element, meta: bool = False):
         end = el.payload_start + (el.size or 0)
-        tracknum = self._read_vint(keep_marker=False)
+        # Block track numbers are plain data varints: the all-ones
+        # "unknown size" reservation does NOT apply (track 127 codes
+        # as 0xFF)
+        tracknum = self._read_vint(keep_marker=False, sentinel=False)
         rel = int.from_bytes(self._s.read(2), "big", signed=True)
         flags = self._s.read(1)
         if tracknum is None or not flags:
@@ -349,23 +356,27 @@ class MkvDemuxer:
         lacing = (flags[0] >> 1) & 3
         if lacing != 0:
             raise ValueError("matroska lacing is not supported for video")
-        data = self._s.read(end - self._s.tell())
+        off = self._s.tell()
+        if meta:
+            self._s.seek(end)
+            return self._cluster_ts + rel, off, end - off
+        data = self._s.read(end - off)
         return self._cluster_ts + rel, data
 
     # (writer below)
 
     def scan_packets(self) -> list[tuple[int, int, int]]:
         """(timestamp_ticks, payload offset, length) of every video
-        frame; consumes the stream body (seek back to replay)."""
+        frame, recorded WITHOUT reading the payload bytes (headers-only
+        walk — and the offsets stay correct when elements follow the
+        Block inside a BlockGroup, e.g. ReferenceBlock on inter
+        frames).  Consumes the stream body; seek back to replay."""
         out = []
         while True:
-            before = None
-            got = self.read_packet()
+            got = self.read_packet(meta=True)
             if got is None:
                 break
-            ts, data = got
-            before = self._s.tell() - len(data)
-            out.append((ts, before, len(data)))
+            out.append(got)
         return out
 
 

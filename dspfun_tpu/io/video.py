@@ -1597,6 +1597,11 @@ def open_output(
             if _ffv1.available():
                 pf = PIXEL_FORMATS[req]
                 props.pix_fmt = req
+                if pf.ncomp == 3 and props.color_space in (None, "rgb"):
+                    # RGB content converts through the bt601 matrix
+                    # (rgb_to_planes/_matrix_for): the container must
+                    # not claim the identity matrix for it
+                    props.color_space = "smpte170m"
                 _default_props("nut", props)
                 stream = _open_stream_out(spec)
                 return MkvVideoWriter(stream, spec, width, height, rate,

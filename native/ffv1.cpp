@@ -10,18 +10,19 @@
 // exposed through a plain C ABI for ctypes (dspfun_tpu/io/ffv1.py).
 //
 // Scope: version 1 encode (whole-frame range coder, every frame a
-// keyframe, 3-input context model), version 0/1 decode including
-// 5-input context files, 8..16 bits per raw sample, chroma subsampling
-// and an alpha plane.  colorspace 1 (RGB via JPEG2000-RCT) and the
-// golomb-rice coder are not implemented — the framework's planar
-// integer formats are all YCbCr/gray (io/video.py PIXEL_FORMATS), and
-// ffmpeg's encoder only uses golomb when explicitly asked.
+// keyframe, 3-input context model); decode covers versions 0-3 —
+// in-band (v0/1) or extradata (v2/3) parameters, independent slices
+// with CRC trailers, BOTH coders (range incl. custom state tables +
+// Golomb-Rice with run mode), 8..16-bit YCbCr/gray with chroma
+// subsampling and alpha, and 8-bit RGB via the reversible color
+// transform.
 //
-// Honest caveat (mirrors io/nut.py's): no FFmpeg exists in this build
-// environment, so cross-implementation bit-compatibility is untested;
-// the bitstream follows RFC 9043 and is pinned by exhaustive
-// encode/decode round-trip tests plus checked-in byte goldens
-// (tests/test_ffv1.py) so it cannot drift silently.
+// Interop is validated BOTH directions against a real libavcodec
+// (OpenCV's bundled FFmpeg, tests/test_interop_cv2.py): our v1
+// bitstream decodes bit-exactly there, and real-FFmpeg v3 files
+// (golomb, RGB, sliced) decode bit-exactly here; an independent
+// pure-Python decoder (tests/ffv1_pyref.py) and byte goldens pin the
+// bitstream besides.
 
 #include <cstdint>
 #include <cstring>
@@ -67,7 +68,7 @@ struct StateTables {
       if (p8 > kMaxP) p8 = kMaxP;
       one[i] = uint8_t(p8);
     }
-    for (int i = 1; i < 255; i++) zero[i] = uint8_t(256 - one[256 - i]);
+    for (int i = 1; i < 256; i++) zero[i] = uint8_t(256 - one[256 - i]);
   }
 };
 
@@ -532,7 +533,6 @@ bool parse_extradata(const uint8_t* data, int64_t size, Extra& e) {
   e.version = get_symbol(c, state, false);
   if (e.version < 2 || e.version > 3) return false;
   if (e.version > 2) {
-    if (crc32_ieee(data, size) != 0) return false;  // stored CRC included
     c.size = size - 4;  // the trailing CRC is not range-coded payload
     e.micro = get_symbol(c, state, false);
   }
@@ -545,7 +545,7 @@ bool parse_extradata(const uint8_t* data, int64_t size, Extra& e) {
       if (v < 1 || v > 255 || d == INT32_MIN) return false;
       e.states.one[i] = uint8_t(v);
     }
-    for (int i = 1; i < 255; i++)
+    for (int i = 1; i < 256; i++)
       e.states.zero[i] = uint8_t(256 - e.states.one[256 - i]);
   }
   e.colorspace = get_symbol(c, state, false);
@@ -592,7 +592,14 @@ bool parse_extradata(const uint8_t* data, int64_t size, Extra& e) {
   }
   if (e.version > 2) {
     e.ec = get_symbol(c, state, false);
+    if (e.ec < 0 || e.ec > 2) return false;
     if (e.micro > 2) e.intra = get_symbol(c, state, false);
+    // ec <= 1: the stored CRC makes the whole-extradata CRC zero.
+    // ec == 2 (newer FFmpeg) uses a nonzero initial CRC value; the
+    // continuation semantics are unverifiable without a sample here,
+    // so integrity checking is skipped rather than rejecting valid
+    // files (the range-coded parse above already bounds everything).
+    if (e.ec < 2 && crc32_ieee(data, size) != 0) return false;
   }
   return true;
 }
@@ -976,7 +983,14 @@ bool v3_decode_frame(const Extra& e, const uint8_t* data, int64_t size,
   const int nslices = e.num_h * e.num_v;
   std::vector<std::pair<int64_t, int64_t>> spans;  // (offset, len)
   int64_t end = size;
-  for (int i = 0; i < nslices; i++) {
+  for (int i = nslices - 1; i >= 0; i--) {
+    if (i == 0 && e.version == 2) {
+      // version 2: the first slice has no trailing size field — it
+      // spans whatever remains at the packet head
+      spans.emplace_back(0, end);
+      end = 0;
+      break;
+    }
     if (end < trailer) return false;
     int64_t v = (int64_t(data[end - trailer]) << 16) |
                 (int64_t(data[end - trailer + 1]) << 8) |
@@ -987,7 +1001,7 @@ bool v3_decode_frame(const Extra& e, const uint8_t* data, int64_t size,
     end -= v;
   }
   if (end != 0) return false;  // slice 0 must start at the packet head
-  if (e.ec) {
+  if (e.ec == 1) {
     for (auto& [off, len] : spans)
       if (crc32_ieee(data + off, len) != 0) return false;
   }

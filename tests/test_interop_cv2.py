@@ -343,3 +343,28 @@ def test_mkv_demuxer_fuzz_never_hangs(tmp_path):
             assert n < 1000
         except (ValueError, MemoryError, OverflowError):
             pass
+
+
+def test_blockgroup_with_reference_block_offsets(tmp_path):
+    """Inter frames mux as BlockGroup(Block + ReferenceBlock); the
+    packet index must record the Block payload's true offset, not a
+    position shifted by trailing group elements (review finding)."""
+    import io as _io
+
+    from dspfun_tpu.io import mkv as M
+
+    buf = _io.BytesIO()
+    mux = M.MkvMuxer(buf, 16, 8, Fraction(25))
+    mux._header()
+    payload = b"BBBBBBB"
+    block = M._enc_size(1) + (0).to_bytes(2, "big") + bytes([0]) + payload
+    group = M._el(M._BLOCK, block) + M._el(0xFB, b"\x81")
+    buf.write(M._el(M._CLUSTER,
+                    M._el(M._CLUSTER_TS, M._uint(0))
+                    + M._el(M._BLOCK_GROUP, group)))
+    raw = buf.getvalue()
+    d = M.MkvDemuxer(_io.BytesIO(raw))
+    ((ts, off, ln),) = d.scan_packets()
+    assert raw[off:off + ln] == payload
+    d2 = M.MkvDemuxer(_io.BytesIO(raw))
+    assert d2.read_packet() == (0, payload)
