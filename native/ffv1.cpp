@@ -371,10 +371,17 @@ void encode_plane(RangeEncoder& c, const QuantTables& q, PlaneContexts& pc,
                   const Sample* src, int64_t stride, int w, int h, int bits) {
   Ring ring;
   ring.init(w);
+  // 16-bit samples code through WRAPPED signed-16 intermediates (the
+  // format's reference implementation keeps them in int16 buffers, so
+  // the median predictor orders wrapped values) — cross-validated
+  // against real libavcodec, which diverged above 2^15 otherwise
+  const bool wrap16 = bits == 16;
   for (int y = 0; y < h; y++) {
     ring.rotate(w);
     int32_t* cur = ring.row[0];
-    for (int x = 0; x < w; x++) cur[x] = int32_t(src[y * stride + x]);
+    for (int x = 0; x < w; x++)
+      cur[x] = wrap16 ? int32_t(int16_t(src[y * stride + x]))
+                      : int32_t(src[y * stride + x]);
     for (int x = 0; x < w; x++) {
       int ctx = context_of(q, cur, ring.row[1], ring.row[2], x);
       int diff = cur[x] - predict(cur, ring.row[1], x);
@@ -394,6 +401,7 @@ bool decode_plane(RangeDecoder& c, const QuantTables& q, PlaneContexts& pc,
   Ring ring;
   ring.init(w);
   const int mask = (1 << bits) - 1;
+  const bool wrap16 = bits == 16;  // see encode_plane
   for (int y = 0; y < h; y++) {
     ring.rotate(w);
     int32_t* cur = ring.row[0];
@@ -405,9 +413,11 @@ bool decode_plane(RangeDecoder& c, const QuantTables& q, PlaneContexts& pc,
           c, pc.states.data() + size_t(ctx) * kContextSize, true);
       if (diff == INT32_MIN) return false;
       if (flip) diff = -diff;
-      cur[x] = (predict(cur, ring.row[1], x) + diff) & mask;
+      int v = (predict(cur, ring.row[1], x) + diff) & mask;
+      cur[x] = wrap16 ? int32_t(int16_t(v)) : v;
     }
-    for (int x = 0; x < w; x++) dst[y * stride + x] = Sample(cur[x]);
+    for (int x = 0; x < w; x++)
+      dst[y * stride + x] = Sample(cur[x] & mask);
   }
   return true;
 }
@@ -704,6 +714,7 @@ void golomb_decode_line(BitReader& gb, const QuantTables& q,
                         const int32_t* above, const int32_t* above2, int w,
                         int bits, int& run_index) {
   const int mask = (1 << bits) - 1;
+  const bool wrap16 = bits == 16;  // see encode_plane
   int run_count = 0;
   int run_mode = 0;
   for (int x = 0; x < w; x++) {
@@ -738,7 +749,8 @@ void golomb_decode_line(BitReader& gb, const QuantTables& q,
       diff = get_vlc_symbol(gb, pc.vlc[ctx], bits);
     }
     if (flip) diff = -diff;
-    cur[x] = (predict(cur, above, x) + diff) & mask;
+    int v = (predict(cur, above, x) + diff) & mask;
+    cur[x] = wrap16 ? int32_t(int16_t(v)) : v;
   }
 }
 
@@ -747,6 +759,7 @@ bool rac_decode_line(RangeDecoder& c, const QuantTables& q, uint8_t* states,
                      int32_t* cur, const int32_t* above,
                      const int32_t* above2, int w, int bits) {
   const int mask = (1 << bits) - 1;
+  const bool wrap16 = bits == 16;  // see encode_plane
   for (int x = 0; x < w; x++) {
     int ctx = context_of(q, cur, above, above2, x);
     bool flip = ctx < 0;
@@ -754,7 +767,8 @@ bool rac_decode_line(RangeDecoder& c, const QuantTables& q, uint8_t* states,
     int diff = get_symbol(c, states + size_t(ctx) * kContextSize, true);
     if (diff == INT32_MIN) return false;
     if (flip) diff = -diff;
-    cur[x] = (predict(cur, above, x) + diff) & mask;
+    int v = (predict(cur, above, x) + diff) & mask;
+    cur[x] = wrap16 ? int32_t(int16_t(v)) : v;
   }
   return true;
 }
@@ -792,7 +806,8 @@ bool v3_decode_plane(const Extra& e, SliceCoder& co, SliceContexts& sc,
                            ring.row[1], ring.row[2], w, bits))
         return false;
     }
-    for (int x = 0; x < w; x++) dst[y * stride + x] = Sample(cur[x]);
+    for (int x = 0; x < w; x++)
+      dst[y * stride + x] = Sample(cur[x] & ((1 << bits) - 1));
   }
   return true;
 }

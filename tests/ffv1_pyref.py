@@ -164,6 +164,7 @@ def decode_keyframe(packet: bytes, width: int, height: int):
                     (height + (1 << v_shift) - 1) >> v_shift)
         return width, height
 
+    wrap16 = bits == 16  # samples code through wrapped signed-16
     nplanes = 1 + (2 if chroma_planes else 0) + (1 if transparency else 0)
     # context sets: luma 0, chroma shared 1, alpha 2
     sets = [bytearray([128] * (contexts * CONTEXT_SIZE)) for _ in range(3)]
@@ -205,8 +206,11 @@ def decode_keyframe(packet: bytes, width: int, height: int):
                 if sign:
                     diff = -diff
                 predict = sorted((l_, l_ + t_ - lt, t_))[1]
-                cur[x + 3] = (predict + diff) & mask
-            plane[y] = cur[3:3 + w]
+                v = (predict + diff) & mask
+                if wrap16 and v >= 0x8000:
+                    v -= 0x10000
+                cur[x + 3] = v
+            plane[y] = cur[3:3 + w] & mask
         planes.append(plane.astype(np.uint16 if bits > 8 else np.uint8))
     params = dict(version=version, bits=bits, chroma_planes=chroma_planes,
                   h_shift=h_shift, v_shift=v_shift,

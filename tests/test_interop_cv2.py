@@ -368,3 +368,26 @@ def test_blockgroup_with_reference_block_offsets(tmp_path):
     assert raw[off:off + ln] == payload
     d2 = M.MkvDemuxer(_io.BytesIO(raw))
     assert d2.read_packet() == (0, payload)
+
+
+def test_ffv1_16bit_bit_exact_in_real_libavcodec(tmp_path):
+    """16-bit samples code through WRAPPED signed-16 intermediates (the
+    reference implementation's int16 buffers order wrapped values in
+    the median predictor); found by this cross-check — the unwrapped
+    median diverged above 2^15."""
+    rng = np.random.default_rng(112)
+    props = video.parse_color_props("pixel_format=gray16le")
+    frames = [rng.integers(0, 65536, (16, 24)).astype(np.uint16),
+              (np.arange(384).reshape(16, 24) * 170).astype(np.uint16)]
+    p = tmp_path / "hd.nut"
+    with video.open_output(str(p), 24, 16, Fraction(25), props) as wr:
+        assert wr.codec == "ffv1"
+        for f in frames:
+            wr.write_frame([f.astype(float)], raw=True)
+    cap = cv2.VideoCapture(str(p), cv2.CAP_FFMPEG)
+    cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+    for f in frames:
+        ok, raw = cap.read()
+        assert ok and raw.dtype == np.uint16
+        assert np.array_equal(raw.reshape(16, 24), f)
+    cap.release()
