@@ -29,6 +29,7 @@ import json
 import re
 import shutil
 import subprocess
+import sys
 import threading
 from fractions import Fraction
 from functools import lru_cache
@@ -204,6 +205,22 @@ def open_ffmpeg_input(spec: str, format: str | None = None,
     from dspfun_tpu.io import video as _video
 
     if not have_ffmpeg():
+        # binary-less last resort: OpenCV's bundled FFmpeg can decode
+        # most real media (8-bit BGR presentation; io/cv2_bridge.py) —
+        # files only, the pipe pump needs the real binary
+        if stdin_stream is None and spec not in ("-", "pipe:", "pipe:0"):
+            from dspfun_tpu.io import cv2_bridge  # noqa: PLC0415
+
+            if cv2_bridge.available():
+                try:
+                    r = cv2_bridge.open_cv2_input(spec)
+                except ValueError:
+                    r = None
+                if r is not None:
+                    print(f"{spec}: no ffmpeg binary; decoding via "
+                          "OpenCV's bundled FFmpeg (8-bit RGB)",
+                          file=sys.stderr)
+                    return r
         raise RuntimeError(
             f"opening {spec!r} requires an ffmpeg binary on PATH "
             "(native containers: .y4m, .fvid, image patterns)"

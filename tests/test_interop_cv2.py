@@ -203,14 +203,18 @@ def test_real_matroska_ffv1_decodes_natively_bit_exact(tmp_path):
             n += 1
         assert n == 3
     cap.release()
-    # foreign codec inside mkv: bridge territory (raises: no binary)
+    # foreign codec inside mkv: binary-less, the OpenCV input fallback
+    # decodes it (8-bit RGB presentation, io/cv2_bridge.py)
     q = tmp_path / "m.mkv"
     wr = cv2.VideoWriter(str(q), cv2.CAP_FFMPEG,
                          cv2.VideoWriter_fourcc(*"MJPG"), 25, (24, 16))
     wr.write(frames[0])
     wr.release()
-    with pytest.raises(RuntimeError, match="ffmpeg"):
-        video.open_input(str(q))
+    with video.open_input(str(q)) as r:
+        assert r.pix_fmt.name == "gbrp" and r.frames == 1
+        pl = r.read_frame(raw=True)
+        assert pl is not None and pl[0].shape == (16, 24)
+        assert r.read_frame() is None
 
 
 def test_real_matroska_tool_chain(tmp_path):
