@@ -86,8 +86,12 @@ class FFV1Params:
 
 def params_for_pix_fmt(pf) -> FFV1Params:
     """FFV1 parameter set for a PixelFormat, or raise ValueError."""
-    if pf.is_float or pf.is_rgb:
-        raise ValueError(f"{pf.name}: FFV1 codes integer YCbCr/gray only")
+    if pf.is_float:
+        raise ValueError(f"{pf.name}: FFV1 codes integer samples only")
+    if pf.is_rgb:
+        if pf.depth != 8 or pf.ncomp != 3:
+            raise ValueError(f"{pf.name}: FFV1 RGB is 8-bit G,B,R planar")
+        return FFV1Params(bits=8, chroma_planes=False, colorspace=1)
     if pf.ncomp == 1:
         return FFV1Params(bits=pf.depth, chroma_planes=False)
     if pf.ncomp != 3:

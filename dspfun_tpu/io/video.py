@@ -1522,7 +1522,7 @@ def open_output(
         def can_ffv1():
             # availability may trigger the on-demand native build:
             # probe it only when ffv1 could actually be selected
-            if pf.is_float or pf.is_rgb:
+            if pf.is_float or (pf.is_rgb and pf.depth != 8):
                 return False
             from dspfun_tpu.io import ffv1 as _ffv1  # noqa: PLC0415
 
@@ -1588,7 +1588,7 @@ def open_output(
                 rf = PIXEL_FORMATS[req]
                 if rf.is_float:
                     req = "gray16le" if rf.ncomp == 1 else "yuv444p16le"
-                elif rf.is_rgb:
+                elif rf.is_rgb and rf.depth != 8:
                     req = "yuv444p"
             else:
                 req = "yuv420p"

@@ -366,6 +366,97 @@ inline int fold(int diff, int bits) {
   return diff;
 }
 
+bool rac_decode_line(RangeDecoder& c, const QuantTables& q, uint8_t* states,
+                     int32_t* cur, const int32_t* above,
+                     const int32_t* above2, int w, int bits);
+
+void rac_encode_line(RangeEncoder& c, const QuantTables& q,
+                     uint8_t* states, int32_t* cur, const int32_t* above,
+                     const int32_t* above2, int w, int bits) {
+  for (int x = 0; x < w; x++) {
+    int ctx = context_of(q, cur, above, above2, x);
+    int diff = cur[x] - predict(cur, above, x);
+    if (ctx < 0) {
+      ctx = -ctx;
+      diff = -diff;
+    }
+    put_symbol(c, states + size_t(ctx) * kContextSize, fold(diff, bits),
+               true);
+  }
+}
+
+// RGB (colorspace 1) for the version-0/1 single-coder frame layout:
+// line-interleaved G,B,R[,A] with the forward reversible color
+// transform, every plane coded at bits+1 (RFC 9043 section 3.7.2).
+void encode_rgb(RangeEncoder& c, const QuantTables& q,
+                PlaneContexts* contexts, const uint8_t* const* planes,
+                const int64_t* strides, int w, int h, int bits,
+                int transparency) {
+  const int cbits = bits + 1;
+  const int offset = 1 << bits;
+  const int np = 3 + (transparency ? 1 : 0);
+  std::vector<Ring> rings(np);
+  for (int p = 0; p < np; p++) rings[p].init(w);
+  for (int y = 0; y < h; y++) {
+    for (int p = 0; p < np; p++) rings[p].rotate(w);
+    int32_t* gr = rings[0].row[0];
+    int32_t* br = rings[1].row[0];
+    int32_t* rr = rings[2].row[0];
+    for (int x = 0; x < w; x++) {
+      int g = planes[0][y * strides[0] + x];
+      int b = planes[1][y * strides[1] + x];
+      int r = planes[2][y * strides[2] + x];
+      int u = b - g;
+      int v = r - g;
+      gr[x] = g + ((u + v) >> 2);
+      br[x] = u + offset;
+      rr[x] = v + offset;
+      if (np == 4)
+        rings[3].row[0][x] = planes[3][y * strides[3] + x];
+    }
+    for (int p = 0; p < np; p++) {
+      int set = (p + 1) / 2;
+      rac_encode_line(c, q, contexts[set].states.data(), rings[p].row[0],
+                      rings[p].row[1], rings[p].row[2], w, cbits);
+    }
+  }
+}
+
+bool decode_rgb_v01(RangeDecoder& c, const QuantTables& q,
+                    PlaneContexts* contexts, uint8_t* const* planes,
+                    const int64_t* strides, int w, int h, int bits,
+                    int transparency) {
+  const int cbits = bits + 1;
+  const int offset = 1 << bits;
+  const int np = 3 + (transparency ? 1 : 0);
+  std::vector<Ring> rings(np);
+  for (int p = 0; p < np; p++) rings[p].init(w);
+  for (int y = 0; y < h; y++) {
+    for (int p = 0; p < np; p++) {
+      rings[p].rotate(w);
+      int set = (p + 1) / 2;
+      if (!rac_decode_line(c, q, contexts[set].states.data(),
+                           rings[p].row[0], rings[p].row[1],
+                           rings[p].row[2], w, cbits))
+        return false;
+    }
+    for (int x = 0; x < w; x++) {
+      int g = rings[0].row[0][x];
+      int b = rings[1].row[0][x] - offset;
+      int r = rings[2].row[0][x] - offset;
+      g -= (b + r) >> 2;
+      b += g;
+      r += g;
+      planes[0][y * strides[0] + x] = uint8_t(g);
+      planes[1][y * strides[1] + x] = uint8_t(b);
+      planes[2][y * strides[2] + x] = uint8_t(r);
+      if (np == 4)
+        planes[3][y * strides[3] + x] = uint8_t(rings[3].row[0][x]);
+    }
+  }
+  return true;
+}
+
 template <typename Sample>
 void encode_plane(RangeEncoder& c, const QuantTables& q, PlaneContexts& pc,
                   const Sample* src, int64_t stride, int w, int h, int bits) {
@@ -441,17 +532,20 @@ struct Params {
 };
 
 int plane_count(const Params& p) {
+  if (p.colorspace == 1) return 3 + (p.transparency ? 1 : 0);
   return 1 + (p.chroma_planes ? 2 : 0) + (p.transparency ? 1 : 0);
 }
 
 // context set per plane: luma 0, both chroma share 1, alpha 2
+// (RGB mode: G 0, B/R 1, A 2 — (p+1)/2)
 int context_set(const Params& p, int plane) {
+  if (p.colorspace == 1) return (plane + 1) / 2;
   if (p.chroma_planes && (plane == 1 || plane == 2)) return 1;
   return plane >= 1 ? 2 : 0;
 }
 
 void plane_dims(const Params& p, int plane, int* w, int* h) {
-  if (p.chroma_planes && (plane == 1 || plane == 2)) {
+  if (p.colorspace != 1 && p.chroma_planes && (plane == 1 || plane == 2)) {
     *w = (p.width + (1 << p.h_shift) - 1) >> p.h_shift;
     *h = (p.height + (1 << p.v_shift) - 1) >> p.v_shift;
   } else {
@@ -482,10 +576,11 @@ bool read_header(RangeDecoder& c, Params& p, QuantTables& q) {
   p.coder = get_symbol(c, state, false);
   if (p.coder != 1) return false;  // golomb (0) / custom table (2) unsupported
   p.colorspace = get_symbol(c, state, false);
-  if (p.colorspace != 0) return false;  // RGB-RCT unsupported
+  if (p.colorspace != 0 && p.colorspace != 1) return false;
   p.bits = p.version > 0 ? get_symbol(c, state, false) : 8;
   if (p.bits == 0) p.bits = 8;  // "0 = inherit" never written by encoders here
   if (p.bits < 1 || p.bits > 16) return false;
+  if (p.colorspace == 1 && p.bits != 8) return false;  // RGB-RCT: 8-bit
   p.chroma_planes = c.get(state);
   p.h_shift = get_symbol(c, state, false);
   p.v_shift = get_symbol(c, state, false);
@@ -1062,6 +1157,11 @@ int64_t ffv1_encode(const uint8_t* const* planes, const int64_t* strides,
   write_header(c, p, q);
   PlaneContexts contexts[3];
   for (auto& pc : contexts) pc.reset(q.context_count);
+  if (p.colorspace == 1) {
+    encode_rgb(c, q, contexts, planes, strides, p.width, p.height,
+               p.bits, p.transparency);
+    return c.terminate();
+  }
   for (int pl = 0; pl < plane_count(p); pl++) {
     int w, h;
     plane_dims(p, pl, &w, &h);
@@ -1198,6 +1298,13 @@ int32_t ffv1_decode(void* handle, const uint8_t* data, int64_t size,
     return 0;  // inter frame before any keyframe
   }
   const Params& p = d.params;
+  if (p.colorspace == 1) {
+    if (!decode_rgb_v01(c, d.quant, d.contexts, planes, strides, p.width,
+                        p.height, p.bits, p.transparency))
+      return 0;
+    if (out_params) *out_params = p;
+    return 1;
+  }
   for (int pl = 0; pl < plane_count(p); pl++) {
     int w, h;
     plane_dims(p, pl, &w, &h);

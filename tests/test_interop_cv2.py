@@ -395,3 +395,30 @@ def test_ffv1_16bit_bit_exact_in_real_libavcodec(tmp_path):
         assert ok and raw.dtype == np.uint16
         assert np.array_equal(raw.reshape(16, 24), f)
     cap.release()
+
+
+def test_native_rgb_ffv1_encode_bit_exact_in_real_libav(tmp_path):
+    """The encoder's RGB mode (colorspace 1: line-interleaved G,B,R at
+    9 bits with the forward reversible color transform) decodes
+    bit-exactly in real libavcodec, and round-trips natively."""
+    rng = np.random.default_rng(113)
+    props = video.parse_color_props("pixel_format=gbrp")
+    G = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    B = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    R = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    p = tmp_path / "rgb.nut"
+    with video.open_output(str(p), 24, 16, Fraction(25), props) as wr:
+        assert wr.codec == "ffv1"
+        wr.write_frame([x.astype(float) for x in (G, B, R)], raw=True)
+    with video.open_input(str(p)) as r:
+        assert r.pix_fmt.name == "gbrp"
+        g2, b2, r2 = r.read_frame(raw=True)
+        assert np.array_equal(g2, G) and np.array_equal(b2, B)
+        assert np.array_equal(r2, R)
+    cap = cv2.VideoCapture(str(p), cv2.CAP_FFMPEG)
+    ok, bgr = cap.read()
+    cap.release()
+    assert ok
+    assert np.array_equal(bgr[..., 1], G)
+    assert np.array_equal(bgr[..., 0], B)
+    assert np.array_equal(bgr[..., 2], R)
