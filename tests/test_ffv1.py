@@ -39,7 +39,7 @@ def _planes_for(pf, w, h, rng, smooth=False):
 
 @pytest.mark.parametrize("name", [
     "gray", "gray16le", "yuv420p", "yuv422p", "yuv444p",
-    "yuv420p10le", "yuv422p12le", "yuv444p16le",
+    "yuv420p10le", "yuv422p12le", "yuv444p16le", "gbrp",
 ])
 @pytest.mark.parametrize("size", [(1, 1), (2, 2), (17, 9), (64, 48)])
 def test_roundtrip_matrix(name, size):
