@@ -506,3 +506,121 @@ def test_unsupported_variant_routes_to_bridge(tmp_path):
         nw.write_frame_bytes(b"\x00" * 64)  # keyframe bit then garbage
     with pytest.raises(RuntimeError, match="ffmpeg"):
         video.open_input(str(p))
+
+
+def test_v3_ycbcr_chroma_slice_decodes():
+    """The v3 YCbCr-with-chroma slice path has no real-file oracle
+    (OpenCV's writer only produces gray/RGB), so craft one: extradata
+    (v3, range coder, 420 chroma, one slice, CRC'd) plus a range-coded
+    slice with trailing size, built with the pyref primitives."""
+    from tests import ffv1_pyref as ref
+
+    w, h = 12, 10
+    rng = np.random.default_rng(61)
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    u = rng.integers(0, 256, (5, 6)).astype(np.uint8)
+    v = rng.integers(0, 256, (5, 6)).astype(np.uint8)
+
+    # --- extradata --------------------------------------------------
+    enc = ref.RangeEncoder()
+    st = ref.fresh_state()
+    for val in (3, 4, 1, 0, 8):  # version, micro, coder=range, cs, bits
+        enc.put_symbol(st, val, False)
+    enc.put(st, 0, 1)  # chroma_planes
+    enc.put_symbol(st, 1, False)
+    enc.put_symbol(st, 1, False)
+    enc.put(st, 0, 0)  # transparency
+    enc.put_symbol(st, 0, False)  # num_h_slices - 1
+    enc.put_symbol(st, 0, False)  # num_v_slices - 1
+    enc.put_symbol(st, 1, False)  # quant_table_count
+    for runs in ([0, 1, 1, 3, 7, 110],) * 3 + ([127],) * 2:
+        qst = ref.fresh_state()
+        for r in runs:
+            enc.put_symbol(qst, r, False)
+    enc.put(st, 0, 0)  # no initial states for table set 0
+    enc.put_symbol(st, 0, False)  # ec
+    enc.put_symbol(st, 0, False)  # intra (micro > 2)
+    body = enc.terminate()
+
+    def crc32_ieee(data):
+        crc = 0
+        for b in data:
+            crc ^= b << 24
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF \
+                    if crc & 0x80000000 else (crc << 1) & 0xFFFFFFFF
+        return crc
+
+    extradata = body + crc32_ieee(body).to_bytes(4, "big")
+
+    # --- one keyframe slice ------------------------------------------
+    # quant tables: same shape the native encoder writes (3x11-level)
+    def quant11(d):
+        a = abs(d)
+        q = 0 if a == 0 else 1 if a <= 2 else 2 if a <= 4 else \
+            3 if a <= 8 else 4 if a <= 16 else 5
+        return -q if d < 0 else q
+
+    scale = [1, 11, 121]
+    qt = [[0] * 256 for _ in range(5)]
+    for t in range(3):
+        for i in range(1, 128):
+            qt[t][i] = scale[t] * quant11(i)
+        for i in range(1, 128):
+            qt[t][256 - i] = -qt[t][i]
+        qt[t][128] = -qt[t][127]
+    contexts = 666
+
+    enc = ref.RangeEncoder()
+    ks = bytearray([128])
+    enc.put(ks, 0, 1)  # keyframe
+    st = ref.fresh_state()
+    for val in (0, 0, 0, 0):  # sx, sy, sw-1, sh-1
+        enc.put_symbol(st, val, False)
+    for _ in range(2):  # quant idx per context set (plane_count = 2)
+        enc.put_symbol(st, 0, False)
+    enc.put_symbol(st, 0, False)  # picture_structure
+    enc.put_symbol(st, 0, False)  # sar num
+    enc.put_symbol(st, 0, False)  # sar den
+
+    def encode_plane(plane, states):
+        ph, pw = plane.shape
+        rows = [[0] * (pw + 6) for _ in range(3)]
+        for yy in range(ph):
+            rows = [rows[2], rows[0], rows[1]]
+            cur, above, above2 = rows
+            cur[2] = above[3]
+            above[3 + pw] = above[3 + pw - 1]
+            for x in range(pw):
+                l_, lt = cur[x + 2], above[x + 2]
+                t_, rt = above[x + 3], above[x + 4]
+                ctx = (qt[0][(l_ - lt) & 0xFF] + qt[1][(lt - t_) & 0xFF]
+                       + qt[2][(t_ - rt) & 0xFF])
+                sign = ctx < 0
+                if sign:
+                    ctx = -ctx
+                pred = sorted((l_, l_ + t_ - lt, t_))[1]
+                diff = int(plane[yy, x]) - pred
+                if sign:
+                    diff = -diff
+                diff = ((diff + 128) & 0xFF) - 128
+                base = ctx * 32
+                stv = bytearray(states[base:base + 32])
+                enc.put_symbol(stv, diff, True)
+                states[base:base + 32] = stv
+                cur[x + 3] = int(plane[yy, x])
+
+    sets = [bytearray([128] * (contexts * 32)) for _ in range(2)]
+    encode_plane(y, sets[0])
+    encode_plane(u, sets[1])
+    encode_plane(v, sets[1])
+    slice_body = enc.terminate()
+    packet = slice_body + (len(slice_body)).to_bytes(3, "big")
+
+    dec = ffv1.FFV1Decoder(w, h, extradata=extradata)
+    assert dec.params.chroma_planes and dec.params.h_shift == 1
+    gy, gu, gv = dec.decode(packet)
+    assert np.array_equal(gy, y)
+    assert np.array_equal(gu, u)
+    assert np.array_equal(gv, v)
+    dec.close()
