@@ -34,14 +34,18 @@ def open_cv2_input(spec: str):
     from dspfun_tpu.io import video as _video  # noqa: PLC0415
 
     cap = cv2.VideoCapture(spec, cv2.CAP_FFMPEG)
-    if not cap.isOpened():
+    try:
+        if not cap.isOpened():
+            raise ValueError(f"{spec!r}: OpenCV could not open the source")
+        ok, first = cap.read()
+        if not ok or first is None or first.ndim < 2:
+            raise ValueError(
+                f"{spec!r}: OpenCV opened but decoded no frames")
+    except BaseException:
         cap.release()
-        raise ValueError(f"{spec!r}: OpenCV could not open the source")
-    ok, first = cap.read()
-    if not ok or first is None or first.ndim < 2:
-        cap.release()
-        raise ValueError(f"{spec!r}: OpenCV opened but decoded no frames")
+        raise
 
+    # reader construction still owns the cap: release on any failure
     class _Cv2Reader(_video.VideoReader):
         def __init__(self):
             super().__init__(None, spec, "opencv")
@@ -49,10 +53,14 @@ def open_cv2_input(spec: str):
             self._first = first
             self.height, self.width = first.shape[:2]
             self.pix_fmt = _video.PIXEL_FORMATS["gbrp"]
+            import math  # noqa: PLC0415
+
             fps = cap.get(cv2.CAP_PROP_FPS)
             self.rate = (Fraction(fps).limit_denominator(1001 * 60)
-                         if fps and fps > 0 else Fraction(25))
-            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+                         if fps and math.isfinite(fps) and fps > 0
+                         else Fraction(25))
+            fc = cap.get(cv2.CAP_PROP_FRAME_COUNT)
+            n = int(fc) if math.isfinite(fc) else 0
             self.frames = n if n > 0 else None
             self.props = _video.ColorProps(
                 pix_fmt="gbrp", color_range="jpeg", color_space="rgb",
@@ -78,4 +86,8 @@ def open_cv2_input(spec: str):
                 self._cap.release()
                 self._cap = None
 
-    return _Cv2Reader()
+    try:
+        return _Cv2Reader()
+    except BaseException:
+        cap.release()
+        raise

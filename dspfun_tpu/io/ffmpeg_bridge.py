@@ -206,16 +206,19 @@ def open_ffmpeg_input(spec: str, format: str | None = None,
 
     if not have_ffmpeg():
         # binary-less last resort: OpenCV's bundled FFmpeg can decode
-        # most real media (8-bit BGR presentation; io/cv2_bridge.py) —
-        # files only, the pipe pump needs the real binary
-        if stdin_stream is None and spec not in ("-", "pipe:", "pipe:0"):
+        # most real media (8-bit BGR presentation; io/cv2_bridge.py).
+        # Files only (the pipe pump needs the real binary), and only
+        # when no explicit demuxer format/options were requested —
+        # OpenCV probes on its own and would silently drop them
+        if (stdin_stream is None and format is None and options is None
+                and spec not in ("-", "pipe:", "pipe:0")):
             from dspfun_tpu.io import cv2_bridge  # noqa: PLC0415
 
             if cv2_bridge.available():
                 try:
                     r = cv2_bridge.open_cv2_input(spec)
-                except ValueError:
-                    r = None
+                except Exception:  # noqa: BLE001 — fall through to the
+                    r = None       # clean binary-missing error below
                 if r is not None:
                     print(f"{spec}: no ffmpeg binary; decoding via "
                           "OpenCV's bundled FFmpeg (8-bit RGB)",

@@ -1597,10 +1597,12 @@ def open_output(
             if _ffv1.available():
                 pf = PIXEL_FORMATS[req]
                 props.pix_fmt = req
-                if pf.ncomp == 3 and props.color_space in (None, "rgb"):
-                    # RGB content converts through the bt601 matrix
-                    # (rgb_to_planes/_matrix_for): the container must
-                    # not claim the identity matrix for it
+                if (pf.ncomp == 3 and not pf.is_rgb
+                        and props.color_space in (None, "rgb")):
+                    # RGB content CONVERTED to YCbCr goes through the
+                    # bt601 matrix (rgb_to_planes/_matrix_for): the
+                    # container must not claim the identity matrix for
+                    # it; native FFV1-RGB (gbrp) keeps its rgb matrix
                     props.color_space = "smpte170m"
                 _default_props("nut", props)
                 stream = _open_stream_out(spec)

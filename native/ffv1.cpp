@@ -473,16 +473,8 @@ void encode_plane(RangeEncoder& c, const QuantTables& q, PlaneContexts& pc,
     for (int x = 0; x < w; x++)
       cur[x] = wrap16 ? int32_t(int16_t(src[y * stride + x]))
                       : int32_t(src[y * stride + x]);
-    for (int x = 0; x < w; x++) {
-      int ctx = context_of(q, cur, ring.row[1], ring.row[2], x);
-      int diff = cur[x] - predict(cur, ring.row[1], x);
-      if (ctx < 0) {
-        ctx = -ctx;
-        diff = -diff;
-      }
-      put_symbol(c, pc.states.data() + size_t(ctx) * kContextSize,
-                 fold(diff, bits), true);
-    }
+    rac_encode_line(c, q, pc.states.data(), cur, ring.row[1], ring.row[2],
+                    w, bits);
   }
 }
 
