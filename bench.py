@@ -126,8 +126,16 @@ def _retrying_main() -> int:
     env = {**os.environ, "DSPFUN_BENCH_CHILD": "1"}
     rc = 1
     for attempt in range(3):
-        rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
-                             env=env)
+        try:
+            # a refused backend HANGS ~25-30 min in init before failing
+            # (observed during the Aug-18 outage); bound each attempt so
+            # one wedge cannot eat the whole capture budget.  The cap
+            # comfortably covers a healthy run: worst observed warm-up
+            # 13 min + bench body a few minutes.
+            rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
+                                 env=env, timeout=2100)
+        except subprocess.TimeoutExpired:
+            rc = -9
         if rc == 0:
             return 0
         print(f"bench attempt {attempt + 1} failed (rc={rc})"
