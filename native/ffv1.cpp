@@ -1,4 +1,4 @@
-// Native FFV1 codec (RFC 9043), versions 0/1, range coder, YCbCr/gray.
+// Native FFV1 codec (RFC 9043): v1 encode; v0-v3 decode, both coders.
 //
 // FFV1 is the *default* output codec of every reference video tool
 // (reference motion/motion.c:447, motion/rotate.c:128,
