@@ -21,18 +21,34 @@ Grammar (the av_expr subset the dspfun docs exercise):
 Functions: sin cos tan asin acos atan atan2 sinh cosh tanh exp log pow
 sqrt abs sgn floor ceil trunc round mod gcd max min hypot eq gte gt lte
 lt not if ifnot isnan isinf bitand bitor between clip lerp squish gauss
-st ld.  Constants: PI, E, PHI.  (av_expr's stateful/iterative forms —
-random, while, root, taylor, print — are not supported: every dspfun
-use site is elementwise over coordinate grids.)
+st ld print time, plus the stateful/iterative av_expr forms random,
+while, root, taylor.  Constants: PI, E, PHI.
+
+Stateful forms evaluate on the host: with scalar variables they follow
+ffmpeg eval.c exactly (lazy if/while, LCG random with the var-slot
+double-rounded state, persistent var slots across evaluations of the
+same parsed Expr — eval.c keeps them in ``AVExpr->var``); with grid
+variables the expression is evaluated per element in raster order,
+matching the reference's per-coefficient evaluation loops
+(motion/motion.c:670-681, scan/scan_methods.c:333-391).  Inside jitted
+pipelines they cannot vectorise onto the VPU; callers route through
+``host_eval_in_jit`` (an ordered io_callback) instead — see
+``Expr.stateful``.
 """
 
 from __future__ import annotations
 
 import math
 import re
+import sys
+import time as _time
 from typing import Any, Callable, Mapping
 
-__all__ = ["Expr", "parse_expr"]
+__all__ = ["Expr", "parse_expr", "host_eval_in_jit"]
+
+_U64 = (1 << 64) - 1
+_VARS = 10  # ffmpeg eval.c VARS: st()/ld()/random() slot count
+_STATEFUL = {"random", "while", "root", "taylor"}
 
 _TOKEN_RE = re.compile(
     r"\s*(?:"
@@ -215,19 +231,126 @@ def _funcs(xp) -> Mapping[str, Callable]:
     }
 
 
+def _contains_stateful(node) -> bool:
+    if not isinstance(node, tuple):
+        return False
+    if node[0] == "call" and node[1] in _STATEFUL:
+        return True
+    for sub in node[1:]:
+        if isinstance(sub, tuple) and _contains_stateful(sub):
+            return True
+        if isinstance(sub, list) and any(_contains_stateful(s) for s in sub):
+            return True
+    return False
+
+
+def _slot_index(v) -> int:
+    """av_clip(value, 0, VARS-1) with the double->int edge cases pinned
+    (nan -> 0, +/-inf clamp)."""
+    v = float(v)
+    if v != v:
+        return 0
+    return int(min(max(v, 0.0), float(_VARS - 1)))
+
+
+def _find_root(f: Callable[[float], float], xmax: float) -> float:
+    """Root of the continuous function ``f`` on the interval 0..xmax
+    (ffmpeg-utils documented semantics for root(expr, max)): coarse
+    uniform scan for a sign change, then bisection; with no sign change
+    the sample closest to zero is returned (matching eval.c's
+    best-low/best-high fallback behaviour)."""
+    lo, hi = (0.0, xmax) if xmax >= 0 else (xmax, 0.0)
+    n = 1024
+    best_x, best_av = float("nan"), float("inf")
+    px = pv = None
+    blo = bhi = blov = None
+    for i in range(n + 1):
+        x = lo + (hi - lo) * i / n
+        v = f(x)
+        if v != v:  # NaN sample: cannot bracket across it
+            px = pv = None
+            continue
+        if v == 0.0:
+            return x
+        if abs(v) < best_av:
+            best_x, best_av = x, abs(v)
+        if pv is not None and (v > 0.0) != (pv > 0.0):
+            blo, bhi, blov = px, x, pv
+            break
+        px, pv = x, v
+    if blo is None:
+        return best_x
+    for _ in range(200):
+        mid = 0.5 * (blo + bhi)
+        if mid == blo or mid == bhi:
+            break
+        v = f(mid)
+        if v == 0.0:
+            return mid
+        if v != v:
+            break
+        if (v > 0.0) == (blov > 0.0):
+            blo, blov = mid, v
+        else:
+            bhi = mid
+    return 0.5 * (blo + bhi)
+
+
 class Expr:
-    """A parsed expression, evaluable over numpy or jax.numpy arrays."""
+    """A parsed expression, evaluable over numpy or jax.numpy arrays.
+
+    ``stateful`` is True when the AST contains an iterative/stateful
+    av_expr form (random/while/root/taylor); those evaluate on the host
+    — scalars directly, grids per element in raster order (the
+    reference's per-coefficient loop, motion/motion.c:670-681) — with
+    st()/ld()/random() slots persisting across evaluations of this
+    parsed expression, as eval.c keeps them in ``AVExpr->var``.
+    """
 
     def __init__(self, source: str, var_names: tuple[str, ...]):
         self.source = source
         self.var_names = tuple(var_names)
         self.ast = _Parser(_tokenize(source), self.var_names).parse()
+        self.stateful = _contains_stateful(self.ast)
+        # persistent slots for host/stateful evaluation only; the
+        # vectorised paths keep per-call state (a persistent dict
+        # would pin jax tracers across traces)
+        self._slots: dict[int, float] = {}
+
+    def reset_state(self) -> None:
+        self._slots.clear()
 
     def __call__(self, variables: Mapping[str, Any], xp=None):
         if xp is None:
             import numpy as xp  # noqa: PLC0415
+        if not self.stateful:
+            return self._eval_tree(variables, xp, {}, scalar=False)
+        if xp.__name__ != "numpy":
+            raise ValueError(
+                f"expression {self.source!r} uses a stateful av_expr form"
+                " (random/while/root/taylor): it evaluates on the host —"
+                " inside jit, route through"
+                " dspfun_tpu.core.expr.host_eval_in_jit()")
+        import numpy as np  # noqa: PLC0415
+
+        arrs = {k: np.asarray(v, dtype=np.float64)
+                for k, v in variables.items()}
+        shape = (np.broadcast_shapes(*(a.shape for a in arrs.values()))
+                 if arrs else ())
+        with np.errstate(all="ignore"):
+            if shape == ():
+                return self._eval_tree(arrs, np, self._slots, scalar=True)
+            grids = {k: np.broadcast_to(a, shape) for k, a in arrs.items()}
+            out = np.empty(shape, np.float64)
+            for idx in np.ndindex(shape):
+                out[idx] = self._eval_tree(
+                    {k: g[idx] for k, g in grids.items()},
+                    np, self._slots, scalar=True)
+            return out
+
+    def _eval_tree(self, variables: Mapping[str, Any], xp,
+                   slots: dict[int, Any], scalar: bool):
         funcs = _funcs(xp)
-        slots: dict[int, Any] = {}
         # av_expr evaluates if()/ifnot() branches lazily, so an st()
         # inside an untaken branch must not fire.  Vectorised over
         # grids, both branches are computed but stores merge through
@@ -268,6 +391,13 @@ class Expr:
                 name, args = node[1], node[2]
                 if name in ("if", "ifnot"):
                     c = ev(args[0])
+                    if scalar:
+                        # eval.c is lazy: only the taken branch runs
+                        # (an st()/while in the other must not fire)
+                        taken = (float(c) != 0.0) == (name == "if")
+                        if taken:
+                            return ev(args[1])
+                        return ev(args[2]) if len(args) > 2 else 0.0
                     taken = xp.asarray(c != 0 if name == "if" else c == 0)
                     mask_stack.append(taken)
                     t = ev(args[1])
@@ -288,6 +418,79 @@ class Expr:
                     if idx[0] != "num":
                         raise ValueError("ld() requires a literal slot index")
                     return slots.get(int(idx[1]), 0.0)
+                if name == "print":
+                    v = ev(args[0])
+                    if len(args) > 1:
+                        ev(args[1])  # log level: evaluated, stderr either way
+                    if xp.__name__ == "numpy":
+                        import numpy as _np  # noqa: PLC0415
+
+                        msg = (f"{float(v):f}" if _np.ndim(v) == 0
+                               else _np.array2string(_np.asarray(v)))
+                        print(msg, file=sys.stderr)
+                    else:
+                        import jax  # noqa: PLC0415
+
+                        jax.debug.print("{v}", v=v)
+                    return v
+                if name == "time":
+                    for a in args:
+                        ev(a)  # time(0): the argument is evaluated, unused
+                    return _time.time()
+                if name in _STATEFUL:
+                    if not scalar:
+                        raise ValueError(
+                            f"{name}() is stateful and only evaluates on"
+                            " the host scalar path")
+                    if name == "random":
+                        # eval.c e_random: slot holds the LCG state as a
+                        # double (the uint64 round-trips through the
+                        # double slot, so the sequence is the rounded
+                        # recurrence, reproduced exactly here)
+                        i = _slot_index(ev(args[0]))
+                        s = float(slots.get(i, 0.0))
+                        r = 0 if s != s else (int(s) & _U64)
+                        r = (r * 1664525 + 1013904223) & _U64
+                        slots[i] = float(r)
+                        return float(r) * 2.0 ** -64
+                    if name == "while":
+                        # returns NaN when the condition never held; a
+                        # NaN condition loops, as in C (nan != 0)
+                        d = float("nan")
+                        while float(ev(args[0])) != 0.0:
+                            d = float(ev(args[1]))
+                        return d
+                    if name == "root":
+                        xmax = float(ev(args[1]))
+                        saved = slots.get(0, 0.0)
+
+                        def froot(t: float) -> float:
+                            slots[0] = t
+                            return float(ev(args[0]))
+
+                        try:
+                            return _find_root(froot, xmax)
+                        finally:
+                            slots[0] = saved
+                    # taylor(expr, x[, id]): expr is the ld(id)-th
+                    # derivative at 0; sum t_n * x^n / n! until the
+                    # accumulator stops moving on a nonzero term
+                    x = float(ev(args[1]))
+                    sid = _slot_index(ev(args[2])) if len(args) > 2 else 0
+                    saved = slots.get(sid, 0.0)
+                    t, d = 1.0, 0.0
+                    try:
+                        for i in range(1000):
+                            prev = d
+                            slots[sid] = float(i)
+                            v = float(ev(args[0]))
+                            d = d + t * v
+                            if d == prev and v != 0.0:
+                                break
+                            t *= x / (i + 1)
+                    finally:
+                        slots[sid] = saved
+                    return d
                 if name in funcs:
                     return funcs[name]([ev(a) for a in args])
                 raise ValueError(f"unsupported function {name!r}")
@@ -306,3 +509,28 @@ class Expr:
 
 def parse_expr(source: str, var_names) -> Expr:
     return Expr(source, tuple(var_names))
+
+
+def host_eval_in_jit(expr: Expr, variables: Mapping[str, Any],
+                     shape, dtype):
+    """Evaluate a stateful Expr inside a jitted computation via an
+    ordered host callback — the TPU mapping of the reference's
+    host-side per-coefficient av_expr loop (motion/motion.c:670-681):
+    the coefficient grid leaves the accelerator for exactly this stage,
+    st()/ld()/random() state persists across calls in program order,
+    and everything around it stays fused on device.  Grid evaluation is
+    per element in raster order, so it is only worth paying for when
+    the expression actually needs the stateful forms."""
+    import jax  # noqa: PLC0415
+    import numpy as np  # noqa: PLC0415
+    from jax.experimental import io_callback  # noqa: PLC0415
+
+    keys = tuple(sorted(variables))
+
+    def host(*vals):
+        env = {k: np.asarray(v, np.float64) for k, v in zip(keys, vals)}
+        out = np.asarray(expr(env, np), np.float64)
+        return np.ascontiguousarray(np.broadcast_to(out, shape)).astype(dtype)
+
+    return io_callback(host, jax.ShapeDtypeStruct(tuple(shape), dtype),
+                       *(variables[k] for k in keys), ordered=True)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dspfun_tpu.core.expr import Expr
+from dspfun_tpu.core.expr import Expr, host_eval_in_jit
 from dspfun_tpu.core.precision import Precision, get_precision
 from dspfun_tpu.core.transforms import apply_plan_nd, plan_axis
 
@@ -529,7 +529,16 @@ def filter_blocks(
             "bwidth": float(g.nblocks.w), "bheight": float(g.nblocks.h),
             "bdepth": float(g.nblocks.d),
         }
-        res = p.expr(env, jnp) * (255.0 / norm2)
+        if p.expr.stateful:
+            # random()/while()/root()/taylor() evaluate per coefficient
+            # on the host in raster order — the TPU mapping of the
+            # reference's host-side av_expr loop (motion.c:670-681);
+            # the grid round-trips through an ordered io_callback so
+            # slot/LCG state stays in program order across slabs.
+            res = host_eval_in_jit(p.expr, env, M.shape, dtype)
+            res = res * (255.0 / norm2)
+        else:
+            res = p.expr(env, jnp) * (255.0 / norm2)
         M = jnp.where(act[None], res.astype(dtype), M)
 
     # --- bandpass (motion.c:683-719) -----------------------------------

@@ -104,3 +104,119 @@ def test_round_is_half_away_from_zero():
     for v, want in [(0.5, 1.0), (2.5, 3.0), (-0.5, -1.0), (-2.5, -3.0),
                     (1.4, 1.0), (-1.6, -2.0)]:
         assert e({"x": v}) == want, (v, want)
+
+
+# ---- stateful / iterative av_expr forms (round-5: VERDICT item 6) ----
+#
+# Semantics pinned against ffmpeg eval.c (e_random / e_while / e_root /
+# e_taylor) and the ffmpeg-utils documentation; the reference links the
+# full av_expr for motion --eval (motion/motion.c:463-469), zoom
+# animation (zoom/zoom.c:221-228) and scan evalxy/evali
+# (scan/scan_methods.c:333-391).
+
+_U64 = (1 << 64) - 1
+
+
+def _lcg_stream(seed: int, n: int):
+    """eval.c e_random: uint64 LCG whose state round-trips through a
+    double var slot (so both the stored state and the returned value
+    are the double-rounded recurrence)."""
+    out, s = [], seed
+    for _ in range(n):
+        s = (s * 1664525 + 1013904223) & _U64
+        out.append(float(s) * 2.0 ** -64)
+        s = int(float(s)) & _U64
+    return out
+
+
+def test_random_matches_eval_c_lcg():
+    e = parse_expr("random(0)", ())
+    got = [e({}) for _ in range(6)]
+    np.testing.assert_array_equal(got, _lcg_stream(0, 6))
+
+
+def test_random_seeded_via_st():
+    e = parse_expr("st(0, 42); random(0)", ())
+    assert e({}) == _lcg_stream(42, 1)[0]
+    # slots persist across evaluations of the same parsed Expr, as
+    # eval.c keeps them in AVExpr->var — re-seeding restarts the stream
+    e2 = parse_expr("random(3)", ())
+    s1 = [e2({}) for _ in range(4)]
+    e2.reset_state()
+    s2 = [e2({}) for _ in range(4)]
+    assert s1 == s2 == _lcg_stream(0, 4)
+
+
+def test_random_over_grid_is_raster_order():
+    e = parse_expr("x*0 + random(0)", ("x",))
+    out = e({"x": np.zeros((2, 3))})
+    np.testing.assert_array_equal(out.ravel(), _lcg_stream(0, 6))
+
+
+def test_random_rejects_vectorised_jax_path():
+    import jax.numpy as jnp
+
+    e = parse_expr("random(0)", ())
+    assert e.stateful
+    with pytest.raises(ValueError, match="host_eval_in_jit"):
+        e({}, xp=jnp)
+
+
+def test_while_loop_and_never_true():
+    # counts ld(0) up to 5; while returns the last body value
+    e = parse_expr("st(0,0); while(lt(ld(0),5), st(0, ld(0)+1))", ())
+    assert e({}) == 5.0
+    # a condition that never holds yields NaN (eval.c: double d = NAN)
+    assert math.isnan(parse_expr("while(0, 1)", ())({}))
+
+
+def test_root_ffmpeg_doc_example():
+    # ffmpeg-utils doc: root(sin(ld(0))-6+ld(0), 100) solves sin(x)+x=6
+    r = float(parse_expr("root(sin(ld(0))-6+ld(0), 100)", ())({}))
+    assert abs(math.sin(r) + r - 6.0) < 1e-9
+    # root() scans ld(0); slot 0 is restored afterwards
+    e = parse_expr("st(0, 7); root(ld(0)-1, 2) + ld(0)", ())
+    assert e({}) == pytest.approx(8.0, abs=1e-9)
+
+
+def test_taylor_exp():
+    # all derivatives 1 => sum x^n/n! = e^x
+    assert parse_expr("taylor(1, 1)", ())({}) == pytest.approx(math.e, rel=1e-12)
+    assert parse_expr("taylor(1, 0.5)", ())({}) == pytest.approx(
+        math.exp(0.5), rel=1e-12)
+    # explicit slot id: expr may read the term index from ld(id)
+    e = parse_expr("taylor(if(eq(mod(ld(2),4),1),1,if(eq(mod(ld(2),4),3),-1,0)), x, 2)",
+                   ("x",))
+    assert e({"x": 1.2}) == pytest.approx(math.sin(1.2), rel=1e-9)
+
+
+def test_print_returns_value_and_writes_stderr(capsys):
+    e = parse_expr("print(3+4)", ())
+    assert e({}) == 7.0
+    assert "7.0" in capsys.readouterr().err
+
+
+def test_if_is_lazy_on_host_scalar_path():
+    # eval.c evaluates only the taken branch: the st() in the untaken
+    # branch must not fire (observable through the stateful path)
+    e = parse_expr("if(0, st(1, 99), 5) + ld(1) + random(9)*0", ())
+    assert e({}) == 5.0
+
+
+def test_host_eval_in_jit_state_and_order():
+    import jax
+    import jax.numpy as jnp
+
+    from dspfun_tpu.core.expr import host_eval_in_jit
+
+    e = parse_expr("x*0 + random(0)", ("x",))
+
+    @jax.jit
+    def step(x):
+        return host_eval_in_jit(e, {"x": x}, x.shape, jnp.float32)
+
+    a = np.asarray(step(jnp.zeros((2, 2), jnp.float32)))
+    b = np.asarray(step(jnp.zeros((2, 2), jnp.float32)))
+    want = np.asarray(_lcg_stream(0, 8), np.float32).reshape(2, 2, 2)
+    np.testing.assert_array_equal(a, want[0])
+    np.testing.assert_array_equal(b, want[1])

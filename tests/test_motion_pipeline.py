@@ -294,3 +294,20 @@ def test_maybe_kron_plans_gates():
                               plane_index=0, nplanes=1)
     assert mp.LAST_FAST_PATH == "xla-sep"
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_stateful_expr_routes_through_host_callback():
+    """--eval with a stateful av_expr form (random/while/root/taylor)
+    round-trips the coefficient grid through the ordered host callback
+    (reference motion/motion.c:670-681 evaluates per coefficient on the
+    host); a pure-c expression must come back numerically identical to
+    the vectorised device path."""
+    rng = np.random.default_rng(11)
+    frames = rng.random((2, 8, 8)) * 255.0
+    g = geometry(8, 8, 2, block=Dims(8, 8, 2))
+    names = ("c", "x", "y", "z", "i", "width", "height", "depth",
+             "components", "bx", "by", "bz", "bwidth", "bheight", "bdepth")
+    expr = parse_expr("c/2 + random(0)*0", names)
+    assert expr.stateful
+    out, _ = run_plane(frames, g, mp.MotionParams(expr=expr))
+    np.testing.assert_allclose(out, frames / 2.0, atol=1e-2)
