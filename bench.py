@@ -27,11 +27,32 @@ def main() -> int:
     import jax
     from dspfun_tpu.core.precision import Precision
     from dspfun_tpu.models.fused import filter_plans, fused_filter_2d, lowpass_mask
+    from dspfun_tpu.utils.cache import enable_compilation_cache
+
+    # persistent XLA compilation cache (the FFTW-wisdom analogue): a
+    # capture that follows any earlier run on this machine skips the
+    # 20-40 s pipeline compiles, shrinking the window the driver's
+    # timeout has to cover
+    enable_compilation_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".dspfun-xla-cache"))
 
     h, w, c = 2160, 3840, 3  # 4K RGB
     rng = np.random.default_rng(0)
     x_np = rng.random((h, w, c)).astype(np.float32)
     mask_np = lowpass_mask((h, w), cutoff=0.25, boost=1.25, damp=0.0)[:, :, None]
+
+    # host-side pieces FIRST (baseline + f64 oracle, ~10 s): once the
+    # device measurement lands the JSON line prints immediately, so a
+    # timeout that would clip post-processing cannot zero the capture
+    xd = x_np.astype(np.float64)
+    base_dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ref = scipy.fft.dctn(xd, type=2, axes=(0, 1), workers=1)
+        ref *= mask_np
+        ref = scipy.fft.dctn(ref, type=3, axes=(0, 1), workers=1) / (4.0 * w * h)
+        base_dt = min(base_dt, time.perf_counter() - t0)
+    base_mps = (h * w) / base_dt / 1e6
 
     # i8 = int8 Ozaki digit contraction on the MXU's 2x-rate int8 path
     # (ops/int8mm.py Pallas kernels; exact int32 accumulation, ~2e-6
@@ -68,6 +89,10 @@ def main() -> int:
         y = fn(x, m, plans)
         _ = jax.device_get(probe(y))
 
+    # accuracy from the warm-up output (one ~100 MB D2H, ~5 s), before
+    # timing, so the artifact line needs nothing after the measurement
+    err = float(np.max(np.abs(np.asarray(jax.device_get(y), np.float64) - ref)))
+
     # Shared two-point estimator (benchmarks/timing.py): delta-sized
     # fori_loop chains, spike-confirmed stop, median over the positive
     # readings, (min, max) band for the artifact.  *0.5 keeps
@@ -81,21 +106,6 @@ def main() -> int:
         band = (dt, dt)
     spread = [(h * w) / band[1] / 1e6, (h * w) / band[0] / 1e6]
     ours_mps = (h * w) / dt / 1e6
-    y = fn(x, m, plans)
-
-    # single-core pocketfft float64 baseline (FFTW-convention type 2/3),
-    # min of 2 runs — the shared host is noisy
-    xd = x_np.astype(np.float64)
-    base_dt = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        ref = scipy.fft.dctn(xd, type=2, axes=(0, 1), workers=1)
-        ref *= mask_np
-        ref = scipy.fft.dctn(ref, type=3, axes=(0, 1), workers=1) / (4.0 * w * h)
-        base_dt = min(base_dt, time.perf_counter() - t0)
-    base_mps = (h * w) / base_dt / 1e6
-
-    err = float(np.max(np.abs(np.asarray(y, dtype=np.float64) - ref)))
 
     print(
         json.dumps(
@@ -110,7 +120,8 @@ def main() -> int:
                 "timing": "median of 5 two-point measurements",
                 "device": str(jax.devices()[0]),
             }
-        )
+        ),
+        flush=True,
     )
     return 0
 
