@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import re
 import subprocess
 import sys
 import threading
@@ -57,12 +58,14 @@ class FFV1Params:
     def pix_fmt_name(self) -> str:
         """Map onto the framework's PIXEL_FORMATS registry name."""
         if self.colorspace == 1:
-            if self.bits != 8:
-                raise ValueError(
-                    f"FFV1 RGB at {self.bits} bits has no native format")
             # transparency (bgr0 padding or real alpha) decodes but the
             # 4th plane is dropped — no alpha pixel format exists here
-            return "gbrp"
+            if self.bits == 8:
+                return "gbrp"
+            if self.bits == 16:
+                return "gbrp16le"
+            raise ValueError(
+                f"FFV1 RGB at {self.bits} bits has no native format")
         if self.transparency:
             raise ValueError("FFV1 alpha plane has no native pixel format")
         if not self.chroma_planes:
@@ -84,20 +87,33 @@ class FFV1Params:
         raise ValueError(f"FFV1 YCbCr at {self.bits} bits unsupported")
 
 
-def params_for_pix_fmt(pf) -> FFV1Params:
-    """FFV1 parameter set for a PixelFormat, or raise ValueError."""
+def params_for_pix_fmt(pf, version: int = 1) -> FFV1Params:
+    """FFV1 parameter set for a PixelFormat, or raise ValueError.
+
+    ``version`` mirrors ffmpeg's ``level`` option: 1 (default, in-band
+    parameters, whole-frame keyframes) or 3 (extradata + independent
+    slices).  RGB beyond 8 bits needs the version-3 layout, as in
+    libavcodec."""
+    if version not in (1, 3):
+        raise ValueError(f"FFV1 level {version} unsupported (1 or 3)")
     if pf.is_float:
         raise ValueError(f"{pf.name}: FFV1 codes integer samples only")
     if pf.is_rgb:
-        if pf.depth != 8 or pf.ncomp != 3:
-            raise ValueError(f"{pf.name}: FFV1 RGB is 8-bit G,B,R planar")
-        return FFV1Params(bits=8, chroma_planes=False, colorspace=1)
+        if pf.ncomp != 3 or pf.depth not in (8, 16) or (
+                pf.depth != 8 and version < 3):
+            raise ValueError(
+                f"{pf.name}: FFV1 RGB is 8-bit G,B,R planar "
+                "(16-bit needs level=3)")
+        return FFV1Params(bits=pf.depth, chroma_planes=False, colorspace=1,
+                          version=version)
     if pf.ncomp == 1:
-        return FFV1Params(bits=pf.depth, chroma_planes=False)
+        return FFV1Params(bits=pf.depth, chroma_planes=False,
+                          version=version)
     if pf.ncomp != 3:
         raise ValueError(f"{pf.name}: unsupported plane count")
     return FFV1Params(bits=pf.depth, chroma_planes=True,
-                      h_shift=pf.chroma_shift[0], v_shift=pf.chroma_shift[1])
+                      h_shift=pf.chroma_shift[0], v_shift=pf.chroma_shift[1],
+                      version=version)
 
 
 def _build() -> str | None:
@@ -149,6 +165,13 @@ def _load() -> ctypes.CDLL | None:
         lib.ffv1_set_extradata.restype = c.c_int32
         lib.ffv1_set_extradata.argtypes = [c.c_void_p, c.c_char_p,
                                            c.c_int64, c.POINTER(_CParams)]
+        lib.ffv1_extradata.restype = c.c_int64
+        lib.ffv1_extradata.argtypes = [c.POINTER(_CParams), c.c_int32,
+                                       c.c_int32, u8p, c.c_int64]
+        lib.ffv1_encode_v3.restype = c.c_int64
+        lib.ffv1_encode_v3.argtypes = [c.POINTER(u8p), c.POINTER(c.c_int64),
+                                       c.POINTER(_CParams), c.c_int32,
+                                       c.c_int32, u8p, c.c_int64]
         _LIB = lib
         return _LIB
 
@@ -197,6 +220,142 @@ def encode_frame(planes: list[np.ndarray], params: FFV1Params,
     if n < 0:
         raise RuntimeError("FFV1 encode overflow")  # cap bound is generous
     return out[:n].tobytes()
+
+
+# ffmpeg's `slices` option values and their slice grids (ffv1enc's
+# count -> num_h x num_v mapping); used when options request a count.
+_SLICE_GRIDS = {4: (2, 2), 6: (3, 2), 9: (3, 3), 12: (4, 3), 16: (4, 4),
+                24: (6, 4), 30: (6, 5)}
+
+
+def slice_grid(params: FFV1Params, width: int, height: int,
+               slices: int | None = None) -> tuple[int, int]:
+    """Choose a version-3 slice grid.
+
+    Interior boundaries must land on the chroma grid (the v3 floor
+    geometry leaves a never-coded chroma column/row otherwise — see
+    native/ffv1.cpp v3_enc_supported), so the requested grid shrinks
+    toward 1x1 until every boundary aligns and fits the frame."""
+    if slices:
+        nh, nv = _SLICE_GRIDS.get(slices, (0, 0))
+        if not nh:
+            s = max(1, int(slices))
+            nv = max(1, int(s ** 0.5))
+            nh = (s + nv - 1) // nv
+    else:
+        # default: ~one slice per 512x512 region, at least 2x2 (the
+        # point of level 3 is slice parallelism), within the table
+        nh = max(2, -(-width // 512))
+        nv = max(2, -(-height // 512))
+
+    def aligned(n, dim, shift):
+        if n > max(1, dim):
+            return False
+        mask = (1 << shift) - 1
+        return all((s * dim // n) & mask == 0 for s in range(1, n))
+
+    while nh > 1 and not aligned(nh, width, params.h_shift):
+        nh -= 1
+    while nv > 1 and not aligned(nv, height, params.v_shift):
+        nv -= 1
+    return min(nh, 256), min(nv, 256)
+
+
+def extradata(params: FFV1Params, width: int, height: int,
+              num_h: int, num_v: int) -> bytes:
+    """Version-3 out-of-band parameter set (NUT codec_specific_data /
+    matroska CodecPrivate) for encode_frame_v3 streams."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native FFV1 library unavailable")
+    cp = _cparams(params, width, height)
+    out = np.empty(65536, np.uint8)
+    n = lib.ffv1_extradata(ctypes.byref(cp), num_h, num_v,
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                           len(out))
+    if n < 0:
+        raise ValueError(
+            f"FFV1 v3 parameters unsupported ({params}, {num_h}x{num_v})")
+    return out[:n].tobytes()
+
+
+def encode_frame_v3(planes: list[np.ndarray], params: FFV1Params,
+                    width: int, height: int, num_h: int,
+                    num_v: int) -> bytes:
+    """Encode one version-3 keyframe as a num_h x num_v slice grid
+    (pair with :func:`extradata` built from the same arguments)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native FFV1 library unavailable")
+    dt = np.uint16 if params.bits > 8 else np.uint8
+    planes = [np.ascontiguousarray(pl, dtype=dt) for pl in planes]
+    cp = _cparams(params, width, height)
+    cap = lib.ffv1_max_packet(ctypes.byref(cp))
+    out = np.empty(cap, np.uint8)
+    ptrs, strides = _plane_ptrs(planes)
+    n = lib.ffv1_encode_v3(ptrs, strides, ctypes.byref(cp), num_h, num_v,
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                           cap)
+    if n == -2:
+        raise ValueError(
+            f"FFV1 v3 parameters unsupported ({params}, {num_h}x{num_v})")
+    if n < 0:
+        raise RuntimeError("FFV1 encode overflow")  # cap bound is generous
+    return out[:n].tobytes()
+
+
+def parse_codec_opts(options: str | None) -> dict:
+    """Tolerant k=v parse of an ffmpeg-style option string (``:`` / ``,``
+    separated, as -encopts / --ff-opts take).  Only the FFV1-relevant
+    keys are returned: level, slices, slicecrc."""
+    out: dict = {}
+    for part in re.split(r"[:,|]", options or ""):
+        k, eq, v = part.strip().partition("=")
+        if not eq or k not in ("level", "slices", "slicecrc"):
+            continue
+        try:
+            out[k] = int(v)
+        except ValueError:
+            continue
+    return out
+
+
+class FFV1Encoder:
+    """Frame encoder bound to one parameter set.
+
+    ``level`` mirrors ffmpeg's option: 1 (default — in-band parameters,
+    whole-frame keyframes, what the reference's libavcodec writes by
+    default) or 3 (out-of-band extradata + independent slice grid with
+    CRC trailers, ffmpeg's ``-level 3``).  16-bit RGB auto-selects
+    level 3, as the v0/1 layout cannot carry it.  ``slices`` asks for
+    an ffmpeg-style slice count (4/6/9/12/16/24/30); the grid shrinks
+    to respect chroma alignment (see :func:`slice_grid`)."""
+
+    def __init__(self, pix_fmt, width: int, height: int,
+                 options: str | dict | None = None):
+        opts = (options if isinstance(options, dict)
+                else parse_codec_opts(options))
+        level = opts.get("level")
+        if level is None:
+            level = 3 if (pix_fmt.is_rgb and pix_fmt.depth > 8) else 1
+        if level in (0, 1):
+            level = 1
+        self.params = params_for_pix_fmt(pix_fmt, version=level)
+        self.width, self.height = width, height
+        if level >= 3:
+            self.num_h, self.num_v = slice_grid(
+                self.params, width, height, opts.get("slices"))
+            self.extradata = extradata(self.params, width, height,
+                                       self.num_h, self.num_v)
+        else:
+            self.num_h = self.num_v = 0
+            self.extradata = b""
+
+    def encode(self, planes: list[np.ndarray]) -> bytes:
+        if self.num_h:
+            return encode_frame_v3(planes, self.params, self.width,
+                                   self.height, self.num_h, self.num_v)
+        return encode_frame(planes, self.params, self.width, self.height)
 
 
 def probe(packet: bytes, width: int, height: int) -> FFV1Params:

@@ -264,8 +264,9 @@ class NutWriter:
 
     def __init__(self, stream, width: int, height: int, rate: Fraction,
                  pix_fmt, props, start_index: int = 0,
-                 codec: str = "rawvideo"):
+                 codec: str = "rawvideo", codec_private: bytes = b""):
         self._stream = stream
+        self._codec_private = codec_private
         self.width, self.height = width, height
         self.rate = rate
         self.pix_fmt = pix_fmt
@@ -313,8 +314,10 @@ class NutWriter:
         name = self.pix_fmt.name
         if self.codec == "ffv1":
             # ffmpeg's NUT tag for FFV1; v1 carries its parameter set
-            # in every keyframe, so codec_specific_data stays empty
-            tag, csd = b"FFV1", b""
+            # in every keyframe (empty codec_specific_data), v3 rides
+            # its extradata here (reference: libavformat nutenc writes
+            # AVCodecParameters.extradata the same way)
+            tag, csd = b"FFV1", self._codec_private
         else:
             tag = _KNOWN_TAGS.get(name)
             csd = b""

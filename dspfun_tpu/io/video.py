@@ -111,6 +111,7 @@ PIXEL_FORMATS = {
         PixelFormat("yuv444p12le", 3, depth=12),
         PixelFormat("yuv444p16le", 3, depth=16),
         PixelFormat("gbrp", 3, is_rgb=True),
+        PixelFormat("gbrp16le", 3, depth=16, is_rgb=True),
         PixelFormat("gbrpf32le", 3, is_float=True, is_rgb=True),
         PixelFormat("grayf32le", 1, is_float=True),
         PixelFormat("yuv444pf32", 3, is_float=True),
@@ -994,16 +995,17 @@ class MkvVideoWriter(VideoWriter):
     PATH the bridge handles mkv exactly like the reference's
     libavformat would."""
 
-    def __init__(self, stream, spec, width, height, rate, pix_fmt, props):
+    def __init__(self, stream, spec, width, height, rate, pix_fmt, props,
+                 options: str | None = None):
         from dspfun_tpu.io import ffv1 as _ffv1  # noqa: PLC0415
         from dspfun_tpu.io import mkv as _mkv  # noqa: PLC0415
 
         super().__init__(stream, spec, "matroska", width, height, rate,
                          pix_fmt, props)
         self.codec = "ffv1"
-        self._ffv1_params = _ffv1.params_for_pix_fmt(pix_fmt)
-        self._ffv1_encode = _ffv1.encode_frame
+        self._enc = _ffv1.FFV1Encoder(pix_fmt, width, height, options)
         self._mux = _mkv.MkvMuxer(stream, width, height, rate,
+                                  codec_private=self._enc.extradata,
                                   color_range=props.color_range,
                                   color_space=props.color_space)
 
@@ -1020,8 +1022,7 @@ class MkvVideoWriter(VideoWriter):
             else:
                 q = _quantize_plane(p, pf, i, self.props.color_range)
             quantized.append(q)
-        self._mux.write_frame_bytes(self._ffv1_encode(
-            quantized, self._ffv1_params, self.width, self.height))
+        self._mux.write_frame_bytes(self._enc.encode(quantized))
         self.frame_index = self._mux.frame_index
 
     def write_frame_payload(self, payload: bytes) -> None:
@@ -1033,8 +1034,7 @@ class MkvVideoWriter(VideoWriter):
             nb = w * h * pf.dtype.itemsize
             planes.append(buf[off:off + nb].view(pf.dtype).reshape(h, w))
             off += nb
-        self._mux.write_frame_bytes(self._ffv1_encode(
-            planes, self._ffv1_params, self.width, self.height))
+        self._mux.write_frame_bytes(self._enc.encode(planes))
         self.frame_index = self._mux.frame_index
 
     def close(self) -> None:
@@ -1051,21 +1051,25 @@ class NutVideoWriter(VideoWriter):
     io/ffv1.py) or rawvideo."""
 
     def __init__(self, stream, spec, width, height, rate, pix_fmt, props,
-                 start_index: int = 0, codec: str = "rawvideo"):
+                 start_index: int = 0, codec: str = "rawvideo",
+                 options: str | None = None):
         from dspfun_tpu.io import nut as _nut  # noqa: PLC0415
 
         super().__init__(stream, spec, "nut", width, height, rate,
                          pix_fmt, props)
         self.codec = codec
         self._ffv1_params = None
+        self._enc = None
+        csd = b""
         if codec == "ffv1":
             from dspfun_tpu.io import ffv1 as _ffv1  # noqa: PLC0415
 
-            self._ffv1_params = _ffv1.params_for_pix_fmt(pix_fmt)
-            self._ffv1_encode = _ffv1.encode_frame
+            self._enc = _ffv1.FFV1Encoder(pix_fmt, width, height, options)
+            self._ffv1_params = self._enc.params
+            csd = self._enc.extradata
         self._nw = _nut.NutWriter(stream, width, height, rate, pix_fmt,
                                   props, start_index=start_index,
-                                  codec=codec)
+                                  codec=codec, codec_private=csd)
         self.frame_index = start_index
         self._wrote_header = start_index > 0  # appending: header exists
 
@@ -1075,8 +1079,7 @@ class NutVideoWriter(VideoWriter):
             self._nw._header_written = True
 
     def _encode_planes(self, planes: list[np.ndarray]) -> bytes:
-        return self._ffv1_encode(planes, self._ffv1_params,
-                                 self.width, self.height)
+        return self._enc.encode(planes)
 
     def write_frame_payload(self, payload: bytes) -> None:
         self._write_header()
@@ -1514,15 +1517,27 @@ def open_output(
     fmt = _sniff_format(spec, format, for_output=True)
     if fmt == "nut":
         pf = PIXEL_FORMATS[_negotiate_pix_fmt(fmt, props)]
+        # Opt-in reference-parity negotiation (`negotiate=1` in the
+        # encoder options): float content down-converts to the
+        # encoder's best integer format, exactly as the reference's
+        # ffapi filters pix_fmts for the encoder
+        # (ffapi.c:137-149,239-253 — zoom's GBRPF32 default lands in
+        # integer FFV1 there).  Without it, float keeps the lossless
+        # rawvideo payloads (documented deviation, docs/TOOLS.md).
+        if pf.is_float and "negotiate" in (options or ""):
+            req = {"gbrpf32le": "gbrp16le", "grayf32le": "gray16le",
+                   "yuv444pf32": "yuv444p16le"}[pf.name]
+            pf = PIXEL_FORMATS[req]
+            props.pix_fmt = req
         # FFV1 is the reference's default for FFV1-capable outputs
         # (motion/README.md:70, motion.c:447); the native codec covers
-        # integer YCbCr/gray.  Float/RGB content keeps the lossless
-        # rawvideo payloads (FFV1 has no float pixel formats — the
-        # reference's ffapi would convert; rawvideo preserves more).
+        # integer YCbCr/gray and 8/16-bit RGB (16-bit rides the v3
+        # layout).  Float content keeps the rawvideo payloads (FFV1
+        # has no float pixel formats).
         def can_ffv1():
             # availability may trigger the on-demand native build:
             # probe it only when ffv1 could actually be selected
-            if pf.is_float or (pf.is_rgb and pf.depth != 8):
+            if pf.is_float or (pf.is_rgb and pf.depth not in (8, 16)):
                 return False
             from dspfun_tpu.io import ffv1 as _ffv1  # noqa: PLC0415
 
@@ -1556,11 +1571,25 @@ def open_output(
                     raise RuntimeError(
                         f"{spec!r}: cannot append to an FFV1 NUT file "
                         "without the native codec")
+                # appended packets must match the header already in the
+                # file: its codec_specific_data decides v1 vs v3
+                prior_csd = (bytes(r.state.streams[0].get(
+                    "codec_specific", b"")) if r.state.streams else b"")
                 stream = open(spec, "ab")
+                w = NutVideoWriter(stream, spec, width, height, rate, pf,
+                                   props, start_index=start, codec=use,
+                                   options=options)
+                if use == "ffv1" and w._enc.extradata != prior_csd:
+                    stream.close()
+                    raise RuntimeError(
+                        f"{spec!r}: appended FFV1 parameters (level/"
+                        "slices) do not match the existing stream header")
+                return w
             else:
                 stream = _open_stream_out(spec)
             return NutVideoWriter(stream, spec, width, height, rate, pf,
-                                  props, start_index=start, codec=use)
+                                  props, start_index=start, codec=use,
+                                  options=options)
     if fmt == "ffmpeg":
         if append:
             # resuming would re-run `ffmpeg -y` and destroy the frames
@@ -1587,8 +1616,11 @@ def open_output(
             if req in PIXEL_FORMATS:
                 rf = PIXEL_FORMATS[req]
                 if rf.is_float:
-                    req = "gray16le" if rf.ncomp == 1 else "yuv444p16le"
-                elif rf.is_rgb and rf.depth != 8:
+                    # the encoder's best integer formats (16-bit FFV1;
+                    # RGB floats keep RGB through gbrp16le/v3)
+                    req = {1: "gray16le"}.get(
+                        rf.ncomp, "gbrp16le" if rf.is_rgb else "yuv444p16le")
+                elif rf.is_rgb and rf.depth not in (8, 16):
                     req = "yuv444p"
             else:
                 req = "yuv420p"
@@ -1607,7 +1639,7 @@ def open_output(
                 _default_props("nut", props)
                 stream = _open_stream_out(spec)
                 return MkvVideoWriter(stream, spec, width, height, rate,
-                                      pf, props)
+                                      pf, props, options=options)
         return ffmpeg_bridge.open_ffmpeg_output(
             spec, width, height, rate, props,
             format=None if format in (None, "") else format,

@@ -1,4 +1,4 @@
-// Native FFV1 codec (RFC 9043): v1 encode; v0-v3 decode, both coders.
+// Native FFV1 codec (RFC 9043): v1 + v3 encode; v0-v3 decode, both coders.
 //
 // FFV1 is the *default* output codec of every reference video tool
 // (reference motion/motion.c:447, motion/rotate.c:128,
@@ -10,11 +10,14 @@
 // exposed through a plain C ABI for ctypes (dspfun_tpu/io/ffv1.py).
 //
 // Scope: version 1 encode (whole-frame range coder, every frame a
-// keyframe, 3-input context model); decode covers versions 0-3 —
+// keyframe, 3-input context model) and version 3 encode (out-of-band
+// extradata with CRC, independent slices with size/CRC trailers,
+// slice-parallel host encode, 8..16-bit YCbCr/gray and 8..16-bit RGB
+// via the reversible color transform); decode covers versions 0-3 —
 // in-band (v0/1) or extradata (v2/3) parameters, independent slices
 // with CRC trailers, BOTH coders (range incl. custom state tables +
 // Golomb-Rice with run mode), 8..16-bit YCbCr/gray with chroma
-// subsampling and alpha, and 8-bit RGB via the reversible color
+// subsampling and alpha, and 8..16-bit RGB via the reversible color
 // transform.
 //
 // Interop is validated BOTH directions against a real libavcodec
@@ -24,8 +27,10 @@
 // pure-Python decoder (tests/ffv1_pyref.py) and byte goldens pin the
 // bitstream besides.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -141,6 +146,27 @@ struct RangeEncoder {
       for (; outstanding_count; outstanding_count--) emit(0xFF);
     }
     emit(0);
+    return overflow ? -1 : pos;
+  }
+
+  // Version-3 slice termination (libavcodec ff_rac_terminate(c, 1)
+  // semantics): one zero bit against a fresh state 129, then the
+  // renorm flush WITHOUT the trailing padding byte — the v3 decoder
+  // sanity-checks the consumed length against the slice size and
+  // marks the slice "damaged" (triggering last-frame concealment) on
+  // any surplus, so the byte count must land exactly.
+  int64_t terminate_v3() {
+    uint8_t st = 129;
+    put(&st, false);
+    range = 0xFF;
+    low += 0xFF;
+    renorm();
+    range = 0xFF;
+    renorm();
+    // the carry-pending byte stays unwritten (libavcodec leaves it in
+    // coder state; the decoder's two-byte prefetch reads the slice
+    // trailer there, and the flushed interval keeps every decoded
+    // symbol unambiguous regardless of those bytes' values)
     return overflow ? -1 : pos;
   }
 };
@@ -385,14 +411,17 @@ void rac_encode_line(RangeEncoder& c, const QuantTables& q,
   }
 }
 
-// RGB (colorspace 1) for the version-0/1 single-coder frame layout:
-// line-interleaved G,B,R[,A] with the forward reversible color
-// transform, every plane coded at bits+1 (RFC 9043 section 3.7.2).
-void encode_rgb(RangeEncoder& c, const QuantTables& q,
-                PlaneContexts* contexts, const uint8_t* const* planes,
-                const int64_t* strides, int w, int h, int bits,
-                int transparency) {
-  const int cbits = bits + 1;
+// RGB (colorspace 1): line-interleaved G,B,R[,A] with the forward
+// reversible color transform, every plane coded at max(9, bits+1)
+// coded bits (RFC 9043 section 3.7.2).  Region-capable: src points at
+// each plane's slice-top row, xoff is the slice's column — so the v1
+// whole-frame layout (xoff 0, full dims) and v3 slices share it.
+template <typename Sample>
+void encode_rgb_region(RangeEncoder& c, const QuantTables& q,
+                       PlaneContexts* contexts, const Sample* const* src,
+                       const int64_t* strides, int64_t xoff, int w, int h,
+                       int bits, int transparency) {
+  const int cbits = bits <= 8 ? 9 : bits + 1;
   const int offset = 1 << bits;
   const int np = 3 + (transparency ? 1 : 0);
   std::vector<Ring> rings(np);
@@ -403,16 +432,16 @@ void encode_rgb(RangeEncoder& c, const QuantTables& q,
     int32_t* br = rings[1].row[0];
     int32_t* rr = rings[2].row[0];
     for (int x = 0; x < w; x++) {
-      int g = planes[0][y * strides[0] + x];
-      int b = planes[1][y * strides[1] + x];
-      int r = planes[2][y * strides[2] + x];
+      int g = int(src[0][y * strides[0] + xoff + x]);
+      int b = int(src[1][y * strides[1] + xoff + x]);
+      int r = int(src[2][y * strides[2] + xoff + x]);
       int u = b - g;
       int v = r - g;
       gr[x] = g + ((u + v) >> 2);
       br[x] = u + offset;
       rr[x] = v + offset;
       if (np == 4)
-        rings[3].row[0][x] = planes[3][y * strides[3] + x];
+        rings[3].row[0][x] = int(src[3][y * strides[3] + xoff + x]);
     }
     for (int p = 0; p < np; p++) {
       int set = (p + 1) / 2;
@@ -1118,6 +1147,211 @@ bool v3_decode_frame(const Extra& e, const uint8_t* data, int64_t size,
   return true;
 }
 
+// ---------------------------------------------------------------------
+// Version 3 encode (RFC 9043 sections 4.2-4.4): parameters ride in
+// out-of-band extradata (range-coded, CRC-sealed), every frame is a
+// keyframe (intra=1) split into an independent-slice grid — each slice
+// carries its own range coder, contexts, and a trailing
+// 24-bit-size + error-status + CRC-32 trailer (ec=1), so decode (and
+// this encoder) parallelize across slices.  The slice geometry is the
+// plain floor rule the v3 decoder uses (x0 = sx*width/num_h; chroma
+// regions derived with the same shifts as v3_decode_slice), which
+// matches real libavcodec — our decoder was validated bit-exactly
+// against cv2-written multi-slice FFV1 v3 at non-divisible sizes.
+// The reference's default codec is libavcodec's FFV1
+// (motion/motion.c:447, zoom/zoom.c:306, scan/scan.c:326); like
+// ffmpeg, the default stays version 1 and v3 is the `level=3` opt-in.
+// ---------------------------------------------------------------------
+
+constexpr int kMicroVersion = 4;  // v3.4: intra flag is coded
+
+void wb24(uint8_t* p, uint32_t v) {
+  p[0] = uint8_t(v >> 16);
+  p[1] = uint8_t(v >> 8);
+  p[2] = uint8_t(v);
+}
+
+void wb32(uint8_t* p, uint32_t v) {
+  p[0] = uint8_t(v >> 24);
+  p[1] = uint8_t(v >> 16);
+  p[2] = uint8_t(v >> 8);
+  p[3] = uint8_t(v);
+}
+
+bool v3_enc_supported(const Params& p, int num_h, int num_v) {
+  if (p.width <= 0 || p.height <= 0) return false;
+  if (num_h < 1 || num_h > 256 || num_v < 1 || num_v > 256) return false;
+  if (num_h > p.width || num_v > p.height) return false;
+  if (p.bits < 8 || p.bits > 16) return false;
+  if (p.colorspace != 0 && p.colorspace != 1) return false;
+  if (p.colorspace == 1 && (p.h_shift || p.v_shift)) return false;
+  if (p.h_shift < 0 || p.h_shift > 4 || p.v_shift < 0 || p.v_shift > 4)
+    return false;
+  if (p.transparency) return false;  // no alpha pixel format upstream
+  // interior slice boundaries must land on the chroma grid: the slice
+  // chroma region is [x0 >> shift, (x0 >> shift) + ceil(wsl >> shift))
+  // (v3_decode_slice, matching libavcodec), so a misaligned boundary
+  // leaves a never-coded chroma column/row on one side of it
+  for (int sx = 1; sx < num_h; sx++)
+    if ((int64_t(sx) * p.width / num_h) & ((1 << p.h_shift) - 1))
+      return false;
+  for (int sy = 1; sy < num_v; sy++)
+    if ((int64_t(sy) * p.height / num_v) & ((1 << p.v_shift) - 1))
+      return false;
+  return true;
+}
+
+// Extradata (NUT codec_specific_data / matroska CodecPrivate): the
+// mirror of parse_extradata — version 3.4, range coder 1, one quant
+// table set, no initial states, ec=1, intra=1, sealed with a trailing
+// big-endian CRC-32 that makes the whole buffer CRC to zero.
+int64_t v3_write_extradata(const Params& p, int num_h, int num_v,
+                           uint8_t* out, int64_t cap) {
+  if (!v3_enc_supported(p, num_h, num_v)) return -2;
+  QuantTables q = encoder_quant_tables();
+  RangeEncoder c(out, cap);
+  uint8_t state[kContextSize];
+  std::memset(state, 128, sizeof(state));
+  put_symbol(c, state, 3, false);              // version
+  put_symbol(c, state, kMicroVersion, false);  // micro version
+  put_symbol(c, state, 1, false);              // coder: range, default table
+  put_symbol(c, state, p.colorspace, false);
+  put_symbol(c, state, p.bits, false);
+  c.put(state, p.chroma_planes != 0);
+  put_symbol(c, state, p.h_shift, false);
+  put_symbol(c, state, p.v_shift, false);
+  c.put(state, p.transparency != 0);
+  put_symbol(c, state, num_h - 1, false);
+  put_symbol(c, state, num_v - 1, false);
+  put_symbol(c, state, 1, false);  // quant table count
+  for (int i = 0; i < 5; i++) write_quant_table(c, q.t[i], 0);
+  c.put(state, false);             // no initial states for set 0
+  put_symbol(c, state, 1, false);  // ec: per-slice CRC
+  put_symbol(c, state, 1, false);  // intra: every frame a keyframe
+  int64_t n = c.terminate();
+  if (n < 0 || n + 4 > cap) return -1;
+  wb32(out + n, crc32_ieee(out, n));  // whole-extradata CRC == 0
+  return n + 4;
+}
+
+struct SliceGeom {
+  int sx, sy, x0, y0, w, h;
+};
+
+// Encode one slice's coder payload (keyframe bit for slice 0, header,
+// fresh contexts, samples) into scratch; returns payload bytes or -1.
+template <typename Sample>
+int64_t v3_encode_slice(const Params& p, const QuantTables& q,
+                        const SliceGeom& g, const Sample* const* planes,
+                        const int64_t* strides, uint8_t* scratch,
+                        int64_t cap) {
+  RangeEncoder c(scratch, cap);
+  if (g.sx == 0 && g.sy == 0) {
+    uint8_t ks = 128;
+    c.put(&ks, true);  // keyframe bit rides in slice 0's bytes
+  }
+  uint8_t state[kContextSize];
+  std::memset(state, 128, sizeof(state));
+  const int nsets = 2 + (p.transparency ? 1 : 0);
+  put_symbol(c, state, g.sx, false);
+  put_symbol(c, state, g.sy, false);
+  put_symbol(c, state, 0, false);  // slice_width - 1 (in grid cells)
+  put_symbol(c, state, 0, false);  // slice_height - 1
+  for (int s = 0; s < nsets; s++)
+    put_symbol(c, state, 0, false);  // quant table index
+  put_symbol(c, state, 0, false);    // picture_structure: unknown
+  put_symbol(c, state, 0, false);    // sample aspect ratio 0/1
+  put_symbol(c, state, 1, false);
+  PlaneContexts sets[3];
+  for (int s = 0; s < nsets; s++) sets[s].reset(q.context_count);
+  if (p.colorspace == 1) {
+    const Sample* base[4];
+    for (int pl = 0; pl < 3; pl++)
+      base[pl] = planes[pl] + int64_t(g.y0) * strides[pl];
+    encode_rgb_region(c, q, sets, base, strides, g.x0, g.w, g.h, p.bits,
+                      0);
+  } else {
+    encode_plane(c, q, sets[0],
+                 planes[0] + int64_t(g.y0) * strides[0] + g.x0, strides[0],
+                 g.w, g.h, p.bits);
+    if (p.chroma_planes) {
+      int cw = (g.w + (1 << p.h_shift) - 1) >> p.h_shift;
+      int ch = (g.h + (1 << p.v_shift) - 1) >> p.v_shift;
+      int cx = g.x0 >> p.h_shift, cy = g.y0 >> p.v_shift;
+      for (int pl = 1; pl <= 2; pl++)
+        encode_plane(c, q, sets[1],
+                     planes[pl] + int64_t(cy) * strides[pl] + cx,
+                     strides[pl], cw, ch, p.bits);
+    }
+  }
+  return c.terminate_v3();
+}
+
+template <typename Sample>
+int64_t v3_encode_frame(const Params& p, int num_h, int num_v,
+                        const Sample* const* planes, const int64_t* strides,
+                        uint8_t* out, int64_t cap) {
+  QuantTables q = encoder_quant_tables();
+  const int nslices = num_h * num_v;
+  std::vector<SliceGeom> geoms(nslices);
+  std::vector<std::vector<uint8_t>> bufs(nslices);
+  std::vector<int64_t> lens(nslices);
+  for (int sy = 0; sy < num_v; sy++)
+    for (int sx = 0; sx < num_h; sx++) {
+      SliceGeom& g = geoms[sy * num_h + sx];
+      g.sx = sx;
+      g.sy = sy;
+      g.x0 = int(int64_t(sx) * p.width / num_h);
+      g.y0 = int(int64_t(sy) * p.height / num_v);
+      g.w = int(int64_t(sx + 1) * p.width / num_h) - g.x0;
+      g.h = int(int64_t(sy + 1) * p.height / num_v) - g.y0;
+    }
+  auto work = [&](int i) {
+    const SliceGeom& g = geoms[i];
+    int64_t samples;
+    if (p.colorspace == 1) {
+      samples = int64_t(g.w) * g.h * 3;
+    } else {
+      samples = int64_t(g.w) * g.h;
+      if (p.chroma_planes) {
+        int cw = (g.w + (1 << p.h_shift) - 1) >> p.h_shift;
+        int ch = (g.h + (1 << p.v_shift) - 1) >> p.v_shift;
+        samples += 2 * int64_t(cw) * ch;
+      }
+    }
+    const int per = (p.bits <= 8 && p.colorspace == 0) ? 5 : 9;
+    bufs[i].resize(size_t(samples) * per + 4096);
+    lens[i] = v3_encode_slice(p, q, g, planes, strides, bufs[i].data(),
+                              int64_t(bufs[i].size()));
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  unsigned nthreads =
+      hw > 1 ? std::min<unsigned>(hw, unsigned(nslices)) : 1;
+  if (nthreads > 1) {
+    std::vector<std::thread> pool;
+    std::atomic<int> next{0};
+    for (unsigned t = 0; t < nthreads; t++)
+      pool.emplace_back([&] {
+        for (int i; (i = next.fetch_add(1)) < nslices;) work(i);
+      });
+    for (auto& th : pool) th.join();
+  } else {
+    for (int i = 0; i < nslices; i++) work(i);
+  }
+  // assemble in slice order with size/status/CRC trailers
+  int64_t pos = 0;
+  for (int i = 0; i < nslices; i++) {
+    int64_t n = lens[i];
+    if (n < 0 || pos + n + 8 > cap) return -1;
+    std::memcpy(out + pos, bufs[i].data(), size_t(n));
+    wb24(out + pos + n, uint32_t(n));
+    out[pos + n + 3] = 0;  // error status: clean
+    wb32(out + pos + n + 4, crc32_ieee(out + pos, n + 4));  // span CRC == 0
+    pos += n + 8;
+  }
+  return pos;
+}
+
 struct Decoder {
   Params params;
   QuantTables quant;
@@ -1150,8 +1384,9 @@ int64_t ffv1_encode(const uint8_t* const* planes, const int64_t* strides,
   PlaneContexts contexts[3];
   for (auto& pc : contexts) pc.reset(q.context_count);
   if (p.colorspace == 1) {
-    encode_rgb(c, q, contexts, planes, strides, p.width, p.height,
-               p.bits, p.transparency);
+    if (p.bits != 8) return -2;  // v0/1 RGB-RCT is 8-bit (use v3)
+    encode_rgb_region(c, q, contexts, planes, strides, 0, p.width,
+                      p.height, p.bits, p.transparency);
     return c.terminate();
   }
   for (int pl = 0; pl < plane_count(p); pl++) {
@@ -1314,6 +1549,31 @@ int32_t ffv1_decode(void* handle, const uint8_t* data, int64_t size,
   return 1;
 }
 
+// Write version-3 extradata for ffv1_encode_v3 streams (NUT
+// codec_specific_data / matroska CodecPrivate).  Returns the byte
+// count, -1 if cap is too small, -2 on unsupported parameters.
+int64_t ffv1_extradata(const Params* params, int32_t num_h, int32_t num_v,
+                       uint8_t* out, int64_t cap) {
+  return v3_write_extradata(*params, num_h, num_v, out, cap);
+}
+
+// Encode one version-3 keyframe as a num_h x num_v independent-slice
+// grid (slice-parallel when the host has cores).  The packet pairs
+// with ffv1_extradata's parameter set (same Params/num_h/num_v).
+// Returns the packet size, -1 if out_cap was too small, -2 on
+// unsupported parameters.
+int64_t ffv1_encode_v3(const uint8_t* const* planes, const int64_t* strides,
+                       const Params* params, int32_t num_h, int32_t num_v,
+                       uint8_t* out, int64_t out_cap) {
+  const Params& p = *params;
+  if (!v3_enc_supported(p, num_h, num_v)) return -2;
+  if (p.bits <= 8)
+    return v3_encode_frame(p, num_h, num_v, planes, strides, out, out_cap);
+  return v3_encode_frame(p, num_h, num_v,
+                         reinterpret_cast<const uint16_t* const*>(planes),
+                         strides, out, out_cap);
+}
+
 // Worst-case packet size for ffv1_encode's out buffer.  A symbol costs
 // at most ~2(bits+3) coded bits, and coding a bit against a
 // mis-adapted state costs up to ~1.6 real bits sustained — 5 B/sample
@@ -1327,7 +1587,11 @@ int64_t ffv1_max_packet(const Params* params) {
     plane_dims(p, pl, &w, &h);
     samples += int64_t(w) * h;
   }
-  return samples * (p.bits <= 8 ? 5 : 9) + 65536;
+  // RGB codes every plane at up to bits+1 coded bits: use the 16-bit
+  // bound whenever the coded width exceeds 8 bits.  The v3 slice grid
+  // adds at most 256*256 trailers + headers, inside the 16 MB slack.
+  const int per = (p.bits <= 8 && p.colorspace == 0) ? 5 : 9;
+  return samples * per + (int64_t(256) * 256 * 64 + 65536);
 }
 
 }  // extern "C"

@@ -624,3 +624,190 @@ def test_v3_ycbcr_chroma_slice_decodes():
     assert np.array_equal(gu, u)
     assert np.array_equal(gv, v)
     dec.close()
+
+
+# ---- version 3 encoder (round 5) -------------------------------------
+#
+# v3 = ffmpeg's `-level 3`: out-of-band extradata, independent slice
+# grid with 24-bit-size + error-status + CRC-32 trailers, every frame
+# an intra keyframe.  The reference gets this encoder from libavcodec
+# (motion/motion.c:447 default codec path); interop with real
+# libavcodec is pinned in tests/test_interop_cv2.py.
+
+V3_MATRIX = [
+    # (pix_fmt, W, H, num_h, num_v)
+    ("yuv420p", 48, 32, 2, 2),
+    ("yuv420p", 640, 360, 4, 4),
+    ("yuv422p", 44, 31, 2, 1),
+    ("yuv444p", 641, 361, 3, 3),
+    ("yuv444p16le", 47, 29, 2, 2),
+    ("yuv420p16le", 33, 17, 2, 2),
+    ("gray", 40, 40, 2, 2),
+    ("gray16le", 40, 40, 1, 1),
+    ("gbrp", 46, 30, 2, 2),
+    ("gbrp16le", 46, 30, 2, 3),
+]
+
+
+@pytest.mark.parametrize("name,w,h,nh,nv", V3_MATRIX)
+def test_v3_encode_roundtrip(name, w, h, nh, nv):
+    pf = video.PIXEL_FORMATS[name]
+    rng = np.random.default_rng(hash(name) & 0xFFFF)
+    params = ffv1.params_for_pix_fmt(pf, version=3)
+    ed = ffv1.extradata(params, w, h, nh, nv)
+    dec = ffv1.FFV1Decoder(w, h, extradata=ed)
+    assert dec.params.version == 3
+    assert dec.params.bits == pf.depth
+    for _ in range(3):  # several frames: slice contexts reset per key
+        planes = _planes_for(pf, w, h, rng)
+        pkt = ffv1.encode_frame_v3(planes, params, w, h, nh, nv)
+        got = dec.decode(pkt)
+        for a, b in zip(got, planes):
+            assert np.array_equal(a, b)
+    dec.close()
+
+
+def test_v3_slice_trailers_and_crc():
+    """Every slice span ends size24+status+crc32 and CRCs to zero; a
+    flipped bit is rejected (ec=1 semantics, RFC 9043 section 4.4)."""
+    pf = video.PIXEL_FORMATS["gray"]
+    rng = np.random.default_rng(0)
+    params = ffv1.params_for_pix_fmt(pf, version=3)
+    ed = ffv1.extradata(params, 40, 40, 2, 2)
+    planes = _planes_for(pf, 40, 40, rng)
+    pkt = ffv1.encode_frame_v3(planes, params, 40, 40, 2, 2)
+    # walk the slice table back to front (RFC 9043 section 4.4)
+    spans, end = [], len(pkt)
+    for _ in range(4):
+        n = int.from_bytes(pkt[end - 8:end - 5], "big") + 8
+        spans.append((end - n, n))
+        end -= n
+    assert end == 0
+    for off, n in spans:
+        crc = 0
+        for byte in pkt[off:off + n]:
+            crc ^= byte << 24
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF \
+                    if crc & 0x80000000 else (crc << 1) & 0xFFFFFFFF
+        assert crc == 0
+    bad = bytearray(pkt)
+    bad[len(pkt) // 2] ^= 0x40
+    dec = ffv1.FFV1Decoder(40, 40, extradata=ed)
+    with pytest.raises(ValueError):
+        dec.decode(bytes(bad))
+    dec.close()
+
+
+def test_v3_rejects_chroma_misaligned_grid():
+    """Interior slice boundaries off the chroma grid would leave a
+    never-coded chroma column (the floor/ceil slice geometry both we
+    and libavcodec use): the encoder refuses them."""
+    pf = video.PIXEL_FORMATS["yuv420p"]
+    params = ffv1.params_for_pix_fmt(pf, version=3)
+    with pytest.raises(ValueError):
+        ffv1.extradata(params, 46, 30, 2, 2)  # x0 = 23: odd
+    with pytest.raises(ValueError):
+        ffv1.encode_frame_v3([np.zeros((30, 46), np.uint8),
+                              np.zeros((15, 23), np.uint8),
+                              np.zeros((15, 23), np.uint8)],
+                             params, 46, 30, 2, 2)
+
+
+def test_slice_grid_chooser():
+    p420 = ffv1.params_for_pix_fmt(video.PIXEL_FORMATS["yuv420p"], 3)
+    pgray = ffv1.params_for_pix_fmt(video.PIXEL_FORMATS["gray"], 3)
+    # ffmpeg slice-count table
+    assert ffv1.slice_grid(pgray, 1024, 1024, slices=9) == (3, 3)
+    assert ffv1.slice_grid(pgray, 1024, 1024, slices=6) == (3, 2)
+    # chroma alignment shrinks the grid: 46/2=23 is odd for 420
+    assert ffv1.slice_grid(p420, 46, 30, slices=4) == (1, 1)
+    assert ffv1.slice_grid(p420, 48, 32, slices=4) == (2, 2)
+    # default: at least 2x2, more for large frames
+    nh, nv = ffv1.slice_grid(pgray, 3840, 2160)
+    assert nh >= 4 and nv >= 4
+    # never exceeds the frame
+    assert ffv1.slice_grid(pgray, 3, 3, slices=16) <= (3, 3)
+
+
+def test_ffv1_encoder_config():
+    pf = video.PIXEL_FORMATS["yuv420p"]
+    enc = ffv1.FFV1Encoder(pf, 48, 32)  # default: level 1, no extradata
+    assert enc.params.version == 1 and enc.extradata == b""
+    enc3 = ffv1.FFV1Encoder(pf, 48, 32, "level=3:slices=4")
+    assert enc3.params.version == 3 and enc3.extradata
+    assert (enc3.num_h, enc3.num_v) == (2, 2)
+    # 16-bit RGB auto-selects the v3 layout (v0/1 cannot carry it)
+    enc16 = ffv1.FFV1Encoder(video.PIXEL_FORMATS["gbrp16le"], 48, 32)
+    assert enc16.params.version == 3 and enc16.params.colorspace == 1
+    assert ffv1.parse_codec_opts("level=3:slices=9,slicecrc=1:junk=zz") \
+        == {"level": 3, "slices": 9, "slicecrc": 1}
+
+
+def test_v3_nut_output_and_native_readback(tmp_path):
+    """open_output with level=3 writes a v3 FFV1 NUT (extradata in
+    codec_specific_data) that the native reader round-trips."""
+    p = str(tmp_path / "v3.nut")
+    rng = np.random.default_rng(5)
+    w = video.open_output(p, 64, 48, Fraction(25, 1),
+                          video.ColorProps(pix_fmt="yuv420p"),
+                          options="level=3:slices=4")
+    frames = []
+    for _ in range(3):
+        fr = [rng.random((48, 64)), rng.random((24, 32)),
+              rng.random((24, 32))]
+        frames.append(fr)
+        w.write_frame(fr)
+    w.close()
+    r = video.open_input(p)
+    assert r.pix_fmt.name == "yuv420p"
+    for fr in frames:
+        got = r.read_frame(raw=True)
+        want = np.clip(np.rint(np.asarray(fr[0]) * 255), 0, 255)
+        assert np.array_equal(got[0], want.astype(np.uint8))
+    r.close()
+
+
+def test_v3_append_parameter_mismatch_refused(tmp_path):
+    p = str(tmp_path / "v3a.nut")
+    w = video.open_output(p, 64, 48, Fraction(25, 1),
+                          video.ColorProps(pix_fmt="yuv420p"),
+                          options="level=3")
+    w.write_frame([np.zeros((48, 64)), np.zeros((24, 32)),
+                   np.zeros((24, 32))])
+    w.close()
+    with pytest.raises(RuntimeError, match="do not match"):
+        video.open_output(p, 64, 48, Fraction(25, 1),
+                          video.ColorProps(pix_fmt="yuv420p"),
+                          append=True)  # level 1 vs existing v3 header
+    # matching options append fine
+    w2 = video.open_output(p, 64, 48, Fraction(25, 1),
+                           video.ColorProps(pix_fmt="yuv420p"),
+                           options="level=3", append=True)
+    w2.write_frame([np.zeros((48, 64)), np.zeros((24, 32)),
+                    np.zeros((24, 32))])
+    w2.close()
+    r = video.open_input(p)
+    assert r.frames == 2
+    r.close()
+
+
+def test_float_negotiate_optin(tmp_path):
+    """`negotiate=1` maps float content onto the encoder's best
+    integer format (reference ffapi.c:137-149,239-253 semantics):
+    gbrpf32le rides 16-bit RGB FFV1 (v3)."""
+    p = str(tmp_path / "neg.nut")
+    rng = np.random.default_rng(6)
+    w = video.open_output(p, 32, 24, Fraction(25, 1),
+                          video.ColorProps(pix_fmt="gbrpf32le"),
+                          options="negotiate=1")
+    assert w.pix_fmt.name == "gbrp16le" and w.codec == "ffv1"
+    rgb = rng.random((24, 32, 3))
+    w.write_frame_rgb(rgb)
+    w.close()
+    r = video.open_input(p)
+    assert r.pix_fmt.name == "gbrp16le"
+    got = r.read_frame(raw=True)
+    want = np.clip(np.rint(rgb * 65535), 0, 65535).astype(np.uint16)
+    assert np.array_equal(got[0], want[:, :, 1])  # G plane
+    r.close()

@@ -422,3 +422,87 @@ def test_native_rgb_ffv1_encode_bit_exact_in_real_libav(tmp_path):
     assert np.array_equal(bgr[..., 1], G)
     assert np.array_equal(bgr[..., 0], B)
     assert np.array_equal(bgr[..., 2], R)
+
+
+# ---- our version-3 encoder x real libavcodec (round 5) ---------------
+
+
+def test_v3_encoder_rgb_bit_exact_in_real_libavcodec(tmp_path):
+    """Our sliced v3 bitstream (extradata, slice size/CRC trailers,
+    ff_rac_terminate-style slice flush) decodes BIT-EXACTLY in real
+    libavcodec.  Distinct frames guard against silent error
+    concealment: a slice marked damaged is replaced by the previous
+    picture, which identical-frame tests cannot see."""
+    from dspfun_tpu.io import ffv1
+    if not ffv1.available():
+        pytest.skip("native FFV1 unavailable")
+    p = tmp_path / "v3rgb.mkv"
+    rng = np.random.default_rng(42)
+    W, H = 46, 30
+    props = video.parse_color_props("pixel_format=gbrp")
+    frames = [rng.integers(0, 256, (H, W, 3), np.uint8) for _ in range(4)]
+    with video.open_output(str(p), W, H, Fraction(25), props,
+                           format="matroska",
+                           options="level=3:slices=4") as wr:
+        for f in frames:
+            # gbrp plane order G, B, R
+            wr.write_frame([f[:, :, 1].astype(float), f[:, :, 0].astype(float),
+                            f[:, :, 2].astype(float)], raw=True)
+    assert isinstance(wr, video.MkvVideoWriter)
+    assert wr._enc.params.version == 3 and wr._enc.num_h == 2
+    got = _cv_frames(p)
+    assert len(got) == 4
+    for f, g in zip(frames, got):  # cv2 returns BGR
+        assert np.array_equal(g[:, :, 0], f[:, :, 0])
+        assert np.array_equal(g[:, :, 1], f[:, :, 1])
+        assert np.array_equal(g[:, :, 2], f[:, :, 2])
+
+
+def test_v3_encoder_yuv420_luma_bit_exact_in_real_libavcodec(tmp_path):
+    from dspfun_tpu.io import ffv1
+    if not ffv1.available():
+        pytest.skip("native FFV1 unavailable")
+    p = tmp_path / "v3yuv.nut"
+    rng = np.random.default_rng(43)
+    W, H = 64, 48
+    frames = [[rng.integers(0, 256, (H, W)).astype(float),
+               rng.integers(0, 256, (H // 2, W // 2)).astype(float),
+               rng.integers(0, 256, (H // 2, W // 2)).astype(float)]
+              for _ in range(3)]
+    props = video.parse_color_props("pixel_format=yuv420p")
+    with video.open_output(str(p), W, H, Fraction(25), props,
+                           options="level=3:slices=4") as wr:
+        for f in frames:
+            wr.write_frame(f, raw=True)
+    got = _cv_frames(p, raw=True)  # CONVERT_RGB=0: luma plane only
+    assert len(got) == 3
+    for f, g in zip(frames, got):
+        luma = np.asarray(g).squeeze().reshape(-1)[:H * W].reshape(H, W)
+        assert np.array_equal(luma, f[0].astype(np.uint8))
+
+
+def test_v3_encoder_16bit_decodes_clean_in_real_libavcodec(tmp_path):
+    """cv2 cannot present 16-bit planes, but strict-libav decode (ec=1
+    CRC + byte-count checks) completing with DISTINCT output frames
+    proves the 16-bit v3 bitstream parses without error concealment;
+    sample-exactness is pinned by the native round-trip tests."""
+    from dspfun_tpu.io import ffv1
+    if not ffv1.available():
+        pytest.skip("native FFV1 unavailable")
+    for name, shape_fn in [
+        ("yuv444p16le", lambda rng, W, H: [rng.integers(0, 65536, (H, W)).astype(float)] * 3),
+        ("gbrp16le", lambda rng, W, H: [rng.integers(0, 65536, (H, W)).astype(float) for _ in range(3)]),
+    ]:
+        p = tmp_path / f"v3_{name}.mkv"
+        rng = np.random.default_rng(44)
+        W, H = 48, 32
+        props = video.parse_color_props(f"pixel_format={name}")
+        with video.open_output(str(p), W, H, Fraction(25), props,
+                               format="matroska",
+                               options="level=3:slices=4") as wr:
+            for _ in range(3):
+                wr.write_frame(shape_fn(rng, W, H), raw=True)
+        got = _cv_frames(p, raw=True)
+        assert len(got) == 3, name
+        for i in range(1, 3):
+            assert not np.array_equal(got[i], got[i - 1]), name
