@@ -341,14 +341,33 @@ def bench_scan(quick):
 
     def run():
         nbytes = 0
+        nfetches = 0
         for _, res in sp.scan_chunks(plan, coeffs, packer=packer):
             nbytes += res.payload.nbytes
-        return nbytes
+            nfetches += 1
+        return nbytes, nfetches
 
     run()
     t0 = time.perf_counter()
-    run()
+    total_bytes, nfetches = run()
     dt = time.perf_counter() - t0
+
+    # D2H roofline statement (round 5): measure the RAW tunnel rate on
+    # the same fetch pattern (same chunk payload size, same number of
+    # fetches) so "tunnel-bound" is a number, not a sentence —
+    # packed_overhead = emission time / raw-transfer time for the same
+    # bytes.  <= ~1.3x means the packed path sits on the D2H roofline.
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    chunk_bytes = max(1, total_bytes // max(nfetches, 1))
+    rawbuf = _jax.device_put(_jnp.zeros((chunk_bytes,), _jnp.uint8))
+    np.asarray(rawbuf)  # warm
+    t0 = time.perf_counter()
+    for _ in range(nfetches):
+        np.asarray(rawbuf)
+    raw_dt = time.perf_counter() - t0
+    d2h_mbps = total_bytes / raw_dt / 1e6
 
     # device-resident reconstruction rate: every emitted frame crosses
     # D2H, which through this environment's device tunnel runs ~20 MB/s
@@ -400,6 +419,10 @@ def bench_scan(quick):
         "value": round(plan.nframes / dev_dt, 1), "unit": "frames/s",
         "value_spread": _spread(plan.nframes),
         "with_frame_download_frames/s": round(plan.nframes / dt, 1),
+        "payload_bytes_per_frame": total_bytes // plan.nframes,
+        "d2h_raw_MB/s": round(d2h_mbps, 1),
+        "d2h_budget_s": round(total_bytes / (d2h_mbps * 1e6), 3),
+        "packed_overhead_ratio": round(dt / raw_dt, 2),
         "pruned": plan.use_pruned,
         "baseline_frames/s": round(plan.nframes / base_dt, 1),
         "vs_baseline": round(base_dt / dev_dt, 1),
@@ -479,6 +502,14 @@ def bench_motion(quick):
         rc |= motion_tool.main(argv)
         io_dt = time.perf_counter() - t0
         io_fps = nio / io_dt if rc == 0 else 0.0
+        # per-stage breakdown of the timed run (VERDICT r4 item 3):
+        # read = container decode + host de-block, stage+dispatch =
+        # H2D + jit dispatch, write = D2H fetch + host mux; the
+        # remainder is open/close + geometry/plan setup
+        breakdown = {k: round(v, 3) for k, v in
+                     getattr(motion_tool, "LAST_STAGE_TIMES", {}).items()}
+        breakdown["unaccounted"] = round(
+            io_dt - sum(breakdown.values()), 3)
 
     return {
         "metric": f"motion 3-D lowpass {w}x{h} {d}-frame cubes (16x16x{d} blocks)",
@@ -486,6 +517,7 @@ def bench_motion(quick):
         "value_spread": _spread(float(d)),
         "Mpel/s": round(w * h * fps / 1e6, 1),
         "cli_end_to_end_frames/s": round(io_fps, 1),
+        "cli_breakdown_s": breakdown,
         "baseline_frames/s": round(base_fps, 1),
         "vs_baseline": round(fps / base_fps, 1),
         "baseline": "pocketfft f64 1-core, same blockwise chain",

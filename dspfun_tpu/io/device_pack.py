@@ -30,17 +30,8 @@ def _matrix_for(space):
     return mf(space)
 
 
-def pack_motion_planes(plane_frames, pf, color_range, float_pixels: bool,
-                       nframes: int):
-    """Motion's per-plane emission packed on device: a list of
-    ``[F_i, h_i, w_i]`` plane frame stacks in stored pel units
-    (0..255-scale) -> one ``[nframes, S]`` container payload.
-
-    Mirrors tools/motion.py's host write path exactly: planes shorter
-    than the slab depth replicate their last frame
-    (``zz = min(z, scaled.d - 1)``), the float-pixel path divides by
-    255 before the writer quantisation, and the raw path clips+rounds
-    int containers (VideoWriter.write_frame semantics)."""
+def _pack_motion_impl(plane_frames, pf, color_range, float_pixels: bool,
+                      nframes: int):
     maxv = (1 << pf.depth) - 1
     scale8 = 1 << (pf.depth - 8)
     dtype = (jnp.float32 if pf.is_float
@@ -66,6 +57,33 @@ def pack_motion_planes(plane_frames, pf, color_range, float_pixels: bool,
             q = jnp.clip(jnp.rint(p), 0, maxv).astype(dtype)
         chunks.append(q.reshape(nframes, -1))
     return jnp.concatenate(chunks, axis=1)
+
+
+_MOTION_PACKERS: dict = {}
+
+
+def pack_motion_planes(plane_frames, pf, color_range, float_pixels: bool,
+                       nframes: int):
+    """Motion's per-plane emission packed on device: a list of
+    ``[F_i, h_i, w_i]`` plane frame stacks in stored pel units
+    (0..255-scale) -> one ``[nframes, S]`` container payload.
+
+    Mirrors tools/motion.py's host write path exactly: planes shorter
+    than the slab depth replicate their last frame
+    (``zz = min(z, scaled.d - 1)``), the float-pixel path divides by
+    255 before the writer quantisation, and the raw path clips+rounds
+    int containers (VideoWriter.write_frame semantics).
+
+    Jitted per (format, range, float-path, depth) — eagerly this chain
+    was ~37 separate dispatches per slab, each paying the remote
+    tunnel's fixed per-dispatch cost (round-5 motion CLI profile)."""
+    key = (pf.name, color_range, bool(float_pixels), int(nframes))
+    fn = _MOTION_PACKERS.get(key)
+    if fn is None:
+        fn = jax.jit(lambda planes: _pack_motion_impl(
+            planes, pf, color_range, float_pixels, nframes))
+        _MOTION_PACKERS[key] = fn
+    return fn(list(plane_frames))
 
 
 def make_packer(pf, props, height: int, width: int):
