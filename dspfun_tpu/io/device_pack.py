@@ -30,8 +30,8 @@ def _matrix_for(space):
     return mf(space)
 
 
-def _pack_motion_impl(plane_frames, pf, color_range, float_pixels: bool,
-                      nframes: int):
+def _pack_motion_impl(plane_frames, div255, pf, color_range,
+                      float_pixels: bool, nframes: int):
     maxv = (1 << pf.depth) - 1
     scale8 = 1 << (pf.depth - 8)
     dtype = (jnp.float32 if pf.is_float
@@ -42,7 +42,11 @@ def _pack_motion_impl(plane_frames, pf, color_range, float_pixels: bool,
         idx = jnp.minimum(jnp.arange(nframes), p.shape[0] - 1)
         p = p[idx]
         if float_pixels:
-            unit = p / 255.0
+            # div255 rides as a runtime argument: as a traced CONSTANT
+            # XLA strength-reduces x/255 to x*(1/255) (1 ULP off),
+            # breaking bit-parity with the host write path (the
+            # mesh-vs-single-device bit-identical contract)
+            unit = p / div255
             if pf.is_float:
                 q = unit.astype(jnp.float32)
             elif color_range == "mpeg" and not pf.is_rgb:
@@ -80,10 +84,10 @@ def pack_motion_planes(plane_frames, pf, color_range, float_pixels: bool,
     key = (pf.name, color_range, bool(float_pixels), int(nframes))
     fn = _MOTION_PACKERS.get(key)
     if fn is None:
-        fn = jax.jit(lambda planes: _pack_motion_impl(
-            planes, pf, color_range, float_pixels, nframes))
+        fn = jax.jit(lambda planes, d: _pack_motion_impl(
+            planes, d, pf, color_range, float_pixels, nframes))
         _MOTION_PACKERS[key] = fn
-    return fn(list(plane_frames))
+    return fn(list(plane_frames), jnp.float32(255.0))
 
 
 def make_packer(pf, props, height: int, width: int):
