@@ -144,6 +144,23 @@ _RANGE_ALIASES = {"full": "jpeg", "pc": "jpeg", "jpeg": "jpeg",
                   "limited": "mpeg", "tv": "mpeg", "mpeg": "mpeg"}
 
 
+# --ff-opts keys that address the ENCODER rather than color
+# properties (the reference passes one option dict to the codec,
+# zoom.c:217-228; here FFV1 level/slices and the negotiate opt-in ride
+# the same flag and split off before color parsing)
+_CODEC_OPT_KEYS = {"level", "slices", "slicecrc", "negotiate"}
+
+
+def split_codec_opts(optstring: str | None) -> tuple[str, str]:
+    """Split a "k=v:k=v" option string into (color-prop string,
+    codec-option string)."""
+    props, codec = [], []
+    for part in (optstring or "").split(":"):
+        k = part.split("=", 1)[0].strip()
+        (codec if k in _CODEC_OPT_KEYS else props).append(part)
+    return ":".join(p for p in props if p), ":".join(c for c in codec if c)
+
+
 def parse_color_props(props: str | None) -> ColorProps:
     """Parse a "k=v:k=v" color property string (reference ffapi.c:94-114)."""
     c = ColorProps()

@@ -230,7 +230,10 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     try:
-        props = video.parse_color_props(oopt)
+        # codec-addressed keys (FFV1 level/slices, negotiate) split off
+        # to the writer; the rest parse as color properties
+        prop_str, codec_opts = video.split_codec_opts(oopt)
+        props = video.parse_color_props(prop_str)
     except ValueError as e:
         print(f"Bad --ff-opts option: {e}", file=sys.stderr)
         return 1
@@ -258,7 +261,8 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         writer = video.open_output(args[1], vw, vh, rate, props, format=ofmt,
-                                   codec=codec, append=start_frame > 0)
+                                   codec=codec, options=codec_opts or None,
+                                   append=start_frame > 0)
     except Exception as e:  # noqa: BLE001
         print(f"Error opening output context: {e}", file=sys.stderr)
         return 1

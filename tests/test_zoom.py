@@ -377,3 +377,31 @@ def test_zoom_planned_fuzz_vs_oracle():
         ctx = (h, w, st, sx, sy, vx, vy, vw, vh)
         np.testing.assert_allclose(got, want, atol=1e-9, rtol=1e-7,
                                    err_msg=repr(ctx))
+
+
+def test_cli_negotiate_reference_parity_output(tmp_path):
+    """`--ff-opts negotiate=1` maps zoom's float default onto integer
+    FFV1 exactly as the reference's ffapi pix_fmt filter does
+    (zoom.c:254,306 GBRPF32 -> integer FFV1 bytes via
+    ffapi.c:137-149,239-253); codec keys split off the color-prop
+    string (level=3 forces the sliced v3 layout)."""
+    from dspfun_tpu.io import ffv1 as _ffv1
+    if not _ffv1.available():
+        pytest.skip("native FFV1 unavailable")
+    src = str(tmp_path / "in.png")
+    images.write_image(src, make_image(8, 8))
+    out = str(tmp_path / "z.nut")
+    rc = zoom_tool.main(["-s", "2", "-n", "2", "-q",
+                         "--ff-opts", "negotiate=1:level=3", src, out])
+    assert rc == 0
+    ref = str(tmp_path / "z.fvid")  # same run on the float default path
+    assert zoom_tool.main(["-s", "2", "-n", "2", "-q", src, ref]) == 0
+    with video.open_input(out) as r:
+        assert r.pix_fmt.name == "gbrp16le"
+        assert r._ffv1.params.version == 3
+        assert r.frames == 2
+        f0 = r.read_frame_rgb()
+    with video.open_input(ref) as r2:
+        g0 = r2.read_frame_rgb()
+    # identical synthesis, 16-bit quantisation: ~1/65535 loss
+    np.testing.assert_allclose(f0, np.clip(g0, 0, 1), atol=2e-4)
