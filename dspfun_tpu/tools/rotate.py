@@ -29,7 +29,7 @@ HELP = """Usage: rotate [options] [-]xyz <infile> <outfile>
   -q                  Don't print progress.
 
   -o <optstring>  decoder options (accepted for CLI parity)
-  -O <optstring>  encoder options (accepted for CLI parity)
+  -O <optstring>  encoder options (FFV1: level=3:slices=N:slicecrc=1, negotiate=1)
   -f <fmt>        input format name (e.g. for pipe input).
   -F <fmt>        output format name. [default: from output file extension]
   -c <optstring>  Option string specifying the pixel format and color properties to convert to for processing.
@@ -97,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
     frames = 0
     offset = 0
     quiet = False
-    ifmt = ofmt = cprops = codec = None
+    ifmt = ofmt = cprops = codec = encopts = None
     for flag, arg in flags:
         if flag == "-h":
             print(HELP)
@@ -121,6 +121,8 @@ def main(argv: list[str] | None = None) -> int:
             cprops = arg
         elif flag == "-e":
             codec = arg  # native ffv1/rawvideo, else the ffmpeg bridge
+        elif flag == "-O":
+            encopts = arg  # encoder options (FFV1 level/slices, bridge)
 
     if len(args) < 3:
         print(USAGE, file=sys.stderr)
@@ -222,7 +224,8 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         writer = video.open_output(args[2], out_w, out_h, rate, props,
-                                   format=ofmt, codec=codec)
+                                   format=ofmt, codec=codec,
+                                   options=encopts)
     except Exception as e:  # noqa: BLE001
         print(f"error opening output file {args[2]}: {e}", file=sys.stderr)
         return 1

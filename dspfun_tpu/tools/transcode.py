@@ -22,7 +22,7 @@ HELP = """Usage: transcode [options] <infile> <outfile>
   -q                  Don't print progress.
 
   -o <optstring>  decoder options (accepted for CLI parity)
-  -O <optstring>  encoder options (accepted for CLI parity)
+  -O <optstring>  encoder options (FFV1: level=3:slices=N:slicecrc=1, negotiate=1)
   -f <fmt>        input format name (e.g. for pipe input).
   -F <fmt>        output format name. [default: from output file extension]
   -c <optstring>  Option string specifying the pixel format and color properties to convert to for processing.
@@ -46,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     frames = 0
     offset = 0
     quiet = False
-    ifmt = ofmt = cprops = codec = None
+    ifmt = ofmt = cprops = codec = encopts = None
     for flag, arg in flags:
         if flag == "-h":
             print(HELP)
@@ -67,7 +67,9 @@ def main(argv: list[str] | None = None) -> int:
             cprops = arg
         elif flag == "-e":
             codec = arg  # native ffv1/rawvideo, else the ffmpeg bridge
-        # -o, -O, -l: parity only
+        elif flag == "-O":
+            encopts = arg  # encoder options (FFV1 level/slices, bridge)
+        # -o, -l: parity only
 
     if len(args) < 2:
         print(USAGE, file=sys.stderr)
@@ -108,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         writer = video.open_output(
             args[1], reader.width, reader.height, rate or reader.rate,
-            props, format=ofmt, codec=codec,
+            props, format=ofmt, codec=codec, options=encopts,
         )
     except Exception as e:  # noqa: BLE001
         print(f"Error opening output context: {e}", file=sys.stderr)
