@@ -361,11 +361,18 @@ def bench_scan(quick):
     import jax.numpy as _jnp
 
     chunk_bytes = max(1, total_bytes // max(nfetches, 1))
-    rawbuf = _jax.device_put(_jnp.zeros((chunk_bytes,), _jnp.uint8))
-    np.asarray(rawbuf)  # warm
+    # one DISTINCT device buffer per fetch: jax.Array caches its host
+    # copy (_npy_value) after the first np.asarray, so re-fetching one
+    # buffer times cache hits, not the tunnel (this exact bug printed
+    # 760 GB/s in the first r5 capture)
+    rawbufs = [_jax.device_put(_jnp.full((chunk_bytes,), i % 251, _jnp.uint8))
+               for i in range(nfetches)]
+    _jax.block_until_ready(rawbufs)
+    warm = _jax.device_put(_jnp.zeros((chunk_bytes,), _jnp.uint8))
+    np.asarray(warm)  # warm the fetch path itself
     t0 = time.perf_counter()
-    for _ in range(nfetches):
-        np.asarray(rawbuf)
+    for b in rawbufs:
+        np.asarray(b)
     raw_dt = time.perf_counter() - t0
     d2h_mbps = total_bytes / raw_dt / 1e6
 

@@ -406,7 +406,10 @@ class VideoReader:
         return self.pix_fmt.plane_dims(self.width, self.height)
 
     def close(self) -> None:
-        if self._stream not in (sys.stdin.buffer,):
+        # getattr: under contextlib.redirect_stdout/-stdin the
+        # replacement (e.g. StringIO) has no .buffer, and evaluating it
+        # just for the identity check would raise
+        if self._stream is not getattr(sys.stdin, "buffer", None):
             self._stream.close()
 
     def __enter__(self):
@@ -692,7 +695,9 @@ class VideoWriter:
         if not self._wrote_header:
             self._write_header()
             self._wrote_header = True
-        if self._stream is not None and self._stream not in (sys.stdout.buffer,):
+        # getattr: a redirected sys.stdout (StringIO) has no .buffer
+        if self._stream is not None and \
+                self._stream is not getattr(sys.stdout, "buffer", None):
             self._stream.close()
         elif self._stream is not None:
             self._stream.flush()

@@ -558,7 +558,14 @@ def main(argv: list[str] | None = None) -> int:
     # and fills the MXU's block (M) dimension on the short-tile kron
     # fast paths (benchmarks/calib_r4_slabbatch.py).
     if slab_batch == "auto":
-        slab_b = 1
+        # calibrated on-chip (benchmarks/results/calib_r5_slabbatch.json,
+        # B in {1,2,4,8} -> 136.1/126.2/152.1/195.1 us/slab): B=2 wins
+        # ~7% on the pruned i8-kron fast path (fuller MXU M dimension)
+        # and larger batches regress (grid/VMEM pressure), so auto = 2
+        # when any plane carries kron plans, else stay per-slab — the
+        # uncalibrated paths keep their shape and N is always available
+        # explicitly.
+        slab_b = 2 if any(p[-1] is not None for p in plans) else 1
     else:
         slab_b = max(1, int(slab_batch))
     if mesh is not None or multi:
