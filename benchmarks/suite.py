@@ -505,16 +505,25 @@ def bench_motion(quick):
                                raw=False)
         argv = ["-Q", "-b", f"16x16x{d}", "-p", "8x8x4", clip, outp]
         rc = motion_tool.main(argv)   # warm run: jit compiles cache
-        t0 = time.perf_counter()
-        rc |= motion_tool.main(argv)
-        io_dt = time.perf_counter() - t0
+        # min-of-3 (same policy as the host baselines): identical runs
+        # through the remote tunnel scatter ~1.3-2.0 s wall (round-5
+        # profile), so a single reading publishes tunnel weather, not
+        # the tool
+        io_dt = float("inf")
+        breakdown = {}
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rc |= motion_tool.main(argv)
+            dt_i = time.perf_counter() - t0
+            if dt_i < io_dt:
+                io_dt = dt_i
+                breakdown = dict(getattr(motion_tool, "LAST_STAGE_TIMES", {}))
         io_fps = nio / io_dt if rc == 0 else 0.0
-        # per-stage breakdown of the timed run (VERDICT r4 item 3):
+        # per-stage breakdown of the best run (VERDICT r4 item 3):
         # read = container decode + host de-block, stage+dispatch =
         # H2D + jit dispatch, write = D2H fetch + host mux; the
         # remainder is open/close + geometry/plan setup
-        breakdown = {k: round(v, 3) for k, v in
-                     getattr(motion_tool, "LAST_STAGE_TIMES", {}).items()}
+        breakdown = {k: round(v, 3) for k, v in breakdown.items()}
         breakdown["unaccounted"] = round(
             io_dt - sum(breakdown.values()), 3)
 
@@ -524,6 +533,7 @@ def bench_motion(quick):
         "value_spread": _spread(float(d)),
         "Mpel/s": round(w * h * fps / 1e6, 1),
         "cli_end_to_end_frames/s": round(io_fps, 1),
+        "cli_timing": "min of 3 (tunnel-weather control)",
         "cli_breakdown_s": breakdown,
         "baseline_frames/s": round(base_fps, 1),
         "vs_baseline": round(fps / base_fps, 1),

@@ -26,6 +26,21 @@ from dspfun_tpu.models import motion_pipeline as mp
 # device-plan cache across main() invocations (see its use site)
 _PLAN_CACHE: dict = {}
 
+# jitted payload concat per arity: a slab batch's packed payloads merge
+# on device so the batch crosses D2H as ONE transfer (each tunnel
+# transfer pays a fixed cost on top of the wire time)
+_CONCAT_CACHE: dict = {}
+
+
+def _concat_payloads(pays):
+    import jax  # noqa: PLC0415
+
+    fn = _CONCAT_CACHE.get(len(pays))
+    if fn is None:
+        fn = jax.jit(lambda *ps: jax.numpy.concatenate(ps, axis=0))
+        _CONCAT_CACHE[len(pays)] = fn
+    return fn(*pays)
+
 SHORT = "b:s:p:B:D:c:q:r:dQh"
 LONG = [
     "size=", "blocksize=", "offset=", "frames=", "framerate=", "keep-rate",
@@ -634,6 +649,13 @@ def main(argv: list[str] | None = None) -> int:
 
     out_queue: list = []
     eof = False
+    # payloads of the current batch awaiting one merged D2H: each
+    # tunnel transfer carries a fixed cost on top of the wire time
+    # (round-5 profile: ~0.06-0.11 s per transfer at ~33 MB/s), so the
+    # packed path downloads a batch's slabs as ONE device-concatenated
+    # payload instead of one fetch per slab
+    batch_pays: list = []
+    batch_n = 1
     try:
         for bz in range(start_slab, g0.nblocks.d):
             if out_queue:
@@ -654,6 +676,7 @@ def main(argv: list[str] | None = None) -> int:
                     ret = 1
                     return ret
                 out_queue.extend(compute_block_slabs(staged, bz))
+                batch_n = len(staged)
                 out_planes = out_queue.pop(0)
             else:
                 slab = read_slab()
@@ -744,13 +767,22 @@ def main(argv: list[str] | None = None) -> int:
                 payload_dev = pack_motion_planes(
                     out_planes, writer.pix_fmt, writer.props.color_range,
                     float_pixels, g0.scaled.d)
+                batch_pays.append(payload_dev)
+                if len(batch_pays) < batch_n:
+                    continue  # wait for the rest of the batch
+                if len(batch_pays) == 1:
+                    pay = batch_pays[0]
+                else:
+                    pay = _concat_payloads(batch_pays)
+                nfr_total = g0.scaled.d * len(batch_pays)
+                batch_pays = []
                 try:
-                    payload_dev.copy_to_host_async()
+                    pay.copy_to_host_async()
                 except AttributeError:
                     pass
                 if pending_pack is not None:
                     flush_pack()
-                pending_pack = (payload_dev, g0.scaled.d, bz)
+                pending_pack = (pay, nfr_total, bz)
                 continue
             out_planes = [np.asarray(p) for p in out_planes]
             for z in range(g0.scaled.d):
