@@ -21,19 +21,26 @@ Grammar (the av_expr subset the dspfun docs exercise):
 Functions: sin cos tan asin acos atan atan2 sinh cosh tanh exp log pow
 sqrt abs sgn floor ceil trunc round mod gcd max min hypot eq gte gt lte
 lt not if ifnot isnan isinf bitand bitor between clip lerp squish gauss
-st ld print time, plus the stateful/iterative av_expr forms random,
-while, root, taylor.  Constants: PI, E, PHI.
+st ld print, plus the stateful/iterative av_expr forms random randomi
+while root taylor time.  Constants: PI, E, PHI.
 
 Stateful forms evaluate on the host: with scalar variables they follow
-ffmpeg eval.c exactly (lazy if/while, LCG random with the var-slot
-double-rounded state, persistent var slots across evaluations of the
-same parsed Expr — eval.c keeps them in ``AVExpr->var``); with grid
-variables the expression is evaluated per element in raster order,
-matching the reference's per-coefficient evaluation loops
-(motion/motion.c:670-681, scan/scan_methods.c:333-391).  Inside jitted
-pipelines they cannot vectorise onto the VPU; callers route through
-``host_eval_in_jit`` (an ordered io_callback) instead — see
-``Expr.stateful``.
+ffmpeg eval.c exactly (lazy if/while, persistent var slots across
+evaluations of the same parsed Expr — eval.c keeps them in
+``AVExpr->var``); with grid variables the expression is evaluated per
+element in raster order, matching the reference's per-coefficient
+evaluation loops (motion/motion.c:670-681, scan/scan_methods.c:333-391).
+Inside jitted pipelines they cannot vectorise onto the VPU; callers
+route through ``host_eval_in_jit`` (an ordered io_callback) instead —
+see ``Expr.stateful``.
+
+``random``/``randomi`` follow modern eval.c (FFmpeg >= 6.1): an sfc64
+generator seeded from the var slot on first use per slot, the raw draw
+stored back into the slot.  ``root`` reproduces eval.c's e_root probe
+schedule (bit-reversed scan of 0..max, then decaying signed offsets
+around the best bounds, bisection only once both bounds land >= 0).
+Both are pinned BIT-EXACTLY against the real libavutil (cv2's bundled
+FFmpeg) in tests/test_expr_oracle.py, as are the elementwise forms.
 """
 
 from __future__ import annotations
@@ -42,13 +49,29 @@ import math
 import re
 import sys
 import time as _time
+import weakref
 from typing import Any, Callable, Mapping
 
 __all__ = ["Expr", "parse_expr", "host_eval_in_jit"]
 
 _U64 = (1 << 64) - 1
 _VARS = 10  # ffmpeg eval.c VARS: st()/ld()/random() slot count
-_STATEFUL = {"random", "while", "root", "taylor"}
+_DBL_MAX = sys.float_info.max
+# time() is here because its value must be read at RUN time: on the
+# vectorised jax path _time.time() would fire at TRACE time and bake a
+# constant into the compiled program (round-5 review finding).
+_STATEFUL = {"random", "randomi", "while", "root", "taylor", "time"}
+
+# The latest-parsed stateful Expr per (source, var_names).  jit caches
+# compiled executables by MotionParams, which hash by expr SOURCE — a
+# second CLI/pipeline invocation with the same --eval text reuses the
+# compiled io_callback closing over the FIRST run's Expr object.
+# host_eval_in_jit resolves through this registry at CALL time, so a
+# fresh parse (a fresh run) gets its fresh slot/prng state even on a
+# cache hit, matching the reference's fresh AVExpr->var per parse
+# (round-5 review finding: the random() stream continued across runs).
+_LIVE_EXPRS: "weakref.WeakValueDictionary[tuple, Expr]" = (
+    weakref.WeakValueDictionary())
 
 _TOKEN_RE = re.compile(
     r"\s*(?:"
@@ -206,8 +229,9 @@ def _funcs(xp) -> Mapping[str, Callable]:
         # round(0.5) would be 0 instead of av_expr's 1)
         "round": lambda a: xp.sign(a[0]) * xp.floor(xp.abs(a[0]) + 0.5),
         # ffmpeg eval.c e_mod is floor-based: a - floor(a/b)*b (differs
-        # from C fmod for negative operands)
-        "mod": lambda a: a[0] - xp.floor(a[0] / a[1]) * a[1],
+        # from C fmod for negative operands); xp.divide so mod(x, 0)
+        # yields nan instead of a python ZeroDivisionError
+        "mod": lambda a: a[0] - xp.floor(xp.divide(a[0], a[1])) * a[1],
         "gcd": lambda a: xp.gcd(_i64(a[0]), _i64(a[1])).astype(
             "float64" if xp.__name__ == "numpy" else "float32"),
         "max": lambda a: xp.maximum(a[0], a[1]),
@@ -253,47 +277,102 @@ def _slot_index(v) -> int:
     return int(min(max(v, 0.0), float(_VARS - 1)))
 
 
+def _slot(iv) -> int:
+    """Slot index from an evaluated index expression.  Grid-valued or
+    traced indexes cannot address one st()/ld() slot on the vectorised
+    path — eval.c stores to exactly one var per st()."""
+    if getattr(iv, "ndim", 0):
+        raise ValueError("st()/ld() slot index must be a scalar")
+    try:
+        return _slot_index(iv)
+    except Exception as e:  # float() on a jax tracer: ConcretizationTypeError
+        raise ValueError(
+            "st()/ld() slot index must be a concrete scalar on the"
+            " vectorised path (literal or constant expression)") from e
+
+
+# av_reverse: bit-reversed bytes — eval.c's e_root probe order over the
+# 0..max interval (coarse-to-fine coverage without a uniform stride)
+_FF_REVERSE = bytes(int(f"{i:08b}"[::-1], 2) for i in range(256))
+
+
 def _find_root(f: Callable[[float], float], xmax: float) -> float:
-    """Root of the continuous function ``f`` on the interval 0..xmax
-    (ffmpeg-utils documented semantics for root(expr, max)): coarse
-    uniform scan for a sign change, then bisection; with no sign change
-    the sample closest to zero is returned (matching eval.c's
-    best-low/best-high fallback behaviour)."""
-    lo, hi = (0.0, xmax) if xmax >= 0 else (xmax, 0.0)
-    n = 1024
-    best_x, best_av = float("nan"), float("inf")
-    px = pv = None
-    blo = bhi = blov = None
-    for i in range(n + 1):
-        x = lo + (hi - lo) * i / n
-        v = f(x)
-        if v != v:  # NaN sample: cannot bracket across it
-            px = pv = None
-            continue
-        if v == 0.0:
-            return x
-        if abs(v) < best_av:
-            best_x, best_av = x, abs(v)
-        if pv is not None and (v > 0.0) != (pv > 0.0):
-            blo, bhi, blov = px, x, pv
-            break
-        px, pv = x, v
-    if blo is None:
-        return best_x
-    for _ in range(200):
-        mid = 0.5 * (blo + bhi)
-        if mid == blo or mid == bhi:
-            break
-        v = f(mid)
-        if v == 0.0:
-            return mid
-        if v != v:
-            break
-        if (v > 0.0) == (blov > 0.0):
-            blo, blov = mid, v
+    """eval.c e_root, reproduced operation-for-operation (pinned
+    BIT-exactly against real libavutil in tests/test_expr_oracle.py):
+
+    probe i=-1..1023 — the first 256 probes walk ff_reverse[i]*max/255,
+    the rest decay geometrically (max*0.9^(i-255)), negated on odd i,
+    anchored at the best-so-far low (i&2) or high bound; track the best
+    value<=0 (low) and value>=0 (high) probes; once BOTH bound
+    *positions* are >= 0, bisect to convergence.  The result is the
+    bound whose value is closest to zero — so with no sign change the
+    sample nearest zero comes back, and with all-NaN samples the -1.0
+    bound sentinels do (observed oracle behaviour)."""
+    low = high = -1.0
+    low_v, high_v = -_DBL_MAX, _DBL_MAX
+    for i in range(-1, 1024):
+        if i < 255:
+            x = _FF_REVERSE[i & 255] * xmax / 255.0
         else:
-            bhi = mid
-    return 0.5 * (blo + bhi)
+            x = xmax * (0.9 ** (i - 255))
+            if i & 1:
+                x = -x
+            x += low if i & 2 else high
+        v = f(x)
+        if v <= 0.0 and v > low_v:
+            low, low_v = x, v
+        if v >= 0.0 and v < high_v:
+            high, high_v = x, v
+        if low >= 0.0 and high >= 0.0:
+            for _ in range(1000):
+                mid = (low + high) * 0.5
+                if mid == low or mid == high:
+                    break
+                v = f(mid)
+                if v <= 0.0:
+                    low = mid
+                if v >= 0.0:
+                    high = mid
+                if v != v:
+                    low = high = v
+                    break
+            break
+    return low if -low_v < high_v else high
+
+
+def _cast_u64(v: float) -> int:
+    """C ``(uint64_t)double`` as x86-64 compilers emit it (the oracle's
+    observed behaviour): values < 2^63 truncate via the signed convert
+    (negatives wrap two's-complement, overflow saturates to INT64_MIN);
+    larger values convert shifted by 2^63 and flip the top bit — so
+    1e300 lands on 0."""
+    if v != v:
+        return 0
+    if v < 2.0 ** 63:
+        t = -(1 << 63) if v <= -(2.0 ** 63) else int(v)
+        return t & _U64
+    w = v - 2.0 ** 63
+    t = -(1 << 63) if w >= 2.0 ** 63 else int(w)
+    return (t ^ (1 << 63)) & _U64
+
+
+def _sfc64_init(seed: int) -> list:
+    """ff_sfc64_init(seed, seed, seed, 12 rounds) — modern eval.c seeds
+    random()'s generator from the var slot on first use per slot."""
+    s = [seed & _U64, seed & _U64, seed & _U64, 1]
+    for _ in range(12):
+        _sfc64_get(s)
+    return s
+
+
+def _sfc64_get(s: list) -> int:
+    a, b, c, counter = s
+    tmp = (a + b + counter) & _U64
+    s[3] = (counter + 1) & _U64
+    s[0] = b ^ (b >> 11)
+    s[1] = (c + ((c << 3) & _U64)) & _U64
+    s[2] = ((((c << 24) | (c >> 40)) & _U64) + tmp) & _U64
+    return tmp
 
 
 class Expr:
@@ -316,9 +395,15 @@ class Expr:
         # vectorised paths keep per-call state (a persistent dict
         # would pin jax tracers across traces)
         self._slots: dict[int, float] = {}
+        # per-slot sfc64 states (modern eval.c keeps FFSFC64 prng_state
+        # alongside var[] in the AVExpr)
+        self._prng: dict[int, list] = {}
+        if self.stateful:
+            _LIVE_EXPRS[(self.source, self.var_names)] = self
 
     def reset_state(self) -> None:
         self._slots.clear()
+        self._prng.clear()
 
     def __call__(self, variables: Mapping[str, Any], xp=None):
         if xp is None:
@@ -385,7 +470,9 @@ class Expr:
                 if tag == "*":
                     return a * b
                 if tag == "/":
-                    return a / b
+                    # xp.divide, not the python operator: C semantics
+                    # give 1/0 = inf, but two python floats would raise
+                    return xp.divide(a, b)
                 return xp.power(a, b)
             if tag == "call":
                 name, args = node[1], node[2]
@@ -407,17 +494,21 @@ class Expr:
                     mask_stack.pop()
                     return xp.where(taken, t, e)
                 if name == "st":
-                    idx = args[0]
-                    if idx[0] != "num":
-                        raise ValueError("st() requires a literal slot index")
+                    # eval.c: the slot index is itself an expression,
+                    # av_clip'ed to 0..VARS-1.  The vectorised path
+                    # needs one concrete slot per store, so a
+                    # grid/traced index stays rejected there.
+                    idx = _slot(ev(args[0]))  # index before value, as eval.c
                     v = ev(args[1])
-                    _store(int(idx[1]), v)
+                    _store(idx, v)
+                    # modern eval.c: st() re-arms the slot's sfc64 so a
+                    # subsequent random() re-seeds from the stored value
+                    # (oracle-pinned: repeated "st(4,42); random(4)"
+                    # evaluations each return the seed-42 first draw)
+                    self._prng.pop(idx, None)
                     return v
                 if name == "ld":
-                    idx = args[0]
-                    if idx[0] != "num":
-                        raise ValueError("ld() requires a literal slot index")
-                    return slots.get(int(idx[1]), 0.0)
+                    return slots.get(_slot(ev(args[0])), 0.0)
                 if name == "print":
                     v = ev(args[0])
                     if len(args) > 1:
@@ -442,17 +533,26 @@ class Expr:
                         raise ValueError(
                             f"{name}() is stateful and only evaluates on"
                             " the host scalar path")
-                    if name == "random":
-                        # eval.c e_random: slot holds the LCG state as a
-                        # double (the uint64 round-trips through the
-                        # double slot, so the sequence is the rounded
-                        # recurrence, reproduced exactly here)
+                    if name in ("random", "randomi"):
+                        # modern eval.c (FFmpeg >= 6.1) e_random: each
+                        # slot owns an sfc64 generator, seeded from the
+                        # var slot (C double->uint64 cast) on first use;
+                        # the raw 64-bit draw is stored back into the
+                        # slot.  Bit-exact vs real libavutil
+                        # (tests/test_expr_oracle.py).
                         i = _slot_index(ev(args[0]))
-                        s = float(slots.get(i, 0.0))
-                        r = 0 if s != s else (int(s) & _U64)
-                        r = (r * 1664525 + 1013904223) & _U64
+                        s = self._prng.get(i)
+                        if s is None:
+                            s = _sfc64_init(_cast_u64(float(slots.get(i, 0.0))))
+                            self._prng[i] = s
+                        r = _sfc64_get(s)
                         slots[i] = float(r)
-                        return float(r) * 2.0 ** -64
+                        u = r * (1.0 / _U64)
+                        if name == "random":
+                            return u
+                        lo = float(ev(args[1]))
+                        hi = float(ev(args[2]))
+                        return lo + (hi - lo) * u
                     if name == "while":
                         # returns NaN when the condition never held; a
                         # NaN condition loops, as in C (nan != 0)
@@ -526,11 +626,20 @@ def host_eval_in_jit(expr: Expr, variables: Mapping[str, Any],
     from jax.experimental import io_callback  # noqa: PLC0415
 
     keys = tuple(sorted(variables))
+    live_key = (expr.source, expr.var_names)
 
     def host(*vals):
+        # Resolve the CURRENT parse of this source at call time: jit
+        # caches the compiled callback per params (hashing exprs by
+        # source), so a later run with the same text would otherwise
+        # keep feeding the first run's slot/prng state (see
+        # _LIVE_EXPRS).
+        e = _LIVE_EXPRS.get(live_key, expr)
         env = {k: np.asarray(v, np.float64) for k, v in zip(keys, vals)}
-        out = np.asarray(expr(env, np), np.float64)
-        return np.ascontiguousarray(np.broadcast_to(out, shape)).astype(dtype)
+        out = np.asarray(e(env, np), np.float64)
+        # np.asarray(order="C"), not ascontiguousarray: the latter
+        # promotes 0-d results to shape (1,)
+        return np.asarray(np.broadcast_to(out, shape), order="C").astype(dtype)
 
     return io_callback(host, jax.ShapeDtypeStruct(tuple(shape), dtype),
                        *(variables[k] for k in keys), ordered=True)

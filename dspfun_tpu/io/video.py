@@ -153,12 +153,26 @@ _CODEC_OPT_KEYS = {"level", "slices", "slicecrc", "negotiate"}
 
 def split_codec_opts(optstring: str | None) -> tuple[str, str]:
     """Split a "k=v:k=v" option string into (color-prop string,
-    codec-option string)."""
+    codec-option string).  Accepts the same ``:``/``,``/``|``
+    separators as the codec-side parser (ffv1.parse_codec_opts) — a
+    mixed-separator string must not silently drop a color property
+    into the codec bucket (round-5 review finding)."""
     props, codec = [], []
-    for part in (optstring or "").split(":"):
+    for part in re.split(r"[:,|]", optstring or ""):
         k = part.split("=", 1)[0].strip()
         (codec if k in _CODEC_OPT_KEYS else props).append(part)
     return ":".join(p for p in props if p), ":".join(c for c in codec if c)
+
+
+def _wants_negotiate(options: str | None) -> bool:
+    """Parse the ``negotiate`` opt-in VALUE: ``negotiate=0`` is an
+    explicit opt-OUT and must not down-convert float content (a bare
+    substring test enabled it — round-5 review finding)."""
+    for part in re.split(r"[:,|]", options or ""):
+        k, eq, v = part.strip().partition("=")
+        if k == "negotiate":
+            return v.strip().lower() not in ("0", "false", "no") if eq else True
+    return False
 
 
 def parse_color_props(props: str | None) -> ColorProps:
@@ -1546,7 +1560,7 @@ def open_output(
         # (ffapi.c:137-149,239-253 — zoom's GBRPF32 default lands in
         # integer FFV1 there).  Without it, float keeps the lossless
         # rawvideo payloads (documented deviation, docs/TOOLS.md).
-        if pf.is_float and "negotiate" in (options or ""):
+        if pf.is_float and _wants_negotiate(options):
             req = {"gbrpf32le": "gbrp16le", "grayf32le": "gray16le",
                    "yuv444pf32": "yuv444p16le"}[pf.name]
             pf = PIXEL_FORMATS[req]

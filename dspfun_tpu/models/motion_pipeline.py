@@ -534,7 +534,7 @@ def filter_blocks(
             # on the host in raster order — the TPU mapping of the
             # reference's host-side av_expr loop (motion.c:670-681);
             # the grid round-trips through an ordered io_callback so
-            # slot/LCG state stays in program order across slabs.
+            # slot/prng state stays in program order across slabs.
             res = host_eval_in_jit(p.expr, env, M.shape, dtype)
             res = res * (255.0 / norm2)
         else:

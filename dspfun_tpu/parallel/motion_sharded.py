@@ -95,6 +95,10 @@ def motion_filter_volume_sharded(
 ):
     """Whole-clip single-block motion chain, sharded over the mesh.
 
+    Stateful --eval forms are rejected up front: they evaluate per
+    coefficient in sequence on the host (reference motion.c:670-681),
+    so no sharded evaluation order can match the reference.
+
     Returns (out_volume [T, H, W] with the input sharding, coded count
     as a replicated [hi, lo] base-2^15 limb pair — combine with
     :func:`coded_count`; pod-scale counts can exceed int32).  Matches
@@ -103,6 +107,11 @@ def motion_filter_volume_sharded(
     """
     g = geom
     p = params
+    if p.expr is not None and p.expr.stateful:
+        raise ValueError(
+            "stateful av_expr forms (random/randomi/while/root/taylor/"
+            "time) evaluate sequentially on the host and are not "
+            "supported on the sharded path; run single-device")
     prec = precision or get_precision()
     t, h, w = (int(d) for d in volume.shape)
     if (g.block.d, g.block.h, g.block.w) != (t, h, w) or g.block != g.scaled:

@@ -410,6 +410,17 @@ def main(argv: list[str] | None = None) -> int:
     # device mesh — block batches data-parallel over 'space'; the
     # whole-clip single-block case (-b ..x..x0 with full-frame blocks)
     # Ulysses-sharded over both axes (SURVEY.md sections 2.8/5).
+    if expr is not None and expr.stateful and (mesh_spec or multi):
+        # random()/while()/root()/taylor()/time() evaluate per
+        # coefficient in sequence on the host (reference
+        # motion.c:670-681 is a host loop too) — a sharded evaluation
+        # order would diverge from the reference
+        print("--eval with stateful av_expr forms (random/randomi/"
+              "while/root/taylor/time) is sequential; run without "
+              "--mesh/--coordinator", file=sys.stderr)
+        writer.close()
+        reader.close()
+        return 1
     mesh = None
     use_volume = [False] * proc_fmt.ncomp
     try:
@@ -480,8 +491,11 @@ def main(argv: list[str] | None = None) -> int:
     # benchmark suite's warm+timed pair, batch jobs over many clips)
     # skip the host basis build AND the plan upload — on the remote
     # tunnel that upload is a visible slice of a short clip's wall time
+    # value-based keys: MotionParams._key() hashes the expr by SOURCE —
+    # repr(p) would embed the Expr object's memory address and miss the
+    # cache on every --eval run (round-5 review finding)
     pkey = (jax.default_backend(),
-            tuple(repr(g) for g in geoms), tuple(repr(p) for p in params))
+            tuple(repr(g) for g in geoms), tuple(p._key() for p in params))
     plans = _PLAN_CACHE.get(pkey)
     if plans is None:
         plans = jax.device_put([
@@ -584,6 +598,16 @@ def main(argv: list[str] | None = None) -> int:
     else:
         slab_b = max(1, int(slab_batch))
     if mesh is not None or multi:
+        slab_b = 1
+    if slab_b > 1 and expr is not None and expr.stateful:
+        # batched slabs evaluate the host expression plane-major across
+        # the batch, which would consume random()/st() state in a
+        # different order than the reference's per-slab loop — keep the
+        # coefficient-visit order exact instead (the stateful host
+        # round-trip dominates the runtime here anyway)
+        if slab_batch != "auto" and not quiet:
+            print("note: --slab-batch ignored (stateful --eval keeps "
+                  "the per-slab evaluation order)", file=sys.stderr)
         slab_b = 1
 
     def read_slab():

@@ -117,40 +117,47 @@ def test_round_is_half_away_from_zero():
 _U64 = (1 << 64) - 1
 
 
-def _lcg_stream(seed: int, n: int):
-    """eval.c e_random: uint64 LCG whose state round-trips through a
-    double var slot (so both the stored state and the returned value
-    are the double-rounded recurrence)."""
-    out, s = [], seed
-    for _ in range(n):
-        s = (s * 1664525 + 1013904223) & _U64
-        out.append(float(s) * 2.0 ** -64)
-        s = int(float(s)) & _U64
-    return out
+def _sfc64_stream(seed: int, n: int):
+    """Modern eval.c e_random (FFmpeg >= 6.1): a per-slot sfc64
+    generator seeded from the var slot on first use — pinned bit-exactly
+    against real libavutil in tests/test_expr_oracle.py."""
+    from dspfun_tpu.core.expr import _sfc64_get, _sfc64_init
+
+    s = _sfc64_init(seed)
+    return [_sfc64_get(s) * (1.0 / _U64) for _ in range(n)]
 
 
-def test_random_matches_eval_c_lcg():
+def test_random_matches_eval_c_sfc64():
     e = parse_expr("random(0)", ())
     got = [e({}) for _ in range(6)]
-    np.testing.assert_array_equal(got, _lcg_stream(0, 6))
+    np.testing.assert_array_equal(got, _sfc64_stream(0, 6))
+    # first draw is the oracle-verified value (real libavutil 60)
+    assert got[0] == 0.22973061583233934
 
 
 def test_random_seeded_via_st():
     e = parse_expr("st(0, 42); random(0)", ())
-    assert e({}) == _lcg_stream(42, 1)[0]
+    got = e({})
+    assert got == _sfc64_stream(42, 1)[0] == 0.5200791385896834
     # slots persist across evaluations of the same parsed Expr, as
-    # eval.c keeps them in AVExpr->var — re-seeding restarts the stream
+    # eval.c keeps them in AVExpr->var — reset restarts the stream
     e2 = parse_expr("random(3)", ())
     s1 = [e2({}) for _ in range(4)]
     e2.reset_state()
     s2 = [e2({}) for _ in range(4)]
-    assert s1 == s2 == _lcg_stream(0, 4)
+    assert s1 == s2 == _sfc64_stream(0, 4)
+
+
+def test_randomi_range():
+    e = parse_expr("randomi(0, -4, 4)", ())
+    # min + (max-min) * draw/UINT64_MAX, oracle-verified
+    assert e({}) == -2.1621550733412853
 
 
 def test_random_over_grid_is_raster_order():
     e = parse_expr("x*0 + random(0)", ("x",))
     out = e({"x": np.zeros((2, 3))})
-    np.testing.assert_array_equal(out.ravel(), _lcg_stream(0, 6))
+    np.testing.assert_array_equal(out.ravel(), _sfc64_stream(0, 6))
 
 
 def test_random_rejects_vectorised_jax_path():
@@ -217,6 +224,56 @@ def test_host_eval_in_jit_state_and_order():
 
     a = np.asarray(step(jnp.zeros((2, 2), jnp.float32)))
     b = np.asarray(step(jnp.zeros((2, 2), jnp.float32)))
-    want = np.asarray(_lcg_stream(0, 8), np.float32).reshape(2, 2, 2)
+    want = np.asarray(_sfc64_stream(0, 8), np.float32).reshape(2, 2, 2)
     np.testing.assert_array_equal(a, want[0])
     np.testing.assert_array_equal(b, want[1])
+
+
+def test_fresh_parse_restarts_stream_even_on_jit_cache_hit():
+    """A second CLI invocation parses a fresh Expr but hits the jit
+    cache (params hash by expr source): the compiled io_callback must
+    evaluate through the CURRENT parse, not the first run's object —
+    reference semantics are a fresh AVExpr->var per parse (round-5
+    review finding: the stream continued across runs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dspfun_tpu.core.expr import host_eval_in_jit
+
+    def run():
+        e = parse_expr("x*0 + random(0)", ("x",))  # fresh parse per run
+
+        @jax.jit
+        def step(x):
+            return host_eval_in_jit(e, {"x": x}, x.shape, jnp.float32)
+
+        return np.asarray(step(jnp.zeros((2, 2), jnp.float32)))
+
+    np.testing.assert_array_equal(run(), run())
+
+
+def test_time_is_read_at_run_time_not_trace_time():
+    import time as pytime
+
+    import jax
+    import jax.numpy as jnp
+
+    from dspfun_tpu.core.expr import host_eval_in_jit
+
+    e = parse_expr("time(0) + x*0", ("x",))
+    assert e.stateful  # time must route through the host callback
+
+    @jax.jit
+    def step(x):
+        return host_eval_in_jit(e, {"x": x}, x.shape, jnp.float64)
+
+    a = float(np.asarray(step(jnp.zeros((), jnp.float64))))
+    pytime.sleep(0.05)
+    b = float(np.asarray(step(jnp.zeros((), jnp.float64))))
+    assert b > a  # a trace-time constant would repeat exactly
+
+
+def test_dynamic_st_ld_slot_index():
+    # eval.c evaluates the slot index as an expression (av_clip 0..9)
+    assert parse_expr("st(1+1, 42); ld(2)", ())({}) == 42.0
+    assert parse_expr("st(99, 7); ld(9)", ())({}) == 7.0  # clipped to 9

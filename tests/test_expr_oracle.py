@@ -1,0 +1,215 @@
+"""Cross-validation of core/expr against REAL FFmpeg av_expr.
+
+cv2 bundles a real libavutil (the only real FFmpeg in this
+environment); its exported ``av_expr_parse``/``av_expr_eval`` are the
+exact evaluator the reference links for motion --eval
+(motion/motion.c:463-469), zoom animation (zoom/zoom.c:221-228) and
+scan evalxy/evali (scan/scan_methods.c:333-391).  Self-tests cannot
+catch a mirrored deviation; this oracle can (same pattern as
+tests/test_interop_cv2.py for FFV1/NUT).
+
+The stateful forms (random/randomi sfc64 streams, root's probe
+schedule, taylor's accumulation order) are asserted BIT-exactly —
+they are pure integer/double arithmetic with no libm slack.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import glob
+import math
+import os
+
+import pytest
+
+from dspfun_tpu.core.expr import parse_expr
+
+
+def _load_avutil():
+    try:
+        import cv2  # noqa: PLC0415
+    except Exception:
+        return None
+    roots = [os.path.dirname(cv2.__file__),
+             os.path.join(os.path.dirname(os.path.dirname(cv2.__file__)),
+                          "opencv_python.libs")]
+    for root in roots:
+        for lib in sorted(glob.glob(os.path.join(root, "libavutil*.so*"))):
+            try:
+                return ctypes.CDLL(lib)
+            except OSError:
+                continue
+    return None
+
+
+_AV = _load_avutil()
+pytestmark = pytest.mark.skipif(
+    _AV is None, reason="no bundled libavutil (cv2) to act as oracle")
+
+if _AV is not None:
+    _AV.av_expr_parse.restype = ctypes.c_int
+    _AV.av_expr_parse.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p]
+    _AV.av_expr_eval.restype = ctypes.c_double
+    _AV.av_expr_eval.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_double),
+                                 ctypes.c_void_p]
+    _AV.av_expr_free.restype = None
+    _AV.av_expr_free.argtypes = [ctypes.c_void_p]
+
+
+class OracleExpr:
+    """A parsed real-av_expr with persistent state (AVExpr->var), the
+    exact analogue of one parsed ``Expr``."""
+
+    def __init__(self, source: str, var_names: tuple[str, ...] = ()):
+        self.var_names = tuple(var_names)
+        names = (ctypes.c_char_p * (len(var_names) + 1))(
+            *[v.encode() for v in var_names], None)
+        self._e = ctypes.c_void_p()
+        nullp = ctypes.POINTER(ctypes.c_char_p)()
+        rc = _AV.av_expr_parse(ctypes.byref(self._e), source.encode(),
+                               names, nullp, None, nullp, None, 0, None)
+        if rc < 0:
+            raise ValueError(f"oracle parse failed ({rc}): {source!r}")
+
+    def __call__(self, **vals) -> float:
+        arr = (ctypes.c_double * max(1, len(self.var_names)))(
+            *[float(vals.get(v, 0.0)) for v in self.var_names])
+        return float(_AV.av_expr_eval(self._e, arr, None))
+
+    def __del__(self):
+        if getattr(self, "_e", None) and _AV is not None:
+            _AV.av_expr_free(self._e)
+
+
+def both(source: str, var_names=(), **vals):
+    ours = parse_expr(source, var_names)(dict(vals) or {})
+    oracle = OracleExpr(source, var_names)(**vals)
+    return float(ours), oracle
+
+
+# ---- elementwise / arithmetic surface --------------------------------
+
+ELEMENTWISE = [
+    "1+2*3-4/8", "-2^2", "2^-2", "-3^-2", "(1+2)^(1+1)",
+    "mod(-7,3)", "mod(7,-3)", "mod(7.5,2)",
+    "round(0.5)+round(2.5)+round(-0.5)",
+    "trunc(-1.7)+ceil(-1.2)+floor(-1.2)",
+    "gcd(12,18)", "gcd(-12,18)", "bitand(12,10)", "bitor(12,10)",
+    "max(2,3)*min(2,3)", "hypot(3,4)",
+    "eq(1,1)+gte(2,2)+gt(2,2)+lte(1,2)+lt(2,1)+not(0)",
+    "between(2,1,3)+between(5,1,3)", "clip(7,1,3)",
+    "lerp(2,10,0.25)", "squish(1)", "gauss(1)",
+    "isnan(sqrt(-1))+isinf(1/0)",
+    "if(1,2,3)+if(0,2,3)+ifnot(0,5)",
+    "st(0,3); ld(0)*ld(0)",
+    "st(1+1, 42); ld(2)",          # dynamic slot index
+    "sin(1)+cos(1)+tan(0.5)", "atan2(1,2)", "sinh(1)+cosh(1)+tanh(1)",
+    "exp(1)+log(2)", "pow(2,10)", "sqrt(2)", "abs(-3)+sgn(-3)+sgn(0)",
+    "PI+E+PHI",
+    "taylor(1, 1)", "taylor(1, 0.5)", "taylor(1, -2)",
+    "st(0,0); while(lt(ld(0),5), st(0, ld(0)+1))",
+    "while(0, 7)",
+]
+
+
+@pytest.mark.parametrize("src", ELEMENTWISE)
+def test_elementwise_matches_real_av_expr(src):
+    ours, oracle = both(src)
+    if math.isnan(oracle):
+        assert math.isnan(ours), (src, ours, oracle)
+    else:
+        assert ours == pytest.approx(oracle, rel=1e-12, abs=0.0), src
+
+
+def test_variables_match():
+    for x in (-2.5, 0.0, 0.3, 7.0):
+        ours, oracle = both("x^2 + 3*x - sin(x)", ("x",), x=x)
+        assert ours == pytest.approx(oracle, rel=1e-12)
+
+
+# ---- random / randomi: sfc64 streams ---------------------------------
+
+def test_random_stream_bit_exact():
+    ours = parse_expr("random(0)", ())
+    oracle = OracleExpr("random(0)")
+    assert [ours({}) for _ in range(32)] == [oracle() for _ in range(32)]
+
+
+def test_random_seed_casts_bit_exact():
+    # double->uint64 seeding edge cases (negative wraps, 1e300 -> 0)
+    for seed in ("42", "0-5", "1e300", "sqrt(0-1)", "3.9"):
+        src = f"st(4, {seed}); random(4)"
+        ours = parse_expr(src, ())
+        oracle = OracleExpr(src)
+        assert [ours({}) for _ in range(4)] == [oracle() for _ in range(4)], seed
+
+
+def test_randomi_stream_bit_exact():
+    src = "randomi(2, -8, 8)"
+    ours = parse_expr(src, ())
+    oracle = OracleExpr(src)
+    assert [ours({}) for _ in range(16)] == [oracle() for _ in range(16)]
+
+
+def test_random_slot_stores_raw_draw():
+    src = "st(9, random(3)); ld(3)"
+    ours, oracle = both(src)
+    assert ours == oracle
+
+
+def test_st_rearms_the_slot_generator():
+    # writing a slot re-seeds its generator; the random() store-back
+    # does NOT (the stream continues) — both oracle-pinned
+    src = "st(9, random(0)); st(0, 42); ld(9)"
+    ours = parse_expr(src, ())
+    oracle = OracleExpr(src)
+    assert [ours({}) for _ in range(4)] == [oracle() for _ in range(4)]
+
+
+def test_st_on_other_slot_does_not_reset():
+    src = "st(9, 1); random(0)"
+    ours = parse_expr(src, ())
+    oracle = OracleExpr(src)
+    assert [ours({}) for _ in range(4)] == [oracle() for _ in range(4)]
+
+
+def test_division_by_zero_matches():
+    ours, oracle = both("mod(7,0)")
+    assert math.isnan(ours) and math.isnan(oracle)
+    ours, oracle = both("1/0")
+    assert ours == oracle == math.inf
+
+
+# ---- root: eval.c probe schedule, bit-exact --------------------------
+
+ROOTS = [
+    ("ld(0)-7.25", 10), ("ld(0)+5", 10), ("ld(0)+10.6", 10),
+    ("(ld(0)+3)*(ld(0)+17)", 10), ("(ld(0)-1)*(ld(0)-6)", 10),
+    ("sin(ld(0))+2", 10), ("sin(ld(0))-6+ld(0)", 100),
+    ("exp(ld(0))-0.001", 10), ("ld(0)*ld(0)+1", 10),
+    ("ld(0)*ld(0)-4", 10), ("0-ld(0)-5", 10),
+    ("5", 10), ("0", 10), ("sqrt(0-1)", 10),
+    ("sin(ld(0)+1)", 10), ("ld(0)-7.25", -10), ("ld(0)+5", -10),
+    ("cos(ld(0))", 7), ("ld(0)^3-27", 5),
+]
+
+
+@pytest.mark.parametrize("body,xmax", ROOTS)
+def test_root_bit_exact(body, xmax):
+    src = f"root({body}, {xmax})"
+    ours, oracle = both(src)
+    if math.isnan(oracle):
+        assert math.isnan(ours), src
+    else:
+        assert ours == oracle, src
+
+
+def test_root_restores_slot0():
+    ours, oracle = both("st(0, 7); root(ld(0)-1, 2) + ld(0)")
+    assert ours == oracle == 8.0

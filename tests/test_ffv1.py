@@ -811,3 +811,34 @@ def test_float_negotiate_optin(tmp_path):
     want = np.clip(np.rint(rgb * 65535), 0, 65535).astype(np.uint16)
     assert np.array_equal(got[0], want[:, :, 1])  # G plane
     r.close()
+
+
+def test_float_negotiate_zero_is_opt_out(tmp_path):
+    """`negotiate=0` is an explicit opt-OUT: float content must keep
+    the lossless float rawvideo path, not silently quantise to 16-bit
+    (round-5 review finding — the check was a raw substring test)."""
+    p = str(tmp_path / "negoff.nut")
+    w = video.open_output(p, 32, 24, Fraction(25, 1),
+                          video.ColorProps(pix_fmt="gbrpf32le"),
+                          options="negotiate=0")
+    assert w.pix_fmt.name == "gbrpf32le" and w.codec == "rawvideo"
+    rgb = np.random.default_rng(7).random((24, 32, 3))
+    w.write_frame_rgb(rgb)
+    w.close()
+    r = video.open_input(p)
+    assert r.pix_fmt.name == "gbrpf32le"
+    got = r.read_frame(raw=True)
+    assert np.allclose(got[0], rgb[:, :, 1].astype(np.float32))  # lossless
+    r.close()
+
+
+def test_split_codec_opts_mixed_separators():
+    """level=3,range=pc: the color property must not ride into the
+    codec bucket just because the user mixed , with : (round-5 review
+    finding — split_codec_opts only split on ':')."""
+    props, codec = video.split_codec_opts("level=3,range=pc")
+    assert codec == "level=3"
+    assert props == "range=pc"
+    props, codec = video.split_codec_opts("slices=9:gamma=2.2|negotiate=1")
+    assert codec == "slices=9:negotiate=1"
+    assert props == "gamma=2.2"

@@ -311,3 +311,24 @@ def test_stateful_expr_routes_through_host_callback():
     assert expr.stateful
     out, _ = run_plane(frames, g, mp.MotionParams(expr=expr))
     np.testing.assert_allclose(out, frames / 2.0, atol=1e-2)
+
+
+def test_stateful_expr_restarts_per_invocation():
+    """Two independent invocations with freshly parsed --eval text must
+    produce IDENTICAL output: the jit cache reuses the compiled host
+    callback (params hash exprs by source), and it must evaluate
+    through the current parse, not continue the first run's
+    random()/st() state (round-5 review finding — the streams
+    diverged)."""
+    rng = np.random.default_rng(12)
+    frames = rng.random((2, 8, 8)) * 255.0
+    g = geometry(8, 8, 2, block=Dims(8, 8, 2))
+    names = ("c", "x", "y", "z", "i", "width", "height", "depth",
+             "components", "bx", "by", "bz", "bwidth", "bheight", "bdepth")
+
+    def run():
+        expr = parse_expr("random(0)*255", names)  # fresh parse per run
+        out, _ = run_plane(frames, g, mp.MotionParams(expr=expr))
+        return np.asarray(out)
+
+    np.testing.assert_array_equal(run(), run())
