@@ -73,15 +73,43 @@ _STATEFUL = {"random", "randomi", "while", "root", "taylor", "time"}
 _LIVE_EXPRS: "weakref.WeakValueDictionary[tuple, Expr]" = (
     weakref.WeakValueDictionary())
 
+# numbers go through av_strtod in av_expr: decimal/hex mantissa, then
+# an optional SI prefix (k/M/G/... and the 'i' binary variants, e.g.
+# 2Ki = 2048), then an optional 'B' (bytes: x8) — all oracle-pinned in
+# tests/test_expr_oracle.py
 _TOKEN_RE = re.compile(
     r"\s*(?:"
-    r"(?P<num>(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+    r"(?P<num>(?:0[xX][0-9a-fA-F]+|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+    r"(?:(?P<si>[yzafpnumcdhkKMGTPEZY])(?P<bin>i)?)?(?P<byt>B)?)"
     r"|(?P<name>[A-Za-z_][A-Za-z_0-9]*)"
     r"|(?P<op>[-+*/^(),;])"
     r")"
 )
 
+# av_strtod's SI table: decimal exponents; the 'i' form multiplies by
+# pow(2, e/0.3) instead (k -> 2^10, M -> 2^20, ...)
+_SI_EXP = {"y": -24, "z": -21, "a": -18, "f": -15, "p": -12, "n": -9,
+           "u": -6, "m": -3, "c": -2, "d": -1, "h": 2, "k": 3, "K": 3,
+           "M": 6, "G": 9, "T": 12, "P": 15, "E": 18, "Z": 21, "Y": 24}
+
 _CONSTS = {"PI": math.pi, "E": math.e, "PHI": (1 + math.sqrt(5)) / 2}
+
+
+def _strtod(m: "re.Match") -> float:
+    """The av_strtod number semantics for a _TOKEN_RE num match: the
+    suffix multiplies via C pow (NOT a literal rescale — av_strtod's
+    5u is 5*pow(10,-6) = 4.999...e-06, one ulp off strtod("5e-6"))."""
+    body = m.group("num")
+    for g in ("byt", "bin", "si"):
+        if m.group(g):
+            body = body[:-len(m.group(g))]
+    v = float(int(body, 16)) if body[:2].lower() == "0x" else float(body)
+    if m.group("si"):
+        e = _SI_EXP[m.group("si")]
+        v *= 2.0 ** (e / 0.3) if m.group("bin") else 10.0 ** e
+    if m.group("byt"):
+        v *= 8.0
+    return v
 
 
 def _tokenize(s: str):
@@ -95,7 +123,7 @@ def _tokenize(s: str):
             raise ValueError(f"bad token in expression at: {s[pos:]!r}")
         pos = m.end()
         if m.group("num") is not None:
-            out.append(("num", float(m.group("num"))))
+            out.append(("num", _strtod(m)))
         elif m.group("name") is not None:
             out.append(("name", m.group("name")))
         else:

@@ -127,6 +127,27 @@ def test_elementwise_matches_real_av_expr(src):
         assert ours == pytest.approx(oracle, rel=1e-12, abs=0.0), src
 
 
+SUFFIXES = ["2k", "2K", "2Ki", "1M", "1Mi", "3m", "5u", "1G", "1Gi",
+            "1B", "8B", "2kB", "1h", "1c", "1d", "2E", "1y", "1Y",
+            "0x10", "0xff", "1e3k", ".5k", "7n", "2T", "4Pi", "1z"]
+
+
+@pytest.mark.parametrize("src", SUFFIXES)
+def test_av_strtod_suffixes_bit_exact(src):
+    # number parsing rides av_strtod in the reference: SI prefixes,
+    # binary 'i' variants, trailing 'B', hex — including the pow()
+    # rounding (5u = 5*pow(10,-6), one ulp off strtod("5e-6"))
+    ours, oracle = both(src)
+    assert ours == oracle, src
+
+
+def test_av_strtod_invalid_suffix_is_error_both_sides():
+    with pytest.raises(ValueError):
+        parse_expr("2i", ())  # 'i' alone is not a suffix
+    with pytest.raises(ValueError):
+        OracleExpr("2i")
+
+
 def test_variables_match():
     for x in (-2.5, 0.0, 0.3, 7.0):
         ours, oracle = both("x^2 + 3*x - sin(x)", ("x",), x=x)
