@@ -296,6 +296,51 @@ def _contains_stateful(node) -> bool:
     return False
 
 
+def _reads_persistent_state(ast) -> bool:
+    """True when some ld(k) may evaluate before an unconditional st(k)
+    in the same evaluation — i.e. the expression reads var-slot state
+    carried over from a PREVIOUS evaluation.  eval.c keeps var[] in the
+    AVExpr across calls, so the reference's per-coefficient loops make
+    ``st(0, ld(0)+1)`` a running counter across points (scan evalxy,
+    motion --eval); such expressions must take the sequential host path
+    — the vectorised path gives every element fresh slots.  The
+    idiomatic store-then-load within one evaluation stays vectorised."""
+    stored: set[int] = set()  # slots unconditionally stored so far
+    found = False
+
+    def walk(node, conditional: bool) -> None:
+        nonlocal found
+        if found or not isinstance(node, tuple):
+            return
+        tag = node[0]
+        if tag == "call":
+            name, args = node[1], node[2]
+            if name == "st":
+                walk(args[0], conditional)
+                walk(args[1], conditional)
+                if args[0][0] == "num" and not conditional:
+                    stored.add(_slot_index(args[0][1]))
+                return
+            if name == "ld":
+                walk(args[0], conditional)
+                if args[0][0] != "num" or _slot_index(args[0][1]) not in stored:
+                    found = True
+                return
+            if name in ("if", "ifnot", "while"):
+                walk(args[0], conditional)  # condition always evaluates
+                for a in args[1:]:
+                    walk(a, True)  # branches/body may not
+                return
+            for a in args:
+                walk(a, conditional)
+            return
+        for sub in node[1:]:
+            walk(sub, conditional)
+
+    walk(ast, False)
+    return found
+
+
 def _slot_index(v) -> int:
     """av_clip(value, 0, VARS-1) with the double->int edge cases pinned
     (nan -> 0, +/-inf clamp)."""
@@ -407,7 +452,10 @@ class Expr:
     """A parsed expression, evaluable over numpy or jax.numpy arrays.
 
     ``stateful`` is True when the AST contains an iterative/stateful
-    av_expr form (random/while/root/taylor); those evaluate on the host
+    av_expr form (random/randomi/while/root/taylor/time) OR reads var
+    slots persisted from a previous evaluation (``st(0, ld(0)+1)`` is a
+    running counter across coefficients in the reference's loops —
+    see :func:`_reads_persistent_state`); those evaluate on the host
     — scalars directly, grids per element in raster order (the
     reference's per-coefficient loop, motion/motion.c:670-681) — with
     st()/ld()/random() slots persisting across evaluations of this
@@ -418,7 +466,8 @@ class Expr:
         self.source = source
         self.var_names = tuple(var_names)
         self.ast = _Parser(_tokenize(source), self.var_names).parse()
-        self.stateful = _contains_stateful(self.ast)
+        self.stateful = (_contains_stateful(self.ast)
+                         or _reads_persistent_state(self.ast))
         # persistent slots for host/stateful evaluation only; the
         # vectorised paths keep per-call state (a persistent dict
         # would pin jax tracers across traces)

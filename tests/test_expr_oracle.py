@@ -234,3 +234,31 @@ def test_root_bit_exact(body, xmax):
 def test_root_restores_slot0():
     ours, oracle = both("st(0, 7); root(ld(0)-1, 2) + ld(0)")
     assert ours == oracle == 8.0
+
+
+# ---- cross-evaluation st/ld persistence ------------------------------
+
+def test_slot_counter_persists_across_grid_points():
+    """eval.c keeps var[] in the AVExpr across calls: st(0, ld(0)+1) is
+    a running counter across the reference's per-coefficient loops.
+    Our grid evaluation in raster order must match N sequential oracle
+    calls exactly."""
+    import numpy as np
+
+    src = "x*0 + st(0, ld(0)+1)"
+    ours = parse_expr(src, ("x",))
+    assert ours.stateful  # reads slot state from previous evaluations
+    got = ours({"x": np.zeros((2, 3))})
+    oracle = OracleExpr(src, ("x",))
+    want = np.asarray([oracle(x=0.0) for _ in range(6)]).reshape(2, 3)
+    np.testing.assert_array_equal(got, want)
+    assert want.ravel().tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_store_then_load_stays_vectorised():
+    # the idiomatic within-evaluation st/ld carries no cross-point
+    # state and must keep the vectorised path
+    e = parse_expr("st(0, x*2); ld(0)+1", ("x",))
+    assert not e.stateful
+    e2 = parse_expr("if(gt(x,0), ld(1), st(1, x))", ("x",))
+    assert e2.stateful  # conditional store: ld may read persisted state
