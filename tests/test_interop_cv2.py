@@ -506,3 +506,34 @@ def test_v3_encoder_16bit_decodes_clean_in_real_libavcodec(tmp_path):
         assert len(got) == 3, name
         for i in range(1, 3):
             assert not np.array_equal(got[i], got[i - 1]), name
+
+
+def test_srgb_transfer_matches_real_av_csp():
+    """The reference's -g linear-light path calls av_csp's transfer
+    functions (motion/motion.c:342-348, zoom/zoom.c:312); our f64 sRGB
+    pair must match the REAL av_csp (cv2's bundled libavutil) to a few
+    ulp across the whole 0..1 range."""
+    import ctypes
+    import glob
+    import os
+
+    from dspfun_tpu.io.color import srgb_decode, srgb_encode
+
+    root = os.path.join(os.path.dirname(os.path.dirname(cv2.__file__)),
+                        "opencv_python.libs")
+    libs = sorted(glob.glob(os.path.join(root, "libavutil*.so*")))
+    if not libs:
+        pytest.skip("no bundled libavutil")
+    lib = ctypes.CDLL(libs[0])
+    trcfn = ctypes.CFUNCTYPE(ctypes.c_double, ctypes.c_double)
+    lib.av_csp_trc_func_from_id.restype = trcfn
+    lib.av_csp_trc_func_inv_from_id.restype = trcfn
+    enc = lib.av_csp_trc_func_from_id(13)      # AVCOL_TRC_IEC61966_2_1
+    dec = lib.av_csp_trc_func_inv_from_id(13)
+    if not enc or not dec:
+        pytest.skip("libavutil predates av_csp trc funcs")
+    xs = np.linspace(0.0, 1.0, 4001)
+    want_e = np.asarray([enc(float(x)) for x in xs])
+    want_d = np.asarray([dec(float(x)) for x in xs])
+    np.testing.assert_allclose(srgb_encode(xs), want_e, rtol=0, atol=1e-16 * 8)
+    np.testing.assert_allclose(srgb_decode(xs), want_d, rtol=0, atol=1e-16 * 8)
