@@ -94,6 +94,23 @@ _SI_EXP = {"y": -24, "z": -21, "a": -18, "f": -15, "p": -12, "n": -9,
 
 _CONSTS = {"PI": math.pi, "E": math.e, "PHI": (1 + math.sqrt(5)) / 2}
 
+# Argument-count range per function, matching the real av_expr parser
+# (each row probed against cv2's libavutil: counts outside the range
+# are parse errors there — tests/test_expr_oracle.py pins a sample).
+# print parses up to 3 args but evaluates only the first two, exactly
+# as the oracle does (its 3rd-arg st() never fires).
+_ARITY = {
+    **{f: (1, 1) for f in (
+        "sin cos tan asin acos atan sinh cosh tanh exp log sqrt abs sgn "
+        "floor ceil trunc round not isnan isinf squish gauss ld random "
+        "time").split()},
+    **{f: (2, 2) for f in (
+        "atan2 pow mod gcd max min hypot eq gte gt lte lt bitand bitor "
+        "st while root").split()},
+    **{f: (3, 3) for f in "between clip lerp randomi".split()},
+    "if": (2, 3), "ifnot": (2, 3), "taylor": (2, 3), "print": (1, 3),
+}
+
 
 def _strtod(m: "re.Match") -> float:
     """The av_strtod number semantics for a _TOKEN_RE num match: the
@@ -152,16 +169,21 @@ class _Parser:
             raise ValueError(f"expected {op!r}, got {t}")
 
     def parse(self):
-        # av_expr: ';'-separated expressions evaluate in order and the
-        # last one's value is the result (the st()/ld() idiom)
+        node = self.seq()
+        if self.peek() != ("end", None):
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return node
+
+    def seq(self):
+        # av_expr parse_expr: ';'-separated expressions evaluate in
+        # order and the last one's value is the result (the st()/ld()
+        # idiom).  eval.c re-enters parse_expr for every parenthesis
+        # and function argument, so ';' is legal there too — and a
+        # trailing ';' is an error (both oracle-pinned).
         node = self.expr()
         while self.peek() == ("op", ";"):
             self.next()
-            if self.peek() == ("end", None):
-                break  # tolerate a trailing separator
             node = ("seq", node, self.expr())
-        if self.peek() != ("end", None):
-            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
         return node
 
     def expr(self):
@@ -205,7 +227,7 @@ class _Parser:
     def primary(self):
         kind, val = self.next()
         if kind == "op" and val == "(":
-            node = self.expr()
+            node = self.seq()
             self.expect_op(")")
             return node
         if kind == "num":
@@ -215,11 +237,18 @@ class _Parser:
                 self.next()
                 args = []
                 if self.peek() != ("op", ")"):
-                    args.append(self.expr())
+                    args.append(self.seq())
                     while self.peek() == ("op", ","):
                         self.next()
-                        args.append(self.expr())
+                        args.append(self.seq())
                 self.expect_op(")")
+                if val not in _ARITY:
+                    raise ValueError(f"unknown function {val!r}")
+                lo, hi = _ARITY[val]
+                if not lo <= len(args) <= hi:
+                    raise ValueError(
+                        f"{val}() takes {lo}" + (f"..{hi}" if hi != lo else "")
+                        + f" arguments, got {len(args)}")
                 return ("call", val, args)
             if val in _CONSTS:
                 return ("num", _CONSTS[val])

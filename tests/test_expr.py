@@ -92,8 +92,13 @@ def test_semicolon_sequences_with_st_ld():
     value is the result (the st()/ld() idiom)."""
     e = parse_expr("st(0, x*2); ld(0) + 1", ("x",))
     assert e({"x": 3.0}) == 7.0
-    e2 = parse_expr("st(0,x);st(1,ld(0)*ld(0));ld(1);", ("x",))
+    e2 = parse_expr("st(0,x);st(1,ld(0)*ld(0));ld(1)", ("x",))
     assert e2({"x": 4.0}) == 16.0
+    # a trailing ';' is a parse error in real av_expr (oracle-pinned),
+    # and ';' is legal inside parens/args (eval.c re-enters parse_expr)
+    with pytest.raises(ValueError):
+        parse_expr("st(0,3);", ())
+    assert parse_expr("max((st(0,2); ld(0)), 1)", ())({}) == 2.0
 
 
 def test_round_is_half_away_from_zero():

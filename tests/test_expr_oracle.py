@@ -207,6 +207,43 @@ def test_division_by_zero_matches():
     assert ours == oracle == math.inf
 
 
+# ---- parser shape: arity, ';' placement ------------------------------
+
+BAD_PARSES = [
+    "sin(1,2)",          # 1-arg function given 2
+    "pow(2)",            # 2-arg function given 1
+    "if(1)",             # if needs 2..3
+    "if(1,2,3,4)",
+    "clip(1,2)",         # 3-arg exact
+    "taylor(1)",         # 2..3
+    "print(1,2,3,4)",    # print parses at most 3
+    "nosuchfn(1)",
+    "st(0,3);",          # trailing ';' is a parse error in eval.c
+    "(1;)",
+]
+
+GOOD_PARSES = [
+    "if(1,2)", "if(1,2,3)", "taylor(1,1,0)", "print(2)", "print(2,16)",
+    "print(2,16,0)",
+    "max((st(0,2); ld(0)), 1)",   # ';' re-enters parse_expr inside args
+    "(st(0,5); ld(0)) * 2",
+]
+
+
+@pytest.mark.parametrize("src", BAD_PARSES)
+def test_arity_and_separator_errors_match_oracle(src):
+    with pytest.raises(ValueError):
+        OracleExpr(src)
+    with pytest.raises(ValueError):
+        parse_expr(src, ())
+
+
+@pytest.mark.parametrize("src", GOOD_PARSES)
+def test_valid_shapes_evaluate_identically(src):
+    ours, oracle = both(src)
+    assert ours == oracle, src
+
+
 # ---- root: eval.c probe schedule, bit-exact --------------------------
 
 ROOTS = [
