@@ -62,6 +62,14 @@ _DBL_MAX = sys.float_info.max
 # constant into the compiled program (round-5 review finding).
 _STATEFUL = {"random", "randomi", "while", "root", "taylor", "time"}
 
+# eval.c opcodes that ``return`` WITHOUT multiplying by e->value, so a
+# folded sign (unary minus, or '-' folded by parse_subexpr) silently
+# drops: ``-lerp(2,10,0.25)`` and even ``1 - lerp(2,10,0.25)`` ADD the
+# lerp in real av_expr.  Set probed exhaustively against cv2's
+# libavutil (tests/test_expr_oracle.py pins it per function).
+_EVALUE_DROPPED = {"squish", "gauss", "lerp", "taylor", "root", "print",
+                   "random", "randomi"}
+
 # The latest-parsed stateful Expr per (source, var_names).  jit caches
 # compiled executables by MotionParams, which hash by expr SOURCE — a
 # second CLI/pipeline invocation with the same --eval text reuses the
@@ -187,10 +195,15 @@ class _Parser:
         return node
 
     def expr(self):
+        # eval.c parse_subexpr implements a-b as a + b·(value*=-1): the
+        # minus folds into the right term's e->value multiplier, which
+        # the e->value-dropping opcodes then ignore (``1 - lerp(...)``
+        # really ADDS the lerp in real av_expr — oracle-pinned).
         node = self.term()
         while self.peek() in (("op", "+"), ("op", "-")):
             op = self.next()[1]
-            node = (op, node, self.term())
+            rhs = self.term()
+            node = ("+", node, self._vneg(rhs) if op == "-" else rhs)
         return node
 
     def term(self):
@@ -200,32 +213,53 @@ class _Parser:
             node = (op, node, self.factor())
         return node
 
-    def _signs(self) -> bool:
-        neg = False
-        while self.peek() in (("op", "+"), ("op", "-")):
-            if self.next()[1] == "-":
-                neg = not neg
-        return neg
+    def _sign1(self) -> bool:
+        # eval.c parse_pow consumes at most ONE explicit sign per
+        # factor (``- -lerp(...)`` is a parse error there); a second
+        # sign is only legal when av_strtod absorbs it as part of a
+        # numeric literal (``--5`` == 5) — see primary().
+        if self.peek() in (("op", "+"), ("op", "-")):
+            return self.next()[1] == "-"
+        return False
+
+    @staticmethod
+    def _vneg(node):
+        # eval.c folds '-' into the operand's ``e->value`` multiplier
+        # (parse_factor's sign, parse_subexpr's ``e2->value *= -1``).
+        # A handful of opcodes return WITHOUT applying e->value, so the
+        # fold must stay visible to the evaluator — except for literals
+        # (e_value returns e->value itself) and double folds (cancel).
+        if node[0] == "num":
+            return ("num", -node[1])
+        if node[0] == "vneg":
+            return node[1]
+        return ("vneg", node)
 
     def factor(self):
         # ffmpeg eval.c parse_factor: unary sign binds looser than '^'
         # (-2^2 == -4) and '^' chains left-associatively, each exponent
         # carrying its own optional sign.
-        neg = self._signs()
+        neg = self._sign1()
         node = self.primary()
         while self.peek() == ("op", "^"):
             self.next()
-            eneg = self._signs()
+            eneg = self._sign1()
             exp = self.primary()
             if eneg:
-                exp = ("neg", exp)
+                exp = self._vneg(exp)
             node = ("^", node, exp)
         if neg:
-            node = ("neg", node)
+            node = self._vneg(node)
         return node
 
     def primary(self):
         kind, val = self.next()
+        if kind == "op" and val in "+-" and self.peek()[0] == "num":
+            # av_strtod absorbs one sign as part of a numeric literal
+            # (parse_primary calls it before anything else), so "--5"
+            # parses as 5 while "- -lerp(...)" is an error
+            n = self.next()[1]
+            return ("num", -n if val == "-" else n)
         if kind == "op" and val == "(":
             node = self.seq()
             self.expect_op(")")
@@ -252,6 +286,14 @@ class _Parser:
                 return ("call", val, args)
             if val in _CONSTS:
                 return ("num", _CONSTS[val])
+            low = val.lower()
+            if low in ("inf", "infinity"):
+                # strtod runs first in parse_primary, so inf/nan (any
+                # case) are literals in real av_expr and shadow any
+                # same-named variable
+                return ("num", math.inf)
+            if low == "nan":
+                return ("num", math.nan)
             if val in self.var_names:
                 return ("var", val)
             raise ValueError(f"unknown identifier {val!r}")
@@ -260,7 +302,30 @@ class _Parser:
 
 def _funcs(xp) -> Mapping[str, Callable]:
     def _i64(x):
-        return xp.nan_to_num(xp.trunc(x), nan=0.0, posinf=0.0, neginf=0.0).astype("int64")
+        # C (int64_t)double cast as the oracle's x86-64 build performs
+        # it (cvttsd2si): truncate toward zero; NaN and out-of-range
+        # saturate to INT64_MIN.  eval.c converts implicitly at the
+        # av_gcd()/&/| call sites, so matching real av_expr means
+        # matching this cast (differential fuzz vs cv2's libavutil).
+        t = xp.trunc(x)
+        in_range = (t >= -9.223372036854775808e18) & (t < 9.223372036854775808e18)
+        return xp.where(in_range, xp.nan_to_num(t), -9.223372036854775808e18).astype("int64")
+
+    def _gcd(a):
+        # av_gcd (libavutil/mathematics.c): a==0 -> b, b==0 -> a with
+        # the SIGN KEPT; otherwise the positive binary gcd.
+        ia, ib = _i64(a[0]), _i64(a[1])
+        g = xp.gcd(xp.abs(ia), xp.abs(ib))
+        out = xp.where(ia == 0, ib, xp.where(ib == 0, ia, g))
+        return out.astype("float64" if xp.__name__ == "numpy" else "float32")
+
+    def _bitop(op):
+        def f(a):
+            # eval.c e_bitand/e_bitor: NaN in either operand -> NaN
+            v = op(_i64(a[0]), _i64(a[1])).astype(
+                "float64" if xp.__name__ == "numpy" else "float32")
+            return xp.where(xp.isnan(a[0] + a[1]), math.nan, v)
+        return f
 
     return {
         "sin": lambda a: xp.sin(a[0]),
@@ -278,10 +343,13 @@ def _funcs(xp) -> Mapping[str, Callable]:
         "pow": lambda a: xp.power(a[0], a[1]),
         "sqrt": lambda a: xp.sqrt(a[0]),
         "abs": lambda a: xp.abs(a[0]),
-        "sgn": lambda a: xp.sign(a[0]),
-        "floor": lambda a: xp.floor(a[0]),
-        "ceil": lambda a: xp.ceil(a[0]),
-        "trunc": lambda a: xp.trunc(a[0]),
+        # eval.c e_sgn: plain comparisons, so sgn(NaN) is 0 (not NaN)
+        "sgn": lambda a: xp.where(a[0] > 0, 1.0, xp.where(a[0] < 0, -1.0, 0.0)),
+        # the real av_expr's floor/ceil/trunc normalise -0.0 to +0.0
+        # (round keeps the sign) — oracle-probed, libm alone would not
+        "floor": lambda a: xp.floor(a[0]) + 0.0,
+        "ceil": lambda a: xp.ceil(a[0]) + 0.0,
+        "trunc": lambda a: xp.trunc(a[0]) + 0.0,
         # C round(): half away from zero (numpy's round is half-even —
         # round(0.5) would be 0 instead of av_expr's 1)
         "round": lambda a: xp.sign(a[0]) * xp.floor(xp.abs(a[0]) + 0.5),
@@ -289,10 +357,13 @@ def _funcs(xp) -> Mapping[str, Callable]:
         # from C fmod for negative operands); xp.divide so mod(x, 0)
         # yields nan instead of a python ZeroDivisionError
         "mod": lambda a: a[0] - xp.floor(xp.divide(a[0], a[1])) * a[1],
-        "gcd": lambda a: xp.gcd(_i64(a[0]), _i64(a[1])).astype(
-            "float64" if xp.__name__ == "numpy" else "float32"),
-        "max": lambda a: xp.maximum(a[0], a[1]),
-        "min": lambda a: xp.minimum(a[0], a[1]),
+        "gcd": _gcd,
+        # the oracle's compiled FFMIN/FFMAX lower to x86 minsd/maxsd:
+        # a NaN FIRST operand yields the second, a NaN second operand
+        # yields NaN — where(a<b, a, b) reproduces both (NOT IEEE
+        # minimum/maximum, which propagate either NaN)
+        "max": lambda a: xp.where(a[0] > a[1], a[0], a[1]),
+        "min": lambda a: xp.where(a[0] < a[1], a[0], a[1]),
         "hypot": lambda a: xp.hypot(a[0], a[1]),
         "eq": lambda a: xp.where(a[0] == a[1], 1.0, 0.0),
         "gte": lambda a: xp.where(a[0] >= a[1], 1.0, 0.0),
@@ -302,10 +373,10 @@ def _funcs(xp) -> Mapping[str, Callable]:
         "not": lambda a: xp.where(a[0] == 0, 1.0, 0.0),
         "isnan": lambda a: xp.where(xp.isnan(a[0]), 1.0, 0.0),
         "isinf": lambda a: xp.where(xp.isinf(a[0]), 1.0, 0.0),
-        "bitand": lambda a: (_i64(a[0]) & _i64(a[1])).astype("float64" if xp.__name__ == "numpy" else "float32"),
-        "bitor": lambda a: (_i64(a[0]) | _i64(a[1])).astype("float64" if xp.__name__ == "numpy" else "float32"),
-        "between": lambda a: xp.where((a[0] >= a[1]) & (a[0] <= a[2]), 1.0, 0.0),
-        "clip": lambda a: xp.clip(a[0], a[1], a[2]),
+        "bitand": _bitop(lambda x, y: x & y),
+        "bitor": _bitop(lambda x, y: x | y),
+        # between/clip are special-cased in the evaluator (argument
+        # re-evaluation and && short-circuit semantics of eval.c)
         "lerp": lambda a: a[0] + (a[1] - a[0]) * a[2],
         "squish": lambda a: 1.0 / (1.0 + xp.exp(4.0 * a[0])),
         "gauss": lambda a: xp.exp(-a[0] * a[0] / 2.0) / math.sqrt(2.0 * math.pi),
@@ -359,6 +430,11 @@ def _reads_persistent_state(ast) -> bool:
                 walk(args[0], conditional)  # condition always evaluates
                 for a in args[1:]:
                     walk(a, True)  # branches/body may not
+                return
+            if name == "between":
+                walk(args[0], conditional)
+                walk(args[1], conditional)
+                walk(args[2], True)  # skipped when d < min (C's &&)
                 return
             for a in args:
                 walk(a, conditional)
@@ -562,8 +638,12 @@ class Expr:
                 return node[1]
             if tag == "var":
                 return variables[node[1]]
-            if tag == "neg":
-                return -ev(node[1])
+            if tag == "vneg":
+                inner = node[1]
+                v = ev(inner)
+                if inner[0] == "call" and inner[1] in _EVALUE_DROPPED:
+                    return v  # e->value ignored by this opcode
+                return -v
             if tag == "seq":
                 ev(node[1])  # evaluated for st() side effects
                 return ev(node[2])
@@ -576,9 +656,12 @@ class Expr:
                 if tag == "*":
                     return a * b
                 if tag == "/":
-                    # xp.divide, not the python operator: C semantics
-                    # give 1/0 = inf, but two python floats would raise
-                    return xp.divide(a, b)
+                    # eval.c e_div: ``d2 ? d / d2 : d * INFINITY`` — a
+                    # zero divisor of EITHER sign gives d * +inf (so
+                    # -2/-0.0 is -inf, not IEEE's +inf), and 0/0 is NaN
+                    bz = xp.asarray(b) == 0
+                    return xp.where(bz, xp.asarray(a) * math.inf,
+                                    xp.divide(a, xp.where(bz, 1.0, b)))
                 return xp.power(a, b)
             if tag == "call":
                 name, args = node[1], node[2]
@@ -599,6 +682,43 @@ class Expr:
                     e = ev(args[2]) if len(args) > 2 else 0.0
                     mask_stack.pop()
                     return xp.where(taken, t, e)
+                if name == "clip":
+                    # eval.c e_clip evaluates the subject, then min,
+                    # then max, and — when the bounds are sane —
+                    # evaluates the subject a SECOND time for the
+                    # clipped value (st() counters inside the subject
+                    # advance twice); NaN/inverted bounds return NaN
+                    # and skip the re-evaluation.  All probed against
+                    # the real av_expr with st-counter probes.
+                    ev(args[0])  # value discarded; side effects fire
+                    lo, hi = ev(args[1]), ev(args[2])
+                    bad = xp.isnan(lo) | xp.isnan(hi) | (lo > hi)
+                    if scalar:
+                        if bool(bad):
+                            return math.nan
+                        return xp.minimum(xp.maximum(ev(args[0]), lo), hi)
+                    good = xp.logical_not(xp.asarray(bad))
+                    mask_stack.append(good)
+                    d = ev(args[0])
+                    mask_stack.pop()
+                    safe_hi = xp.where(bad, lo, hi)
+                    return xp.where(bad, math.nan,
+                                    xp.minimum(xp.maximum(d, lo), safe_hi))
+                if name == "between":
+                    # eval.c: d >= min && d <= max with C's && — the
+                    # max argument only evaluates where the first test
+                    # passes (its st() side effects are skipped too)
+                    d = ev(args[0])
+                    ge = d >= ev(args[1])
+                    if scalar:
+                        if not bool(ge):
+                            return 0.0
+                        return xp.where(d <= ev(args[2]), 1.0, 0.0)
+                    ge = xp.asarray(ge)
+                    mask_stack.append(ge)
+                    hi = ev(args[2])
+                    mask_stack.pop()
+                    return xp.where(ge & (d <= hi), 1.0, 0.0)
                 if name == "st":
                     # eval.c: the slot index is itself an expression,
                     # av_clip'ed to 0..VARS-1.  The vectorised path
@@ -708,7 +828,8 @@ class Expr:
             # from warning where jax already stays quiet
             import numpy as _np  # noqa: PLC0415
 
-            with _np.errstate(invalid="ignore", divide="ignore"):
+            with _np.errstate(invalid="ignore", divide="ignore",
+                              over="ignore"):
                 return ev(self.ast)
         return ev(self.ast)
 

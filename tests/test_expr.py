@@ -101,6 +101,76 @@ def test_semicolon_sequences_with_st_ld():
     assert parse_expr("max((st(0,2); ld(0)), 1)", ())({}) == 2.0
 
 
+def test_evalue_drop_quirks():
+    """eval.c returns from squish/gauss/lerp/taylor/root/print/random/
+    randomi WITHOUT applying the e->value multiplier, so a folded sign
+    (unary minus, or '-' folded by parse_subexpr into the right term)
+    silently drops — oracle-verified in test_expr_oracle.py; pinned
+    here so the quirk survives without cv2."""
+    assert parse_expr("-lerp(2,10,0.25)", ())({}) == 4.0
+    assert parse_expr("1 - lerp(2,10,0.25)", ())({}) == 5.0
+    assert parse_expr("1 - 2*lerp(2,10,0.25)", ())({}) == -7.0  # mul multiplies
+    assert parse_expr("-sin(0)", ())({}) == 0.0
+    assert parse_expr("0 - sqrt(4)", ())({}) == -2.0
+
+
+def test_single_sign_per_factor():
+    # eval.c parse_pow consumes at most one sign; av_strtod absorbs one
+    # more only as part of a numeric literal
+    assert parse_expr("--5", ())({}) == 5.0
+    assert parse_expr("-+5", ())({}) == -5.0
+    assert parse_expr("1--5", ())({}) == 6.0
+    assert parse_expr("2^--3", ())({}) == 8.0
+    with pytest.raises(ValueError):
+        parse_expr("---5", ())
+    with pytest.raises(ValueError):
+        parse_expr("- -lerp(2,10,0.25)", ())
+
+
+def test_minmax_nan_order():
+    # compiled FFMIN/FFMAX: NaN first operand yields the second
+    assert parse_expr("min(sqrt(0-1), 4)", ())({}) == 4.0
+    assert math.isnan(parse_expr("min(4, sqrt(0-1))", ())({}))
+    assert parse_expr("max(sqrt(0-1), 4)", ())({}) == 4.0
+
+
+def test_clip_double_evaluates_subject():
+    e = parse_expr("st(9, clip(st(0, ld(0)+1), 0, 9)); ld(0)", ())
+    assert e({}) == 2.0  # subject runs twice when bounds are sane
+    e2 = parse_expr("st(9, clip(st(0, ld(0)+1), 2, 1)); ld(0)", ())
+    assert e2({}) == 1.0  # bad bounds skip the re-evaluation
+    assert math.isnan(parse_expr("clip(1, 2, 1)", ())({}))
+
+
+def test_between_short_circuits_max():
+    e = parse_expr("st(9, between(3, 5, st(0,7))); ld(0)", ())
+    assert e({}) == 0.0  # max argument skipped when d < min
+    e2 = parse_expr("st(9, between(6, 5, st(0,7))); ld(0)", ())
+    assert e2({}) == 7.0
+
+
+def test_div_by_zero_ignores_zero_sign():
+    assert parse_expr("(0-2)/(0-0.0)", ())({}) == -math.inf
+    assert parse_expr("2/(0-0.0)", ())({}) == math.inf
+    assert math.isnan(parse_expr("0/0", ())({}))
+
+
+def test_rounding_zero_signs_and_gcd_sign():
+    assert math.copysign(1, parse_expr("floor(-0.0)", ())({})) == 1
+    assert math.copysign(1, parse_expr("trunc(-0.4)", ())({})) == 1
+    assert math.copysign(1, parse_expr("round(-0.4)", ())({})) == -1
+    assert parse_expr("gcd(0-2, 0)", ())({}) == -2.0
+    assert parse_expr("gcd(0-12, 18)", ())({}) == 6.0
+    assert parse_expr("sgn(sqrt(0-1))", ())({}) == 0.0
+    assert math.isnan(parse_expr("bitand(sqrt(0-1), 3)", ())({}))
+
+
+def test_inf_nan_literals():
+    assert parse_expr("inf", ())({}) == math.inf
+    assert parse_expr("isnan(nan)", ())({}) == 1.0
+    assert parse_expr("Infinity", ())({}) == math.inf
+
+
 def test_round_is_half_away_from_zero():
     """C round() (what av_expr binds) rounds halves away from zero;
     numpy's half-even gave round(0.5)=0 and round(2.5)=2 — different

@@ -207,6 +207,155 @@ def test_division_by_zero_matches():
     assert ours == oracle == math.inf
 
 
+# ---- eval.c quirk pins (each reverse-engineered with st-counter or
+# ---- sign probes against the real evaluator) --------------------------
+
+QUIRKS = [
+    # e->value is IGNORED by squish/gauss/lerp/taylor/root/print/
+    # random/randomi: a folded '-' (unary or subtraction) drops
+    "(-lerp(2,10,0.25))", "(1 - lerp(2,10,0.25))", "(-squish(1))",
+    "(-gauss(1))", "(-taylor(2,1))", "(0 - root(ld(0)-1, 2))",
+    "(2 ^ (-squish(1)))", "((-taylor(2,1)) ^ 2)",
+    # ...but everything else multiplies it
+    "(-sin(1))", "(1 - clip(7,1,3))", "(-(1;7))", "(0 - floor(-0.0))",
+    # compiled FFMIN/FFMAX: NaN first operand yields the second,
+    # NaN second operand yields NaN
+    "min(sqrt(0-1), 4)", "min(4, sqrt(0-1))", "max(sqrt(0-1), 4)",
+    "max(4, sqrt(0-1))",
+    # clip: subject evaluated BEFORE the bounds and then a SECOND
+    # time for the value; NaN/inverted bounds give NaN and skip the
+    # re-evaluation
+    "st(9, clip(st(0, ld(0)+1), 0, 9)); ld(0)",
+    "st(9, clip(st(0, ld(0)+1), 2, 1)); ld(0)",
+    "clip(st(0, ld(0)+1), 0, 9)",
+    "clip(0, -0.0, 1)", "clip(7, 1, 3)", "clip(7, 3, 1)",
+    "clip(1, sqrt(0-1), 3)",
+    # between: C's && short-circuits the max argument
+    "st(9, between(3, 5, st(0,7))); ld(0)",
+    "st(9, between(6, 5, st(0,7))); ld(0)",
+    # division: a zero divisor of either sign gives d * +INFINITY
+    "(0-2)/(0-0.0)", "2/(0-0.0)", "0/0",
+    # floor/ceil/trunc normalise -0.0 to +0.0; round keeps the sign
+    "sgn(1/floor(-0.0))", "sgn(1/ceil(-0.0))", "sgn(1/trunc(-0.4))",
+    "sgn(1/round(-0.4))",
+    # gcd is av_gcd: sign kept when one operand is 0
+    "gcd(0-2, 0)", "gcd(0, 0-3)", "gcd(0-12, 18)", "gcd(1.9, -0.0)",
+    # sgn is comparison-based: sgn(NaN) is 0
+    "sgn(sqrt(0-1))",
+    # bitand/bitor: NaN operand -> NaN; casts saturate like x86
+    # cvttsd2si (out-of-range -> INT64_MIN)
+    "bitand(sqrt(0-1), 3)", "bitor(1/0, 1)", "bitand(1e300, 0-1)",
+    # strtod literals: inf/nan (any case) and one extra sign
+    "inf", "0-inf", "isnan(nan)", "Infinity*2", "--5", "-+5", "1--5",
+    "2^--3",
+]
+
+
+@pytest.mark.parametrize("src", QUIRKS)
+def test_evaluator_quirks_match_oracle(src):
+    ours = parse_expr(src, ())({})
+    oracle = OracleExpr(src)()
+    if math.isnan(oracle):
+        assert math.isnan(ours), (src, ours, oracle)
+    else:
+        assert float(ours) == oracle, src
+
+
+# ---- grammar-driven differential fuzz ---------------------------------
+
+UNARY_F = ("sin cos tan sinh cosh tanh exp log sqrt abs sgn floor ceil "
+           "trunc round not isnan isinf squish gauss").split()
+BINARY_F = ("atan2 pow mod gcd max min hypot eq gte gt lte lt bitand "
+            "bitor").split()
+TERNARY_F = "between clip lerp".split()
+
+
+def _gen(r, depth: int) -> str:
+    """A random av_expr program: every draw is a valid parse on both
+    sides, covering operator folding, cross-argument st/ld state,
+    short-circuits and NaN/inf propagation."""
+    if depth <= 0:
+        k = r.random()
+        if k < 0.35:
+            return r.choice(["0", "1", "2", "3", "7", "0.5", "-1.5", "2.5",
+                             "1e2", "0.1", "PI", "E", "100", "1e-3"])
+        if k < 0.75:
+            return "x"
+        return f"ld({r.randrange(3)})"
+    k = r.random()
+    d = depth - 1
+    if k < 0.18:
+        return f"({_gen(r, d)} {r.choice('+-*/')} {_gen(r, d)})"
+    if k < 0.24:
+        return f"(-{_gen(r, d)})"
+    if k < 0.30:
+        return f"({_gen(r, d)} ^ {_gen(r, d)})"
+    if k < 0.48:
+        return f"{r.choice(UNARY_F)}({_gen(r, d)})"
+    if k < 0.66:
+        return f"{r.choice(BINARY_F)}({_gen(r, d)}, {_gen(r, d)})"
+    if k < 0.74:
+        return f"{r.choice(TERNARY_F)}({_gen(r, d)}, {_gen(r, d)}, {_gen(r, d)})"
+    if k < 0.80:
+        return f"if({_gen(r, d)}, {_gen(r, d)}, {_gen(r, d)})"
+    if k < 0.84:
+        return f"ifnot({_gen(r, d)}, {_gen(r, d)})"
+    if k < 0.90:
+        return f"st({r.randrange(3)}, {_gen(r, d)})"
+    if k < 0.94:
+        return f"(st({r.randrange(3)}, {_gen(r, d)}); {_gen(r, d)})"
+    if k < 0.97:
+        return f"taylor({_gen(r, 1)}, {_gen(r, d)})"
+    # slot 3 is reserved as the loop counter (an inner st(3,..) would
+    # reset it and hang BOTH evaluators)
+    return f"(st(3,0); while(lt(ld(3), 4), st(3, ld(3)+1) + {_gen(r, 1)}))"
+
+
+def _close(a: float, b: float) -> bool:
+    if math.isnan(a) or math.isnan(b):
+        return math.isnan(a) and math.isnan(b)
+    if math.isinf(a) or math.isinf(b):
+        return a == b
+    return a == b or abs(a - b) <= 1e-9 * max(abs(a), abs(b)) or abs(a - b) < 1e-12
+
+
+def test_differential_fuzz_vs_real_av_expr():
+    """400 random programs, each evaluated 6 times sequentially on both
+    engines (slot/prng state persists across calls on both sides, as in
+    the reference's per-coefficient loops).  This fuzz found every
+    quirk in QUIRKS above before it went green."""
+    import random as pyrandom
+
+    r = pyrandom.Random(20260819)
+    for i in range(400):
+        src = _gen(r, r.randrange(2, 5))
+        try:
+            ours = parse_expr(src, ("x",))
+        except ValueError:
+            with pytest.raises(ValueError):
+                OracleExpr(src, ("x",))
+            continue
+        oracle = OracleExpr(src, ("x",))
+        xs = (-2.5, -1.0, 0.0, 0.3, 1.0, 7.25)
+        for x in xs:
+            a = float(ours({"x": x}))
+            b = oracle(x=x)
+            assert _close(a, b), (i, src, x, a, b)
+        if not ours.stateful:
+            # the VECTORISED path (fresh parse, fresh oracle): a grid
+            # evaluation must equal per-point sequential oracle calls —
+            # exercises the masked clip/between/if machinery
+            import numpy as np
+
+            grid = np.asarray(xs).reshape(2, 3)
+            got = np.asarray(parse_expr(src, ("x",))({"x": grid}),
+                             dtype=np.float64).ravel()
+            o2 = OracleExpr(src, ("x",))
+            want = [o2(x=x) for x in xs]
+            for a, b, x in zip(got.tolist(), want, xs):
+                assert _close(a, b), ("grid", i, src, x, a, b)
+
+
 # ---- parser shape: arity, ';' placement ------------------------------
 
 BAD_PARSES = [
