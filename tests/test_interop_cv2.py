@@ -537,3 +537,60 @@ def test_srgb_transfer_matches_real_av_csp():
     want_d = np.asarray([dec(float(x)) for x in xs])
     np.testing.assert_allclose(srgb_encode(xs), want_e, rtol=0, atol=1e-16 * 8)
     np.testing.assert_allclose(srgb_decode(xs), want_d, rtol=0, atol=1e-16 * 8)
+
+
+def test_ffv1_random_geometry_sweep(tmp_path):
+    """Randomized codec sweep: dims 1..66 (odd, tiny, non-multiples of
+    the slice grid), 8/16-bit, gray/yuv444/gbrp, slices 1/4/9, v1/v3 —
+    every config must round-trip natively bit-exactly and (8-bit
+    gray/gbrp) decode bit-exactly in real libavcodec.  Slice-boundary
+    and 1-pixel-plane edges live here, not in the happy-path tests."""
+    from dspfun_tpu.io import ffv1
+    if not ffv1.available():
+        pytest.skip("native FFV1 unavailable")
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        W = int(rng.integers(1, 67)); H = int(rng.integers(1, 67))
+        depth = int(rng.choice([8, 16]))
+        kind = rng.choice(["gray", "yuv444", "gbrp"])
+        slices = int(rng.choice([1, 4, 9]))
+        level = 3 if slices > 1 or rng.random() < 0.5 else 1
+        if kind == "gbrp" and depth == 16:
+            level = 3  # 16-bit RGB needs the v3 extradata path
+        pf = {"gray": "gray", "yuv444": "yuv444p", "gbrp": "gbrp"}[kind]
+        nc = 1 if kind == "gray" else 3
+        if depth == 16:
+            pf += "16le"
+        hi = 1 << depth
+        frames = [[rng.integers(0, hi, (H, W)).astype(float)
+                   for _ in range(nc)] for _ in range(2)]
+        props = video.parse_color_props(f"pixel_format={pf}")
+        cfg = f"[{trial}] {W}x{H} {pf} level={level} slices={slices}"
+        p = tmp_path / f"t{trial}.nut"
+        with video.open_output(str(p), W, H, Fraction(25), props,
+                               options=f"level={level}:slices={slices}") as wr:
+            assert wr.codec == "ffv1", cfg
+            for f in frames:
+                wr.write_frame(f, raw=True)
+        with video.open_input(str(p)) as r:
+            for f in frames:
+                got = r.read_frame(raw=True)
+                for a, b in zip(got, f):
+                    assert np.array_equal(np.asarray(a, float), b), cfg
+        if depth == 8 and kind in ("gray", "gbrp"):
+            cap = cv2.VideoCapture(str(p), cv2.CAP_FFMPEG)
+            if kind == "gray":
+                cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+            for f in frames:
+                ok, raw = cap.read()
+                assert ok, cfg
+                raw = np.asarray(raw)
+                if kind == "gray":
+                    luma = raw.squeeze().reshape(-1)[:H * W].reshape(H, W)
+                    assert np.array_equal(luma, f[0].astype(np.uint8)), cfg
+                else:  # cv2 converts gbrp to BGR
+                    g, b_, r_ = (x.astype(np.uint8) for x in f)
+                    assert np.array_equal(raw[:, :, 1], g), cfg
+                    assert np.array_equal(raw[:, :, 0], b_), cfg
+                    assert np.array_equal(raw[:, :, 2], r_), cfg
+            cap.release()
