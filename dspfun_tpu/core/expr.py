@@ -684,26 +684,31 @@ class Expr:
                     return xp.where(taken, t, e)
                 if name == "clip":
                     # eval.c e_clip evaluates the subject, then min,
-                    # then max, and — when the bounds are sane —
-                    # evaluates the subject a SECOND time for the
-                    # clipped value (st() counters inside the subject
-                    # advance twice); NaN/inverted bounds return NaN
-                    # and skip the re-evaluation.  All probed against
-                    # the real av_expr with st-counter probes.
-                    ev(args[0])  # value discarded; side effects fire
+                    # then max; a NaN in ANY of the three or inverted
+                    # bounds returns NaN WITHOUT re-evaluation.
+                    # Otherwise the subject evaluates a SECOND time
+                    # (st() counters inside it advance twice) and the
+                    # value is av_clipd = FFMIN(FFMAX(d,min),max) with
+                    # the compiled minsd/maxsd NaN rule — a NaN
+                    # re-evaluation clamps to min, it does not
+                    # propagate.  All probed against the real av_expr
+                    # with st-counter probes.
+                    d1 = ev(args[0])
                     lo, hi = ev(args[1]), ev(args[2])
-                    bad = xp.isnan(lo) | xp.isnan(hi) | (lo > hi)
+                    bad = (xp.isnan(d1) | xp.isnan(lo) | xp.isnan(hi)
+                           | (lo > hi))
                     if scalar:
                         if bool(bad):
                             return math.nan
-                        return xp.minimum(xp.maximum(ev(args[0]), lo), hi)
+                        d = ev(args[0])
+                        m = xp.where(d > lo, d, lo)
+                        return xp.where(m < hi, m, hi)
                     good = xp.logical_not(xp.asarray(bad))
                     mask_stack.append(good)
                     d = ev(args[0])
                     mask_stack.pop()
-                    safe_hi = xp.where(bad, lo, hi)
-                    return xp.where(bad, math.nan,
-                                    xp.minimum(xp.maximum(d, lo), safe_hi))
+                    m = xp.where(d > lo, d, lo)
+                    return xp.where(bad, math.nan, xp.where(m < hi, m, hi))
                 if name == "between":
                     # eval.c: d >= min && d <= max with C's && — the
                     # max argument only evaluates where the first test

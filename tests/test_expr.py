@@ -140,6 +140,11 @@ def test_clip_double_evaluates_subject():
     e2 = parse_expr("st(9, clip(st(0, ld(0)+1), 2, 1)); ld(0)", ())
     assert e2({}) == 1.0  # bad bounds skip the re-evaluation
     assert math.isnan(parse_expr("clip(1, 2, 1)", ())({}))
+    # NaN first subject -> NaN, no re-eval; NaN RE-eval clamps to min
+    e3 = parse_expr("st(9, clip(st(0, ld(0)+1)*0 + sqrt(0-1), 0, 9)); ld(0)", ())
+    assert e3({}) == 1.0
+    assert math.isnan(parse_expr("clip(sqrt(0-1), 0, 9)", ())({}))
+    assert parse_expr("clip(sqrt(0-ld(0))*0 + st(0,1)*0 + 5, 0, 9)", ())({}) == 0.0
 
 
 def test_between_short_circuits_max():

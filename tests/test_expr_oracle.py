@@ -230,6 +230,12 @@ QUIRKS = [
     "clip(st(0, ld(0)+1), 0, 9)",
     "clip(0, -0.0, 1)", "clip(7, 1, 3)", "clip(7, 3, 1)",
     "clip(1, sqrt(0-1), 3)",
+    # a NaN FIRST subject evaluation returns NaN and skips the
+    # re-evaluation; a NaN RE-evaluation clamps to min (compiled
+    # av_clipd = FFMIN(FFMAX(..)) with minsd/maxsd NaN order)
+    "clip(sqrt(0-1), 0, 9)",
+    "st(9, clip(st(0, ld(0)+1)*0 + sqrt(0-1), 0, 9)); ld(0)",
+    "clip(sqrt(0-ld(0))*0 + st(0,1)*0 + 5, 0, 9)",
     # between: C's && short-circuits the max argument
     "st(9, between(3, 5, st(0,7))); ld(0)",
     "st(9, between(6, 5, st(0,7))); ld(0)",
@@ -337,11 +343,27 @@ def test_differential_fuzz_vs_real_av_expr():
             continue
         oracle = OracleExpr(src, ("x",))
         xs = (-2.5, -1.0, 0.0, 0.3, 1.0, 7.25)
-        for x in xs:
+        chaotic = False
+        for k, x in enumerate(xs):
             a = float(ours({"x": x}))
             b = oracle(x=x)
-            assert _close(a, b), (i, src, x, a, b)
-        if not ours.stateful:
+            if not _close(a, b):
+                # the engines use different libms (numpy vs glibc);
+                # an ill-conditioned point (mod with a tiny divisor,
+                # tan near a pole) amplifies 1-ulp input differences
+                # arbitrarily.  Replay the prefix on a FRESH oracle
+                # with the point perturbed by 1 ulp — if the oracle
+                # itself moves by more than the tolerance, the point
+                # is chaotic, not a semantic divergence.
+                o2 = OracleExpr(src, ("x",))
+                for xp_ in xs[:k]:
+                    o2(x=xp_)
+                b2 = o2(x=x * (1 + 2**-52) + (2**-1022 if x == 0 else 0))
+                if not _close(b, b2):
+                    chaotic = True
+                    continue
+                assert False, (i, src, x, a, b)
+        if not ours.stateful and not chaotic:
             # the VECTORISED path (fresh parse, fresh oracle): a grid
             # evaluation must equal per-point sequential oracle calls —
             # exercises the masked clip/between/if machinery
