@@ -301,6 +301,8 @@ class _Parser:
 
 
 def _funcs(xp) -> Mapping[str, Callable]:
+    numpy_path = xp.__name__ == "numpy"
+
     def _i64(x):
         # C (int64_t)double cast as the oracle's x86-64 build performs
         # it (cvttsd2si): truncate toward zero; NaN and out-of-range
@@ -311,20 +313,71 @@ def _funcs(xp) -> Mapping[str, Callable]:
         in_range = (t >= -9.223372036854775808e18) & (t < 9.223372036854775808e18)
         return xp.where(in_range, xp.nan_to_num(t), -9.223372036854775808e18).astype("int64")
 
+    def _i64_limbs(x):
+        # The jitted path runs without jax_enable_x64, where
+        # astype("int64") silently TRUNCATES to int32 (bitand(2^40, -1)
+        # lost its top bits).  Build the cvttsd2si result as exact
+        # (hi: int32, lo: uint32) two's-complement limbs instead.
+        # |f| < 2^31 converts directly (sign-extended); larger values
+        # split as hi = floor(f/2^32), lo = f - hi*2^32 — exact there
+        # because lo is a multiple of ulp(f) >= 2^8, so it fits f32's
+        # mantissa (a small-|f| split does NOT: 2^32-8 rounds to 2^32).
+        from jax import lax  # noqa: PLC0415
+
+        t = xp.trunc(x)
+        in_range = (t >= -9.223372036854775808e18) & (t < 9.223372036854775808e18)
+        f = xp.where(in_range, xp.nan_to_num(t), 0.0)
+        small = xp.abs(f) < 2.0 ** 31
+        i_small = xp.where(small, f, 0.0).astype("int32")
+        hi_small = xp.where(i_small < 0, -1, 0).astype("int32")
+        lo_small = lax.bitcast_convert_type(i_small, xp.uint32)
+        f_big = xp.where(small, 2.0 ** 31, f)
+        hi_big = xp.floor(f_big * 2.0 ** -32)
+        lo_big = f_big - hi_big * 2.0 ** 32
+        hi = xp.where(small, hi_small, hi_big.astype("int32"))
+        lo = xp.where(small, lo_small, lo_big.astype("uint32"))
+        hi = xp.where(in_range, hi, xp.int32(-(2 ** 31)))
+        lo = xp.where(in_range, lo, xp.uint32(0))
+        return hi, lo
+
     def _gcd(a):
         # av_gcd (libavutil/mathematics.c): a==0 -> b, b==0 -> a with
-        # the SIGN KEPT; otherwise the positive binary gcd.
-        ia, ib = _i64(a[0]), _i64(a[1])
+        # the SIGN KEPT; otherwise the positive binary gcd.  On the
+        # jitted f32 path the operands saturate at int32 (no x64;
+        # av_expr programs feed gcd small integers in practice, and
+        # the result re-enters f32 anyway).
+        if numpy_path:
+            ia, ib = _i64(a[0]), _i64(a[1])
+        else:
+            lim = 2.147483647e9
+            ia = xp.clip(xp.nan_to_num(xp.trunc(a[0])), -lim - 1, lim).astype("int32")
+            ib = xp.clip(xp.nan_to_num(xp.trunc(a[1])), -lim - 1, lim).astype("int32")
         g = xp.gcd(xp.abs(ia), xp.abs(ib))
         out = xp.where(ia == 0, ib, xp.where(ib == 0, ia, g))
-        return out.astype("float64" if xp.__name__ == "numpy" else "float32")
+        return out.astype("float64" if numpy_path else "float32")
 
     def _bitop(op):
         def f(a):
-            # eval.c e_bitand/e_bitor: NaN in either operand -> NaN
-            v = op(_i64(a[0]), _i64(a[1])).astype(
-                "float64" if xp.__name__ == "numpy" else "float32")
-            return xp.where(xp.isnan(a[0] + a[1]), math.nan, v)
+            # eval.c e_bitand/e_bitor: NaN in either operand -> NaN.
+            # Tested per operand — isnan(a+b) would also fire on
+            # inf + (-inf), where the oracle returns the saturated
+            # INT64_MIN & INT64_MIN instead (probed: bitand(1/0,-1/0))
+            if numpy_path:
+                v = op(_i64(a[0]), _i64(a[1])).astype("float64")
+            else:
+                from jax import lax  # noqa: PLC0415
+
+                ha, la = _i64_limbs(a[0])
+                hb, lb = _i64_limbs(a[1])
+                hi, lo = op(ha, hb), op(la, lb)
+                # recombine via a SIGNED low limb + carry: a direct
+                # lo.astype(f32) rounds values near 2^32 up (bitor(-8,0)
+                # came back 0 = -2^32 + round(2^32-8)); the signed form
+                # keeps small-magnitude results exact
+                ls = lax.bitcast_convert_type(lo, hi.dtype).astype("float32")
+                c = (ls < 0).astype("float32")
+                v = (hi.astype("float32") + c) * 2.0 ** 32 + ls
+            return xp.where(xp.isnan(a[0]) | xp.isnan(a[1]), math.nan, v)
         return f
 
     return {
@@ -351,8 +404,14 @@ def _funcs(xp) -> Mapping[str, Callable]:
         "ceil": lambda a: xp.ceil(a[0]) + 0.0,
         "trunc": lambda a: xp.trunc(a[0]) + 0.0,
         # C round(): half away from zero (numpy's round is half-even —
-        # round(0.5) would be 0 instead of av_expr's 1)
-        "round": lambda a: xp.sign(a[0]) * xp.floor(xp.abs(a[0]) + 0.5),
+        # round(0.5) would be 0 instead of av_expr's 1).  Computed from
+        # the EXACT fraction x - trunc(x) (exact for every double):
+        # floor(|x|+0.5) rounds 0.49999999999999994 up because the +0.5
+        # is inexact (oracle-probed DIFF).  trunc(±inf)=±inf makes the
+        # fraction NaN there, so the >= test stays false and ±inf pass
+        # through; NaN propagates via trunc.
+        "round": lambda a: (lambda t: xp.where(
+            xp.abs(a[0] - t) >= 0.5, t + xp.sign(a[0]), t))(xp.trunc(a[0])),
         # ffmpeg eval.c e_mod is floor-based: a - floor(a/b)*b (differs
         # from C fmod for negative operands); xp.divide so mod(x, 0)
         # yields nan instead of a python ZeroDivisionError

@@ -182,8 +182,67 @@ def test_round_is_half_away_from_zero():
     scan orders / coefficients than the reference (round-4 review)."""
     e = parse_expr("round(x)", ("x",))
     for v, want in [(0.5, 1.0), (2.5, 3.0), (-0.5, -1.0), (-2.5, -3.0),
-                    (1.4, 1.0), (-1.6, -2.0)]:
-        assert e({"x": v}) == want, (v, want)
+                    (1.4, 1.0), (-1.6, -2.0),
+                    # the half test must be EXACT (libm round): the
+                    # nextafter(0.5, 0) value is below one half, but
+                    # floor(|x|+0.5) rounds it up through the inexact
+                    # sum (round-5 oracle probe)
+                    (0.49999999999999994, 0.0),
+                    (-0.49999999999999994, -0.0),
+                    (0.9999999999999999, 1.0),
+                    (4503599627370495.5, 4503599627370496.0),
+                    (math.inf, math.inf), (-math.inf, -math.inf)]:
+        got = float(e({"x": v}))
+        assert got == want and math.copysign(1, got) == math.copysign(1, want), (v, want, got)
+    assert math.isnan(e({"x": math.nan}))
+    # grid (vectorised) path agrees
+    import numpy as np
+    grid = np.asarray([0.49999999999999994, 0.5, -2.5, 1.4])
+    np.testing.assert_array_equal(e({"x": grid}), [0.0, 1.0, -3.0, 1.0])
+
+
+def test_bitops_inf_operands_are_not_nan():
+    """eval.c tests isnan on each OPERAND — inf & -inf saturates both
+    sides to INT64_MIN (x86 cvttsd2si) rather than returning NaN
+    (an isnan(a+b) shortcut fired on inf + (-inf); round-5 probe)."""
+    imin = float(-(1 << 63))
+    assert parse_expr("bitand(1/0, 0-1/0)", ())({}) == imin
+    assert parse_expr("bitor(1/0, 0-1/0)", ())({}) == imin
+    assert math.isnan(parse_expr("bitand(sqrt(0-1), 1/0)", ())({}))
+
+
+def test_bitops_jitted_path_is_64_bit():
+    """The vectorised jax path runs without x64, where astype("int64")
+    silently truncates to int32 — bitand(2^40, -1) lost its top bits
+    and bitor(-8, 0) returned 0 through a rounded low limb.  The limb
+    form keeps full 64-bit semantics; results round once to f32
+    (1 ulp above 2^24 — the path's inherent width)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+    cases = [
+        ("bitand(x, 0-1)", 2.0 ** 40, 2.0 ** 40),
+        ("bitand(x, 0-1)", -(2.0 ** 40), -(2.0 ** 40)),
+        ("bitor(x, 0)", -8.0, -8.0),
+        ("bitand(x, 255)", 170.0, 170.0),
+        ("bitor(x, 16)", -(2.0 ** 40) + 2.0 ** 20,
+         float(np.float32(-(2.0 ** 40) + 2.0 ** 20 + 16))),
+        ("bitand(x, 0-1)", 2.0 ** 62, 2.0 ** 62),
+        ("bitand(x, 0-1)", 2.0 ** 31, 2.0 ** 31),
+        ("bitor(x, 0)", -(2.0 ** 31), -(2.0 ** 31)),
+        ("bitand(1/0, 0-1/0)", 0.0, float(np.float32(-(2.0 ** 63)))),
+        ("gcd(x, 18)", -12.0, 6.0),
+    ]
+    for src, x, want in cases:
+        e = parse_expr(src, ("x",))
+        got = float(jax.jit(lambda v, e=e: e({"x": v}, jnp))(jnp.float32(x)))
+        assert got == want, (src, x, got, want)
+    # NaN operands still propagate on the jitted path
+    e = parse_expr("bitand(x, 3)", ("x",))
+    assert math.isnan(float(jax.jit(
+        lambda v: e({"x": v}, jnp))(jnp.float32(math.nan))))
 
 
 # ---- stateful / iterative av_expr forms (round-5: VERDICT item 6) ----

@@ -249,8 +249,15 @@ QUIRKS = [
     # sgn is comparison-based: sgn(NaN) is 0
     "sgn(sqrt(0-1))",
     # bitand/bitor: NaN operand -> NaN; casts saturate like x86
-    # cvttsd2si (out-of-range -> INT64_MIN)
+    # cvttsd2si (out-of-range -> INT64_MIN).  inf + (-inf) is NOT NaN
+    # to eval.c (it tests the operands, so inf&-inf is the saturated
+    # INT64_MIN & INT64_MIN — an isnan(a+b) shortcut got this wrong)
     "bitand(sqrt(0-1), 3)", "bitor(1/0, 1)", "bitand(1e300, 0-1)",
+    "bitand(1/0, 0-1/0)", "bitor(1/0, 0-1/0)",
+    # round is libm round(): the exact half test, not floor(|x|+0.5)
+    # (whose inexact +0.5 rounded 0.49999999999999994 up to 1)
+    "round(0.49999999999999994)", "round(0-0.49999999999999994)",
+    "round(0.9999999999999999)", "round(4503599627370495.5)",
     # strtod literals: inf/nan (any case) and one extra sign
     "inf", "0-inf", "isnan(nan)", "Infinity*2", "--5", "-+5", "1--5",
     "2^--3",
