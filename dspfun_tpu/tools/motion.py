@@ -494,7 +494,12 @@ def main(argv: list[str] | None = None) -> int:
     # value-based keys: MotionParams._key() hashes the expr by SOURCE —
     # repr(p) would embed the Expr object's memory address and miss the
     # cache on every --eval run (round-5 review finding)
-    pkey = (jax.default_backend(),
+    # the active Precision is part of the key: make_plans() sizes its
+    # digit splits from get_precision(), so a second in-process run
+    # under a different DSPFUN_PRECISION must not reuse these plans
+    from dspfun_tpu.core.precision import get_precision  # noqa: PLC0415
+
+    pkey = (jax.default_backend(), get_precision(),
             tuple(repr(g) for g in geoms), tuple(p._key() for p in params))
     plans = _PLAN_CACHE.get(pkey)
     if plans is None:

@@ -225,3 +225,37 @@ def test_overlong_frame_budget_fails(clip, tmp_path):
     assert transcode_tool.main(["-q", "-s", "1:2", path,
                                 str(tmp_path / "ok.fvid")]) == 0
     assert read_clip(str(tmp_path / "ok.fvid")).shape[0] == 2
+
+
+def test_plan_cache_keys_on_precision(clip, tmp_path, monkeypatch):
+    """The in-process device-plan cache must key on the ACTIVE
+    precision policy: make_plans() sizes its digit splits from
+    get_precision(), so a rerun under a different policy reusing the
+    first run's plans would silently compute with the wrong accuracy
+    class (round-5 review finding).  coeff is a storage dtype and the
+    intermediate modes agree to ~1e-7 on 4-point blocks by design, so
+    the pin is structural: distinct policies occupy distinct cache
+    slots, and returning to a policy returns its exact bytes."""
+    from dspfun_tpu.core import precision as pr
+
+    path, _ = clip
+    args = ["-Q", "-b", "4x4x2", "-D", "0.5"]
+
+    def run(tag, precision):
+        pr.set_precision(pr.Precision.parse(precision))
+        out = str(tmp_path / f"{tag}.fvid")
+        assert motion_tool.main([*args, path, out]) == 0
+        return read_clip(out)
+
+    motion_tool._PLAN_CACHE.clear()
+    try:
+        a1 = run("p1", "f32:hilo")
+        run("p2", "f32:f32")
+        a2 = run("p3", "f32:hilo")
+    finally:
+        monkeypatch.setattr(pr, "_explicit", False)
+        pr.apply_tool_default("motion")
+    precisions = {k[1] for k in motion_tool._PLAN_CACHE}
+    assert precisions == {pr.Precision.parse("f32:hilo"),
+                          pr.Precision.parse("f32:f32")}
+    np.testing.assert_array_equal(a1, a2)
