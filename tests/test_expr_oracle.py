@@ -283,45 +283,59 @@ BINARY_F = ("atan2 pow mod gcd max min hypot eq gte gt lte lt bitand "
 TERNARY_F = "between clip lerp".split()
 
 
-def _gen(r, depth: int) -> str:
+_ATOMS = ["0", "1", "2", "3", "7", "0.5", "-1.5", "2.5",
+          "1e2", "0.1", "PI", "E", "100", "1e-3"]
+# extreme atoms for the second fuzz round: infinities, NaN, signed
+# zero, int64-saturating magnitudes, and the exact-half-test value —
+# this pool found the bitand(inf,-inf) and round(nextafter(0.5,0))
+# divergences the tame pool could not reach
+_ATOMS_EXTREME = _ATOMS + [
+    "1/0", "-1/0", "sqrt(-1)", "-0.0", "0.49999999999999994",
+    "1e300", "-1e300", "9.3e18", "-9.3e18", "1e18", "0.3"]
+
+
+def _gen(r, depth: int, atoms=_ATOMS) -> str:
     """A random av_expr program: every draw is a valid parse on both
     sides, covering operator folding, cross-argument st/ld state,
     short-circuits and NaN/inf propagation."""
     if depth <= 0:
         k = r.random()
         if k < 0.35:
-            return r.choice(["0", "1", "2", "3", "7", "0.5", "-1.5", "2.5",
-                             "1e2", "0.1", "PI", "E", "100", "1e-3"])
+            return r.choice(atoms)
         if k < 0.75:
             return "x"
         return f"ld({r.randrange(3)})"
     k = r.random()
     d = depth - 1
+
+    def g(dd=None):
+        return _gen(r, d if dd is None else dd, atoms)
+
     if k < 0.18:
-        return f"({_gen(r, d)} {r.choice('+-*/')} {_gen(r, d)})"
+        return f"({g()} {r.choice('+-*/')} {g()})"
     if k < 0.24:
-        return f"(-{_gen(r, d)})"
+        return f"(-{g()})"
     if k < 0.30:
-        return f"({_gen(r, d)} ^ {_gen(r, d)})"
+        return f"({g()} ^ {g()})"
     if k < 0.48:
-        return f"{r.choice(UNARY_F)}({_gen(r, d)})"
+        return f"{r.choice(UNARY_F)}({g()})"
     if k < 0.66:
-        return f"{r.choice(BINARY_F)}({_gen(r, d)}, {_gen(r, d)})"
+        return f"{r.choice(BINARY_F)}({g()}, {g()})"
     if k < 0.74:
-        return f"{r.choice(TERNARY_F)}({_gen(r, d)}, {_gen(r, d)}, {_gen(r, d)})"
+        return f"{r.choice(TERNARY_F)}({g()}, {g()}, {g()})"
     if k < 0.80:
-        return f"if({_gen(r, d)}, {_gen(r, d)}, {_gen(r, d)})"
+        return f"if({g()}, {g()}, {g()})"
     if k < 0.84:
-        return f"ifnot({_gen(r, d)}, {_gen(r, d)})"
+        return f"ifnot({g()}, {g()})"
     if k < 0.90:
-        return f"st({r.randrange(3)}, {_gen(r, d)})"
+        return f"st({r.randrange(3)}, {g()})"
     if k < 0.94:
-        return f"(st({r.randrange(3)}, {_gen(r, d)}); {_gen(r, d)})"
+        return f"(st({r.randrange(3)}, {g()}); {g()})"
     if k < 0.97:
-        return f"taylor({_gen(r, 1)}, {_gen(r, d)})"
+        return f"taylor({g(1)}, {g()})"
     # slot 3 is reserved as the loop counter (an inner st(3,..) would
     # reset it and hang BOTH evaluators)
-    return f"(st(3,0); while(lt(ld(3), 4), st(3, ld(3)+1) + {_gen(r, 1)}))"
+    return f"(st(3,0); while(lt(ld(3), 4), st(3, ld(3)+1) + {g(1)}))"
 
 
 def _close(a: float, b: float) -> bool:
@@ -332,16 +346,12 @@ def _close(a: float, b: float) -> bool:
     return a == b or abs(a - b) <= 1e-9 * max(abs(a), abs(b)) or abs(a - b) < 1e-12
 
 
-def test_differential_fuzz_vs_real_av_expr():
-    """400 random programs, each evaluated 6 times sequentially on both
-    engines (slot/prng state persists across calls on both sides, as in
-    the reference's per-coefficient loops).  This fuzz found every
-    quirk in QUIRKS above before it went green."""
+def _run_differential_fuzz(seed, n, atoms, xs):
     import random as pyrandom
 
-    r = pyrandom.Random(20260819)
-    for i in range(400):
-        src = _gen(r, r.randrange(2, 5))
+    r = pyrandom.Random(seed)
+    for i in range(n):
+        src = _gen(r, r.randrange(2, 5), atoms)
         try:
             ours = parse_expr(src, ("x",))
         except ValueError:
@@ -349,7 +359,6 @@ def test_differential_fuzz_vs_real_av_expr():
                 OracleExpr(src, ("x",))
             continue
         oracle = OracleExpr(src, ("x",))
-        xs = (-2.5, -1.0, 0.0, 0.3, 1.0, 7.25)
         chaotic = False
         for k, x in enumerate(xs):
             a = float(ours({"x": x}))
@@ -365,7 +374,8 @@ def test_differential_fuzz_vs_real_av_expr():
                 o2 = OracleExpr(src, ("x",))
                 for xp_ in xs[:k]:
                     o2(x=xp_)
-                b2 = o2(x=x * (1 + 2**-52) + (2**-1022 if x == 0 else 0))
+                pert = x * (1 + 2**-52) + (2**-1022 if x == 0 else 0)
+                b2 = o2(x=x if math.isnan(x) else pert)
                 if not _close(b, b2):
                     chaotic = True
                     continue
@@ -376,13 +386,33 @@ def test_differential_fuzz_vs_real_av_expr():
             # exercises the masked clip/between/if machinery
             import numpy as np
 
-            grid = np.asarray(xs).reshape(2, 3)
+            grid = np.asarray(xs).reshape(2, -1)
             got = np.asarray(parse_expr(src, ("x",))({"x": grid}),
                              dtype=np.float64).ravel()
             o2 = OracleExpr(src, ("x",))
             want = [o2(x=x) for x in xs]
             for a, b, x in zip(got.tolist(), want, xs):
                 assert _close(a, b), ("grid", i, src, x, a, b)
+
+
+def test_differential_fuzz_vs_real_av_expr():
+    """400 random programs, each evaluated 6 times sequentially on both
+    engines (slot/prng state persists across calls on both sides, as in
+    the reference's per-coefficient loops).  This fuzz found every
+    quirk in QUIRKS above before it went green."""
+    _run_differential_fuzz(20260819, 400, _ATOMS,
+                           (-2.5, -1.0, 0.0, 0.3, 1.0, 7.25))
+
+
+def test_differential_fuzz_extreme_atoms():
+    """Second fuzz round over the extreme atom pool (inf/NaN/signed
+    zero/int64-saturating magnitudes) and extreme evaluation points —
+    found the bitand(inf,-inf) false-NaN and the inexact round()
+    half test (round-5); a 6000-program offline run of this generator
+    is clean."""
+    _run_differential_fuzz(555, 250, _ATOMS_EXTREME,
+                           (-2.5, 0.0, 7.25, math.inf, -math.inf,
+                            math.nan, 1e300, -0.0))
 
 
 # ---- parser shape: arity, ';' placement ------------------------------
