@@ -396,8 +396,8 @@ def _funcs(xp) -> Mapping[str, Callable]:
         "pow": lambda a: xp.power(a[0], a[1]),
         "sqrt": lambda a: xp.sqrt(a[0]),
         "abs": lambda a: xp.abs(a[0]),
-        # eval.c e_sgn: plain comparisons, so sgn(NaN) is 0 (not NaN)
-        "sgn": lambda a: xp.where(a[0] > 0, 1.0, xp.where(a[0] < 0, -1.0, 0.0)),
+        # sgn is special-cased in the evaluator: eval.c's
+        # FFDIFFSIGN(eval_expr(..), 0) macro expands its argument TWICE
         # the real av_expr's floor/ceil/trunc normalise -0.0 to +0.0
         # (round keeps the sign) — oracle-probed, libm alone would not
         "floor": lambda a: xp.floor(a[0]) + 0.0,
@@ -783,6 +783,19 @@ class Expr:
                     hi = ev(args[2])
                     mask_stack.pop()
                     return xp.where(ge & (d <= hi), 1.0, 0.0)
+                if name == "sgn":
+                    # eval.c e_sgn is e->value * FFDIFFSIGN(eval_expr(
+                    # p, e->param[0]), 0) — the macro ((x)>(y))-((x)<(y))
+                    # expands its argument TWICE: side effects fire
+                    # twice, the FIRST evaluation feeds '>' and the
+                    # SECOND feeds '<' (st-counter probed: with an
+                    # st(0, ld(0)+6) argument crossing zero the oracle
+                    # returns 0 where single-eval sgn says 1; plain
+                    # comparisons also make sgn(NaN) 0, not NaN)
+                    d1 = ev(args[0])
+                    d2 = ev(args[0])
+                    return (xp.where(d1 > 0, 1.0, 0.0)
+                            - xp.where(d2 < 0, 1.0, 0.0))
                 if name == "st":
                     # eval.c: the slot index is itself an expression,
                     # av_clip'ed to 0..VARS-1.  The vectorised path

@@ -201,6 +201,22 @@ def test_round_is_half_away_from_zero():
     np.testing.assert_array_equal(e({"x": grid}), [0.0, 1.0, -3.0, 1.0])
 
 
+def test_sgn_is_the_ffdiffsign_macro():
+    """eval.c e_sgn is FFDIFFSIGN(eval_expr(p, param), 0) — a macro
+    that expands its argument twice: side effects fire twice, and the
+    first evaluation feeds '>' while the second feeds '<' (st-counter
+    probed against real libavutil, round 5)."""
+    # counter crosses zero between the two evaluations
+    assert parse_expr("st(0,-9); sgn(st(0, ld(0)+6))", ())({}) == 0.0
+    assert parse_expr("st(0,3); sgn(st(0, ld(0)-6))", ())({}) == -1.0
+    # both evaluations happened: the slot advanced twice
+    assert parse_expr("st(0,0); sgn(st(0, ld(0)+1)); ld(0)", ())({}) == 2.0
+    # pure arguments keep ordinary sign semantics
+    for v, want in [(5.0, 1.0), (-5.0, -1.0), (0.0, 0.0), (-0.0, 0.0),
+                    (math.inf, 1.0), (-math.inf, -1.0), (math.nan, 0.0)]:
+        assert parse_expr("sgn(x)", ("x",))({"x": v}) == want, v
+
+
 def test_bitops_inf_operands_are_not_nan():
     """eval.c tests isnan on each OPERAND — inf & -inf saturates both
     sides to INT64_MIN (x86 cvttsd2si) rather than returning NaN

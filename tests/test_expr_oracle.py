@@ -246,8 +246,15 @@ QUIRKS = [
     "sgn(1/round(-0.4))",
     # gcd is av_gcd: sign kept when one operand is 0
     "gcd(0-2, 0)", "gcd(0, 0-3)", "gcd(0-12, 18)", "gcd(1.9, -0.0)",
-    # sgn is comparison-based: sgn(NaN) is 0
+    # sgn is comparison-based: sgn(NaN) is 0.  It is also the
+    # FFDIFFSIGN macro, which expands eval_expr TWICE: side effects
+    # fire twice, the first evaluation feeds '>' and the second '<'
+    # (a counter crossing zero between them returns 0 or -1 where
+    # single-eval sgn says +1)
     "sgn(sqrt(0-1))",
+    "st(0,0); sgn(st(0, ld(0)+1)); ld(0)",
+    "st(0,-9); sgn(st(0, ld(0)+6))",
+    "st(0,3); sgn(st(0, ld(0)-6))",
     # bitand/bitor: NaN operand -> NaN; casts saturate like x86
     # cvttsd2si (out-of-range -> INT64_MIN).  inf + (-inf) is NOT NaN
     # to eval.c (it tests the operands, so inf&-inf is the saturated
@@ -332,9 +339,16 @@ def _gen(r, depth: int, atoms=_ATOMS) -> str:
     if k < 0.94:
         return f"(st({r.randrange(3)}, {g()}); {g()})"
     if k < 0.97:
-        return f"taylor({g(1)}, {g()})"
-    # slot 3 is reserved as the loop counter (an inner st(3,..) would
-    # reset it and hang BOTH evaluators)
+        # the derivative argument re-evaluates up to 1000 times per
+        # taylor, and _gen(r, 1) could draw taylor AGAIN (it re-enters
+        # depth 1) — a self-nesting chain multiplies cost ~1000x per
+        # level and a depth-3 chain is a practical hang (hit in a
+        # 6000-program offline run).  Depth 0 keeps the interesting
+        # ld()-derivative coverage with O(1) bodies.
+        return f"taylor({g(0)}, {g()})"
+    # slot 3 is reserved as the loop counter (an inner st(3,..) from
+    # the st production cannot reach it — it draws slots 0-2 — and a
+    # nested while terminates: its own counter pass leaves ld(3)=4)
     return f"(st(3,0); while(lt(ld(3), 4), st(3, ld(3)+1) + {g(1)}))"
 
 
